@@ -1,0 +1,219 @@
+"""Typed configuration for the whole framework.
+
+The reference spreads configuration across three uncoordinated mechanisms —
+argparse CLIs, environment variables, and pass-through vLLM flags (reference
+``gpt_oss_server.py:12-26``, ``launch_vllm.sh:15-35``) — plus hardcoded dims as
+module constants (``streaming_unsloth_bnb.py:240-242``). Here everything lives in
+one tree of frozen dataclasses: model / quantization / parallelism / cache /
+scheduler / serving, with a CLI overlay in ``serving.api_server``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """GPT-OSS architecture hyperparameters.
+
+    Defaults are GPT-OSS-20B as encoded by the reference checkpoint facts
+    (SURVEY.md §2.2; reference ``validate_conversion.py:18-24``,
+    ``test_router_dtype.py:15-48``) reconciled with the upstream
+    ``openai/gpt-oss-20b`` config: 24 layers, 32 experts, top-4 routing,
+    hidden 2880, intermediate 2880 ("square MLP" — the Unsloth BnB variant,
+    reference ``unsloth_direct_loader.py:92-94``), attention sinks, and an
+    alternating-layer sliding window (disabled by the reference on FA2
+    hardware, ``patch_3_disable_sinks.py:27-41``; implemented natively here).
+    """
+
+    name: str = "gpt-oss-20b"
+    vocab_size: int = 201_088
+    hidden_size: int = 2880
+    num_layers: int = 24
+    num_heads: int = 64
+    num_kv_heads: int = 8
+    head_dim: int = 64
+    # MoE
+    num_experts: int = 32
+    experts_per_token: int = 4
+    intermediate_size: int = 2880
+    # "swiglu_oai": the upstream GPT-OSS clamped-SwiGLU
+    #   glu = gate * sigmoid(alpha * gate); out = (up + 1) * glu, with +-limit clamps.
+    # "silu_glu": plain silu(gate) * up — the reference's MoE forward semantics
+    #   (reference ``unsloth_to_vllm_converter.py:309-321``).
+    activation: str = "swiglu_oai"
+    swiglu_alpha: float = 1.702
+    swiglu_limit: float = 7.0
+    router_bias: bool = True
+    expert_bias: bool = True  # Unsloth ckpt carries sibling `.bias` keys
+    #                           (reference ``unsloth_bnb_loader.py:196-227``)
+    # Attention
+    attention_bias: bool = True
+    use_sinks: bool = True  # per-head learned sink logits
+    sliding_window: int = 128
+    # layer i uses sliding window iff i % 2 == 0 ("Only apply sliding window to
+    # every other layer", anchor text in reference ``patch_3_disable_sinks.py:17``)
+    sliding_window_pattern: int = 2
+    max_position_embeddings: int = 131_072
+    # RoPE with YaRN/NTK scaling (reference fixture passes NTK alpha/beta,
+    # ``test_router_dtype.py:18-27``)
+    rope_theta: float = 150_000.0
+    rope_scaling_factor: float = 32.0
+    rope_ntk_alpha: float = 1.0
+    rope_ntk_beta: float = 32.0
+    original_context_length: int = 4096
+    rms_norm_eps: float = 1e-5
+    tie_word_embeddings: bool = False
+    dtype: str = "bfloat16"  # non-quantized compute dtype (TPU-native; kills the
+    #                          reference's FP16/BF16 router crash, STATUS.md:6)
+    # fp32 router logits for routing determinism (SURVEY.md §7)
+    router_logits_fp32: bool = True
+
+    @property
+    def q_size(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_size(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+    def layer_uses_sliding_window(self, layer_idx: int) -> bool:
+        if self.sliding_window is None or self.sliding_window <= 0:
+            return False
+        return layer_idx % self.sliding_window_pattern == 0
+
+    @staticmethod
+    def tiny(**overrides) -> "ModelConfig":
+        """A structurally-complete tiny config for tests — the
+        ``test_router_dtype.py:15-48`` fixture pattern, made real."""
+        base = dict(
+            name="gpt-oss-tiny",
+            vocab_size=512,
+            hidden_size=128,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            head_dim=32,
+            num_experts=8,
+            experts_per_token=2,
+            intermediate_size=128,
+            sliding_window=16,
+            max_position_embeddings=1024,
+            original_context_length=256,
+        )
+        base.update(overrides)
+        return ModelConfig(**base)
+
+
+@dataclass(frozen=True)
+class QuantConfig:
+    """NF4 weight-only quantization of MoE expert projections.
+
+    Quantization partition (reference ``gpt_oss_moe_architecture.md:12-26``,
+    ``validate_conversion.py:87-114``): only the num_layers x num_experts x 3
+    expert projection matrices are 4-bit; router, attention, embeddings and
+    lm_head stay in full (bf16) precision.
+    """
+
+    method: str = "nf4"  # "nf4" | "none"
+    blocksize: int = 64  # reference ``unsloth_direct_loader.py:129``
+    double_quant: bool = True  # absmax itself 8-bit quantized
+    nested_blocksize: int = 256
+    scale_dtype: str = "float32"
+    # compute path for the quantized matmuls: "pallas" fused dequant-matmul
+    # kernels, or "xla" dequant-then-matmul (correctness reference)
+    backend: str = "pallas"
+
+    @property
+    def enabled(self) -> bool:
+        return self.method != "none"
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh axes (SURVEY.md §2.4).
+
+    dp — replica axis over batches; ep — experts sharded across chips with
+    all-to-all dispatch riding ICI; tp — attention heads / fused projections
+    sharded (GSPMD); collectives are emitted by pjit/shard_map, no external
+    comm library (the NCCL row of SURVEY.md §2.3).
+    """
+
+    dp: int = 1
+    ep: int = 1
+    tp: int = 1
+
+    @property
+    def world_size(self) -> int:
+        return self.dp * self.ep * self.tp
+
+
+@dataclass(frozen=True)
+class CacheConfig:
+    """Paged KV cache geometry (replaces the substrate vLLM block manager)."""
+
+    block_size: int = 16  # tokens per KV block
+    num_blocks: int = 2048  # total blocks in the pool (per shard)
+    max_blocks_per_seq: int = 512
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class SchedulerConfig:
+    """Continuous-batching scheduler limits."""
+
+    max_num_seqs: int = 64  # decode batch width
+    max_model_len: int = 4096  # vs the reference's memory-starved 128-2048
+    #                            (reference ``gpt_oss_server.py:17``)
+    prefill_chunk: int = 512  # chunked-prefill token budget per step
+    max_queue: int = 1024
+
+
+@dataclass(frozen=True)
+class ServingConfig:
+    host: str = "0.0.0.0"
+    port: int = 8000
+    served_model_name: str = "gpt-oss-20b"
+    tokenizer: str = "o200k_base"  # tiktoken encoding, or an HF tokenizer path
+    log_requests: bool = True
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """The root config object."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    quant: QuantConfig = field(default_factory=QuantConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    serving: ServingConfig = field(default_factory=ServingConfig)
+    seed: int = 0
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "EngineConfig":
+        d = json.loads(s)
+        return EngineConfig(
+            model=ModelConfig(**d.get("model", {})),
+            quant=QuantConfig(**d.get("quant", {})),
+            parallel=ParallelConfig(**d.get("parallel", {})),
+            cache=CacheConfig(**d.get("cache", {})),
+            scheduler=SchedulerConfig(**d.get("scheduler", {})),
+            serving=ServingConfig(**d.get("serving", {})),
+            seed=d.get("seed", 0),
+        )
+
+    @staticmethod
+    def tiny(**model_overrides) -> "EngineConfig":
+        return EngineConfig(
+            model=ModelConfig.tiny(**model_overrides),
+            cache=CacheConfig(block_size=8, num_blocks=128, max_blocks_per_seq=32),
+            scheduler=SchedulerConfig(max_num_seqs=8, max_model_len=256, prefill_chunk=64),
+        )

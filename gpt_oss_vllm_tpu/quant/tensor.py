@@ -1,0 +1,104 @@
+"""NF4Tensor — the engine-facing packed 4-bit weight container (a JAX pytree).
+
+Weights stay packed uint8 (2 values/byte) + per-block scales in HBM; dequant
+happens in-graph (XLA path here) or in-register inside the fused Pallas
+matmul kernels (``ops.nf4_matmul``). This is the TPU-native replacement for
+bitsandbytes ``Params4bit``/``QuantState`` (reference
+``unsloth_bnb_loader.py:65-180``).
+
+Layout contract
+---------------
+For a weight of shape ``(out, in)`` (row-major, optionally with leading
+expert/stack dims):
+
+- ``qdata``  : uint8  ``(..., out, in // 2)`` — byte k of a row holds flat
+  elements ``2k`` (low nibble) and ``2k+1`` (high nibble), i.e. the
+  reference's decode order (``streaming_unsloth_bnb.py:179-190``). The
+  converter normalizes any source nibble order into this one.
+- ``scales`` : float  ``(..., out, in // blocksize)`` — first-level absmax,
+  already double-dequantized at conversion time (the nested level never
+  reaches the device; SURVEY.md §5 "checkpoint/resume" design consequence).
+- ``blocksize`` must divide ``in`` so no block straddles a row
+  (64 | 2880 for GPT-OSS-20B).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpt_oss_vllm_tpu.quant.nf4 import NF4_CODE, nf4_quantize
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["qdata", "scales"],
+    meta_fields=["out_features", "in_features", "blocksize"],
+)
+@dataclass
+class NF4Tensor:
+    qdata: jax.Array  # uint8 (..., out, in // 2)
+    scales: jax.Array  # (..., out, in // blocksize)
+    out_features: int
+    in_features: int
+    blocksize: int = 64
+
+    @property
+    def batch_shape(self):
+        return self.qdata.shape[:-2]
+
+    @property
+    def shape(self):
+        return (*self.batch_shape, self.out_features, self.in_features)
+
+    def dequantize(self, dtype=jnp.bfloat16) -> jax.Array:
+        """In-graph XLA dequantization to a dense matrix (correctness path)."""
+        code = jnp.asarray(NF4_CODE, dtype=jnp.float32)
+        q = self.qdata
+        low = (q & 0x0F).astype(jnp.int32)
+        high = ((q >> 4) & 0x0F).astype(jnp.int32)
+        # interleave (low, high) pairs back into the flat row order
+        idx = jnp.stack([low, high], axis=-1).reshape(*q.shape[:-1], self.in_features)
+        vals = jnp.take(code, idx, axis=0)
+        nblk = self.in_features // self.blocksize
+        vals = vals.reshape(*q.shape[:-1], nblk, self.blocksize)
+        vals = vals * self.scales.astype(jnp.float32)[..., None]
+        return vals.reshape(*q.shape[:-1], self.in_features).astype(dtype)
+
+    def nbytes(self) -> int:
+        return self.qdata.size + self.scales.size * self.scales.dtype.itemsize
+
+
+def nf4_tensor_from_dense(
+    w: np.ndarray, blocksize: int = 64, scale_dtype=jnp.float32
+) -> NF4Tensor:
+    """Quantize a dense (..., out, in) array into an :class:`NF4Tensor`.
+
+    Used for synthetic checkpoints / random-init benchmarking; the production
+    path goes through ``checkpoint.convert`` which streams straight from the
+    Unsloth safetensors without materializing dense weights.
+    """
+    w = np.asarray(w, dtype=np.float32)
+    *batch, out_f, in_f = w.shape
+    if in_f % 2 != 0 or in_f % blocksize != 0:
+        raise ValueError(f"in_features {in_f} must be divisible by 2 and {blocksize}")
+    flat = w.reshape(-1, out_f * in_f)
+    qdatas, scaless = [], []
+    for row in flat:
+        packed, absmax = nf4_quantize(row, blocksize=blocksize)
+        qdatas.append(packed.reshape(out_f, in_f // 2))
+        scaless.append(absmax.reshape(out_f, in_f // blocksize))
+    qdata = np.stack(qdatas).reshape(*batch, out_f, in_f // 2)
+    scales = np.stack(scaless).reshape(*batch, out_f, in_f // blocksize)
+    return NF4Tensor(
+        qdata=jnp.asarray(qdata),
+        scales=jnp.asarray(scales, dtype=scale_dtype),
+        out_features=out_f,
+        in_features=in_f,
+        blocksize=blocksize,
+    )
