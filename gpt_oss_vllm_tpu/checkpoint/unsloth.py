@@ -1,0 +1,303 @@
+"""Unsloth/BitsAndBytes NF4 checkpoint reader + synthetic writer.
+
+The checkpoint schema (SURVEY.md §2.2; reference ``unsloth_bnb_loader.py:196-227``,
+``debug_shapes.py:52-54``): multi-file safetensors with per-expert keys
+
+    model.layers.{L}.mlp.experts.{gate_up_projs|down_projs}.{E}.weight
+
+holding flat packed uint8 ``[N, 1]`` NF4 data, with metadata suffixes
+``.absmax`` (uint8, double-quantized), ``.nested_absmax`` (f32),
+``.nested_quant_map`` (f32 codebook), ``.quant_map`` (f32 NF4 codebook), and a
+sibling ``.bias``. Router / attention / embeddings / lm_head are plain fp16 or
+bf16 tensors under standard HF GPT-OSS names.
+
+Because no network egress exists in the build environment, tests and benches
+exercise the *real* reader/converter path against checkpoints produced by
+:func:`write_synthetic_unsloth_checkpoint`, which emits the exact same schema.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from safetensors import safe_open
+from safetensors.numpy import save_file
+
+from gpt_oss_vllm_tpu.config import ModelConfig
+from gpt_oss_vllm_tpu.quant.nf4 import (
+    NF4_CODE,
+    dequantize_absmax_double,
+    infer_blocksize,
+    nf4_quantize,
+    quantize_absmax_double,
+)
+
+_EXPERT_KEY_RE = re.compile(
+    r"model\.layers\.(\d+)\.mlp\.experts\.(gate_up_projs|down_projs)\.(\d+)\.weight$"
+)
+
+
+def _swap_nibbles(packed: np.ndarray) -> np.ndarray:
+    p = packed.astype(np.uint8)
+    return (((p & 0x0F) << 4) | (p >> 4)).astype(np.uint8)
+
+
+class UnslothCheckpointReader:
+    """Streaming reader over a multi-file Unsloth NF4 checkpoint.
+
+    Tensors are fetched one at a time via ``safe_open`` so only a single
+    expert is ever resident (the reference's streaming discipline,
+    ``streaming_unsloth_bnb.py:133-142``), but with a global key->file index
+    instead of the reference's per-key linear file search
+    (``streaming_unsloth_bnb.py:131-136``).
+    """
+
+    def __init__(self, paths_or_dir, nibble_order: str = "low_first"):
+        if isinstance(paths_or_dir, str):
+            if not os.path.isdir(paths_or_dir):
+                raise FileNotFoundError(f"checkpoint dir not found: {paths_or_dir}")
+            paths = sorted(glob.glob(os.path.join(paths_or_dir, "*.safetensors")))
+        else:
+            paths = list(paths_or_dir)
+        if not paths:
+            raise FileNotFoundError(f"no safetensors files in {paths_or_dir}")
+        self.paths = paths
+        self.nibble_order = nibble_order
+        self._key_to_path: Dict[str, str] = {}
+        self._handles: Dict[str, object] = {}
+        for p in paths:
+            with safe_open(p, framework="np") as f:
+                for k in f.keys():
+                    self._key_to_path[k] = p
+
+    def keys(self) -> List[str]:
+        return list(self._key_to_path.keys())
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._key_to_path
+
+    def read(self, key: str) -> np.ndarray:
+        path = self._key_to_path[key]
+        if path not in self._handles:
+            self._handles[path] = safe_open(path, framework="np").__enter__()
+        return self._handles[path].get_tensor(key)
+
+    # -- structure ---------------------------------------------------------
+
+    def scan_structure(self) -> dict:
+        """Infer model dims from key parse — fresh derivation of the check the
+        reference does at ``unsloth_to_vllm_converter.py:33-56``."""
+        layers, experts = set(), set()
+        quantized = 0
+        for k in self._key_to_path:
+            m = _EXPERT_KEY_RE.match(k)
+            if m:
+                layers.add(int(m.group(1)))
+                experts.add(int(m.group(3)))
+                if k + ".absmax" in self._key_to_path:
+                    quantized += 1
+        hidden = None
+        if "model.embed_tokens.weight" in self._key_to_path:
+            hidden = self.shape("model.embed_tokens.weight")[1]
+        return {
+            "num_layers": max(layers) + 1 if layers else 0,
+            "num_experts": max(experts) + 1 if experts else 0,
+            "hidden_size": hidden,
+            "num_quantized_expert_tensors": quantized,
+        }
+
+    def shape(self, key: str) -> Tuple[int, ...]:
+        path = self._key_to_path[key]
+        with safe_open(path, framework="np") as f:
+            return tuple(f.get_slice(key).get_shape())
+
+    # -- experts -----------------------------------------------------------
+
+    def expert_weight_key(self, layer: int, expert: int, proj: str) -> str:
+        group = "gate_up_projs" if proj == "gate_up" else "down_projs"
+        return f"model.layers.{layer}.mlp.experts.{group}.{expert}.weight"
+
+    def read_expert_quantized(
+        self, layer: int, expert: int, proj: str, out_features: int, in_features: int
+    ) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
+        """Read one expert projection WITHOUT dequantizing the weight.
+
+        Returns ``(qdata [out, in//2] low_first, scales f32 flat, blocksize)``
+        or None if the expert is absent (the converter zero-fills, mirroring
+        the reference's fallback at ``streaming_unsloth_bnb.py:261-264``).
+        The weight bits pass through untouched — conversion is lossless.
+        """
+        wkey = self.expert_weight_key(layer, expert, proj)
+        if wkey not in self._key_to_path:
+            return None
+        qweight = self.read(wkey).reshape(-1)
+        if qweight.dtype != np.uint8:
+            # dense (unquantized) expert: quantize it ourselves
+            dense = qweight.astype(np.float32).reshape(out_features, in_features)
+            packed, absmax = nf4_quantize(dense, blocksize=64)
+            return packed.reshape(out_features, in_features // 2), absmax, 64
+
+        total = out_features * in_features
+        if qweight.size * 2 != total:
+            raise ValueError(
+                f"{wkey}: packed size {qweight.size} bytes != {total} 4-bit values"
+            )
+        absmax = self._read_absmax(wkey, total)
+        blocksize = infer_blocksize(total, absmax.size)
+        if self.nibble_order == "high_first":
+            qweight = _swap_nibbles(qweight)
+        return qweight.reshape(out_features, in_features // 2), absmax, blocksize
+
+    def _read_absmax(self, wkey: str, total_params: int) -> np.ndarray:
+        absmax_data = (
+            self.read(wkey + ".absmax") if wkey + ".absmax" in self._key_to_path else None
+        )
+        if absmax_data is None:
+            return np.ones(total_params // 64, dtype=np.float32)
+        if wkey + ".nested_absmax" in self._key_to_path:
+            nested_absmax = self.read(wkey + ".nested_absmax").astype(np.float32)
+            nested_code = self.read(wkey + ".nested_quant_map").astype(np.float32)
+            offset = 0.0
+            if wkey + ".offset" in self._key_to_path:
+                offset = float(self.read(wkey + ".offset").reshape(-1)[0])
+            return dequantize_absmax_double(
+                absmax_data.astype(np.uint8), nested_absmax, nested_code, offset=offset
+            )
+        return absmax_data.astype(np.float32)
+
+    def read_expert_dense(
+        self, layer: int, expert: int, proj: str, out_features: int, in_features: int
+    ) -> Optional[np.ndarray]:
+        """Full dequant of one expert (validation path — the reference's
+        ``dequant_unsloth_expert_cpu`` contract)."""
+        q = self.read_expert_quantized(layer, expert, proj, out_features, in_features)
+        if q is None:
+            return None
+        qdata, absmax, blocksize = q
+        code = NF4_CODE
+        wkey = self.expert_weight_key(layer, expert, proj)
+        if wkey + ".quant_map" in self._key_to_path:
+            code = self.read(wkey + ".quant_map").astype(np.float32).reshape(-1)
+        from gpt_oss_vllm_tpu.quant.nf4 import nf4_dequantize
+
+        return nf4_dequantize(
+            qdata.reshape(-1), absmax, (out_features, in_features), blocksize, code=code
+        )
+
+    def read_expert_bias(self, layer: int, expert: int, proj: str) -> Optional[np.ndarray]:
+        group = "gate_up_projs" if proj == "gate_up" else "down_projs"
+        key = f"model.layers.{layer}.mlp.experts.{group}.{expert}.bias"
+        if key in self._key_to_path:
+            return self.read(key).astype(np.float32)
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Synthetic checkpoint writer (test / bench substitute for the HF download)
+# ---------------------------------------------------------------------------
+
+
+def write_synthetic_unsloth_checkpoint(
+    out_dir: str,
+    cfg: ModelConfig,
+    seed: int = 0,
+    num_files: int = 2,
+    nibble_order: str = "low_first",
+    use_offset: bool = False,
+    weight_scale: float = 0.02,
+    drop_experts: Tuple[Tuple[int, int, str], ...] = (),
+) -> List[str]:
+    """Emit a random-weight checkpoint in the exact Unsloth NF4 schema.
+
+    ``drop_experts`` removes (layer, expert, proj) entries to exercise the
+    zero-fill fallback. Non-MoE tensors are fp16, experts are double-quantized
+    NF4 like the real ``unsloth/gpt-oss-20b-unsloth-bnb-4bit`` artifact.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    H, FF, E = cfg.hidden_size, cfg.intermediate_size, cfg.num_experts
+    files: List[Dict[str, np.ndarray]] = [dict() for _ in range(num_files)]
+
+    def put(key: str, arr: np.ndarray, fidx: int):
+        files[fidx % num_files][key] = arr
+
+    def emit_quantized(key: str, shape, fidx: int):
+        w = rng.normal(0, weight_scale, size=shape).astype(np.float32)
+        packed, absmax = nf4_quantize(w, blocksize=64, order=nibble_order)
+        dq = quantize_absmax_double(absmax, use_offset=use_offset)
+        put(key, packed.reshape(-1, 1), fidx)
+        put(key + ".absmax", dq.qabsmax, fidx)
+        put(key + ".nested_absmax", dq.nested_absmax, fidx)
+        put(key + ".nested_quant_map", dq.code, fidx)
+        put(key + ".quant_map", NF4_CODE.copy(), fidx)
+        if use_offset:
+            put(key + ".offset", np.array([dq.offset], dtype=np.float32), fidx)
+
+    def emit_fp16(key: str, shape, fidx: int, scale=0.02):
+        put(key, rng.normal(0, scale, size=shape).astype(np.float16), fidx)
+
+    emit_fp16("model.embed_tokens.weight", (cfg.vocab_size, H), 0)
+    for L in range(cfg.num_layers):
+        fidx = L  # spread layers across files
+        p = f"model.layers.{L}"
+        emit_fp16(f"{p}.self_attn.q_proj.weight", (cfg.q_size, H), fidx)
+        emit_fp16(f"{p}.self_attn.k_proj.weight", (cfg.kv_size, H), fidx)
+        emit_fp16(f"{p}.self_attn.v_proj.weight", (cfg.kv_size, H), fidx)
+        emit_fp16(f"{p}.self_attn.o_proj.weight", (H, cfg.q_size), fidx)
+        if cfg.attention_bias:
+            emit_fp16(f"{p}.self_attn.q_proj.bias", (cfg.q_size,), fidx)
+            emit_fp16(f"{p}.self_attn.k_proj.bias", (cfg.kv_size,), fidx)
+            emit_fp16(f"{p}.self_attn.v_proj.bias", (cfg.kv_size,), fidx)
+            emit_fp16(f"{p}.self_attn.o_proj.bias", (H,), fidx)
+        if cfg.use_sinks:
+            emit_fp16(f"{p}.self_attn.sinks", (cfg.num_heads,), fidx, scale=1.0)
+        emit_fp16(f"{p}.input_layernorm.weight", (H,), fidx, scale=1.0)
+        emit_fp16(f"{p}.post_attention_layernorm.weight", (H,), fidx, scale=1.0)
+        emit_fp16(f"{p}.mlp.router.weight", (E, H), fidx)
+        if cfg.router_bias:
+            emit_fp16(f"{p}.mlp.router.bias", (E,), fidx)
+        for e in range(E):
+            if (L, e, "gate_up") not in drop_experts:
+                emit_quantized(
+                    f"{p}.mlp.experts.gate_up_projs.{e}.weight", (2 * FF, H), fidx
+                )
+                if cfg.expert_bias:
+                    emit_fp16(f"{p}.mlp.experts.gate_up_projs.{e}.bias", (2 * FF,), fidx)
+            if (L, e, "down") not in drop_experts:
+                emit_quantized(f"{p}.mlp.experts.down_projs.{e}.weight", (H, FF), fidx)
+                if cfg.expert_bias:
+                    emit_fp16(f"{p}.mlp.experts.down_projs.{e}.bias", (H,), fidx)
+    emit_fp16("model.norm.weight", (H,), num_files - 1, scale=1.0)
+    if not cfg.tie_word_embeddings:
+        emit_fp16("lm_head.weight", (cfg.vocab_size, H), num_files - 1)
+
+    paths = []
+    for i, tensors in enumerate(files):
+        path = os.path.join(out_dir, f"model-{i + 1:05d}-of-{num_files:05d}.safetensors")
+        save_file(tensors, path)
+        paths.append(path)
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(
+            {
+                "model_type": "gpt_oss",
+                "hidden_size": H,
+                "intermediate_size": FF,
+                "num_hidden_layers": cfg.num_layers,
+                "num_local_experts": E,
+                "num_experts_per_tok": cfg.experts_per_token,
+                "num_attention_heads": cfg.num_heads,
+                "num_key_value_heads": cfg.num_kv_heads,
+                "head_dim": cfg.head_dim,
+                "vocab_size": cfg.vocab_size,
+                "sliding_window": cfg.sliding_window,
+                "rope_theta": cfg.rope_theta,
+            },
+            f,
+            indent=1,
+        )
+    return paths
