@@ -13,10 +13,11 @@ Native tensor naming (see ``models.params`` for the load side)::
 
     embedding                     [V, H]        bf16
     layers.{L}.attn_norm          [H]           f32
-    layers.{L}.wqkv               [Dq+2Dkv, H]  bf16 (q/k/v fused at convert
-                                  time — the reference does this shard mapping
-                                  at load, ``patch_8_unsloth_loader.py:101-110``)
-    layers.{L}.bqkv               [Dq+2Dkv]     f32
+    layers.{L}.wq / wk / wv       [Dq|Dkv, H]   bf16 (kept separate so TP
+                                  sharding stays head-aligned; the reference
+                                  instead fuses q/k/v at load,
+                                  ``patch_8_unsloth_loader.py:101-110``)
+    layers.{L}.bq / bk / bv       [Dq|Dkv]      f32
     layers.{L}.wo / bo            [H, Dq] / [H]
     layers.{L}.sinks              [n_heads]     f32
     layers.{L}.mlp_norm           [H]           f32
@@ -70,15 +71,13 @@ def convert_unsloth_to_native(
         w.add("embedding", _bf16(reader.read("model.embed_tokens.weight")))
         for L in range(cfg.num_layers):
             p = f"model.layers.{L}"
-            q = reader.read(f"{p}.self_attn.q_proj.weight").astype(np.float32)
-            k = reader.read(f"{p}.self_attn.k_proj.weight").astype(np.float32)
-            v = reader.read(f"{p}.self_attn.v_proj.weight").astype(np.float32)
-            w.add(f"layers.{L}.wqkv", _bf16(np.concatenate([q, k, v], axis=0)))
-            if f"{p}.self_attn.q_proj.bias" in reader:
-                bq = reader.read(f"{p}.self_attn.q_proj.bias").astype(np.float32)
-                bk = reader.read(f"{p}.self_attn.k_proj.bias").astype(np.float32)
-                bv = reader.read(f"{p}.self_attn.v_proj.bias").astype(np.float32)
-                w.add(f"layers.{L}.bqkv", np.concatenate([bq, bk, bv]))
+            for short, proj in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj")):
+                w.add(f"layers.{L}.w{short}", _bf16(reader.read(f"{p}.self_attn.{proj}.weight")))
+                if f"{p}.self_attn.{proj}.bias" in reader:
+                    w.add(
+                        f"layers.{L}.b{short}",
+                        reader.read(f"{p}.self_attn.{proj}.bias").astype(np.float32),
+                    )
             w.add(f"layers.{L}.wo", _bf16(reader.read(f"{p}.self_attn.o_proj.weight")))
             if f"{p}.self_attn.o_proj.bias" in reader:
                 w.add(f"layers.{L}.bo", reader.read(f"{p}.self_attn.o_proj.bias").astype(np.float32))

@@ -69,7 +69,7 @@ def validate_native_checkpoint(store: TensorStore, cfg: ModelConfig, verbose: bo
         # full-precision partition: router/attention stay unquantized
         if f"layers.{li}.router_w" in store:
             check(store.manifest[f"layers.{li}.router_w"]["dtype"] == "float32", f"router dtype layer {li}")
-            check(store.manifest[f"layers.{li}.wqkv"]["dtype"] == "bfloat16", f"wqkv dtype layer {li}")
+            check(store.manifest[f"layers.{li}.wq"]["dtype"] == "bfloat16", f"wq dtype layer {li}")
         else:
             report["errors"].append(f"missing tensor: layers.{li}.router_w")
 

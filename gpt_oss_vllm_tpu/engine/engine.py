@@ -1,0 +1,277 @@
+"""Continuous-batching inference engine.
+
+The TPU-native reimagining of the vLLM v1 engine stack the reference patches
+into (SURVEY.md §3.2, §7 "architecture stance"): no multi-process engine
+core, no IPC handshake — one controller per host driving two jitted
+programs (prefill over length buckets, fixed-width batched decode) over a
+donated paged KV cache. Scheduling: admit waiting requests into free decode
+slots via prefill (one per step, chunk-bounded), then decode every running
+slot each step.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpt_oss_vllm_tpu.config import EngineConfig
+from gpt_oss_vllm_tpu.engine.kv_cache import BlockAllocator, KVCache
+from gpt_oss_vllm_tpu.engine.request import Request, RequestState, SamplingParams
+from gpt_oss_vllm_tpu.engine.step import model_step
+from gpt_oss_vllm_tpu.models.params import ModelParams
+from gpt_oss_vllm_tpu.ops.sampling import sample_tokens
+
+
+@dataclass
+class StepOutput:
+    request_id: str
+    token_id: int
+    finished: bool
+    finish_reason: Optional[str] = None
+
+
+def _next_bucket(n: int, lo: int = 16) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class InferenceEngine:
+    def __init__(self, config: EngineConfig, params: ModelParams, attn_backend: str = "xla"):
+        self.config = config
+        self.params = params
+        cfg, cc, sc = config.model, config.cache, config.scheduler
+        self.cache = KVCache.create(cfg, cc)
+        self.allocator = BlockAllocator(cc.num_blocks)
+        self.block_size = cc.block_size
+        self.max_blocks = cc.max_blocks_per_seq
+        self.num_slots = sc.max_num_seqs
+        self.slots: List[Optional[Request]] = [None] * self.num_slots
+        self.waiting: deque[Request] = deque()
+        self.requests: Dict[str, Request] = {}
+        # host mirrors of device-side per-slot state
+        self.block_tables = np.full((self.num_slots, self.max_blocks), -1, dtype=np.int32)
+        self.seq_lens = np.zeros(self.num_slots, dtype=np.int32)
+        self.last_token = np.zeros(self.num_slots, dtype=np.int32)
+        self._key = jax.random.PRNGKey(config.seed)
+        self._step_counter = 0
+        self.metrics = {"prefill_tokens": 0, "decode_tokens": 0, "steps": 0}
+
+        moe = "auto"
+        self._prefill = jax.jit(
+            partial(model_step, cfg=cfg, moe_strategy=moe, attn_backend=attn_backend),
+            static_argnames=(),
+            donate_argnames=("cache",),
+        )
+        self._decode = jax.jit(
+            partial(model_step, cfg=cfg, moe_strategy=moe, attn_backend=attn_backend),
+            donate_argnames=("cache",),
+        )
+        self._sample = jax.jit(sample_tokens)
+
+    # -- public API --------------------------------------------------------
+
+    def add_request(
+        self, request_id: str, prompt_token_ids: List[int], sampling: SamplingParams
+    ) -> Request:
+        if len(prompt_token_ids) == 0:
+            raise ValueError("empty prompt")
+        if len(prompt_token_ids) >= self.config.scheduler.max_model_len:
+            raise ValueError(
+                f"prompt length {len(prompt_token_ids)} >= max_model_len "
+                f"{self.config.scheduler.max_model_len}"
+            )
+        req = Request(request_id=request_id, prompt_token_ids=list(prompt_token_ids), sampling=sampling)
+        self.requests[request_id] = req
+        self.waiting.append(req)
+        return req
+
+    def abort_request(self, request_id: str) -> None:
+        req = self.requests.get(request_id)
+        if req is None:
+            return
+        if req.state == RequestState.WAITING:
+            self.waiting.remove(req)
+        self._release(req, "abort")
+        req.state = RequestState.ABORTED
+
+    def has_work(self) -> bool:
+        return bool(self.waiting) or any(s is not None for s in self.slots)
+
+    def num_running(self) -> int:
+        return sum(s is not None for s in self.slots)
+
+    # -- scheduling --------------------------------------------------------
+
+    def _free_slot(self) -> Optional[int]:
+        for i, s in enumerate(self.slots):
+            if s is None:
+                return i
+        return None
+
+    def _blocks_for(self, num_tokens: int) -> int:
+        return -(-num_tokens // self.block_size)
+
+    def _release(self, req: Request, reason: Optional[str]) -> None:
+        if req.slot is not None:
+            self.slots[req.slot] = None
+            self.block_tables[req.slot] = -1
+            self.seq_lens[req.slot] = 0
+            req.slot = None
+        if req.blocks:
+            self.allocator.free(req.blocks)
+            req.blocks = []
+        if reason is not None and req.state != RequestState.ABORTED:
+            req.state = RequestState.FINISHED
+            req.finish_reason = reason
+            req.finish_time = time.time()
+
+    def _admit_one(self) -> List[StepOutput]:
+        """Prefill the next waiting request into a free slot."""
+        req = self.waiting[0]
+        slot = self._free_slot()
+        n_prompt = req.num_prompt_tokens
+        # room for the prompt plus at least one generated token
+        need = self._blocks_for(n_prompt + 1)
+        if slot is None or not self.allocator.can_allocate(need):
+            return []
+        self.waiting.popleft()
+        req.slot = slot
+        req.state = RequestState.RUNNING
+        req.blocks = self.allocator.allocate(need)
+        self.slots[slot] = req
+
+        bt = np.full((1, self.max_blocks), -1, dtype=np.int32)
+        bt[0, : len(req.blocks)] = req.blocks
+        bucket = _next_bucket(n_prompt)
+        tokens = np.zeros((1, bucket), dtype=np.int32)
+        tokens[0, :n_prompt] = req.prompt_token_ids
+        positions = np.full((1, bucket), -1, dtype=np.int32)
+        positions[0, :n_prompt] = np.arange(n_prompt)
+        out = self._prefill(
+            self.params,
+            cache=self.cache,
+            tokens=jnp.asarray(tokens),
+            positions=jnp.asarray(positions),
+            block_tables=jnp.asarray(bt),
+            last_idx=jnp.asarray([n_prompt - 1], dtype=jnp.int32),
+        )
+        self.cache = out.cache
+        self.metrics["prefill_tokens"] += n_prompt
+        token = self._sample_row(out.logits, [req])[0]
+        req.first_token_time = time.time()
+        self.block_tables[slot] = bt[0]
+        self.seq_lens[slot] = n_prompt + 1
+        self.last_token[slot] = token
+        return [self._append_token(req, int(token))]
+
+    def _sample_row(self, logits: jax.Array, reqs: List[Request]) -> np.ndarray:
+        B = logits.shape[0]
+        temp = np.array([r.sampling.temperature for r in reqs], dtype=np.float32)
+        top_p = np.array([r.sampling.top_p for r in reqs], dtype=np.float32)
+        top_k = np.array([r.sampling.top_k for r in reqs], dtype=np.int32)
+        self._key, sub = jax.random.split(self._key)
+        toks = self._sample(logits, sub, jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(top_k))
+        return np.asarray(toks)
+
+    def _append_token(self, req: Request, token: int) -> StepOutput:
+        req.output_token_ids.append(token)
+        reason = None
+        if token in req.sampling.stop_token_ids:
+            reason = "stop"
+        elif len(req.output_token_ids) >= req.sampling.max_tokens:
+            reason = "length"
+        elif req.num_tokens >= self.config.scheduler.max_model_len:
+            reason = "length"
+        if reason is not None:
+            self._release(req, reason)
+            return StepOutput(req.request_id, token, True, reason)
+        return StepOutput(req.request_id, token, False)
+
+    def _grow_blocks(self, req: Request) -> bool:
+        """Ensure block capacity for one more token."""
+        need = self._blocks_for(self.seq_lens[req.slot] + 1)
+        while len(req.blocks) < need:
+            if not self.allocator.can_allocate(1):
+                return False
+            b = self.allocator.allocate(1)
+            self.block_tables[req.slot, len(req.blocks)] = b[0]
+            req.blocks.extend(b)
+        return True
+
+    def _decode_all(self) -> List[StepOutput]:
+        running = [(i, r) for i, r in enumerate(self.slots) if r is not None]
+        if not running:
+            return []
+        for _, req in running:
+            if not self._grow_blocks(req):
+                # out of KV blocks: finish the youngest request to relieve pressure
+                victim = max(running, key=lambda t: t[1].arrival_time)[1]
+                self._release(victim, "kv_cache_exhausted")
+                running = [(i, r) for i, r in enumerate(self.slots) if r is not None]
+                if not running:
+                    return []
+        B = self.num_slots
+        tokens = np.zeros((B, 1), dtype=np.int32)
+        positions = np.full((B, 1), -1, dtype=np.int32)
+        for i, req in running:
+            tokens[i, 0] = self.last_token[i]
+            positions[i, 0] = self.seq_lens[i] - 1  # position of the new token
+        out = self._decode(
+            self.params,
+            cache=self.cache,
+            tokens=jnp.asarray(tokens),
+            positions=jnp.asarray(positions),
+            block_tables=jnp.asarray(self.block_tables),
+            last_idx=jnp.zeros(B, dtype=jnp.int32),
+        )
+        self.cache = out.cache
+        reqs = [r for _, r in running]
+        rows = [i for i, _ in running]
+        sampled = self._sample_row(out.logits[np.array(rows)], reqs)
+        outputs = []
+        for (i, req), tok in zip(running, sampled):
+            self.metrics["decode_tokens"] += 1
+            slot = req.slot
+            step_out = self._append_token(req, int(tok))
+            if not step_out.finished:
+                self.seq_lens[slot] += 1
+                self.last_token[slot] = tok
+            outputs.append(step_out)
+        return outputs
+
+    def step(self) -> List[StepOutput]:
+        """One engine iteration: admit (prefill) then decode all running."""
+        outputs: List[StepOutput] = []
+        self.metrics["steps"] += 1
+        if self.waiting:
+            outputs.extend(self._admit_one())
+        outputs.extend(self._decode_all())
+        self._step_counter += 1
+        return outputs
+
+    # -- convenience -------------------------------------------------------
+
+    def generate(
+        self, prompts: List[List[int]], sampling: SamplingParams
+    ) -> List[List[int]]:
+        """Blocking batch generation (the in-process ``vllm.LLM`` analog,
+        reference ``smoke_test.py:30-82``)."""
+        base = self._step_counter
+        ids = [f"gen-{base}-{i}" for i in range(len(prompts))]
+        for rid, p in zip(ids, prompts):
+            self.add_request(rid, p, sampling)
+        pending = set(ids)
+        while self.has_work() and pending:
+            for out in self.step():
+                if out.finished and out.request_id in pending:
+                    pending.discard(out.request_id)
+        return [self.requests[rid].output_token_ids for rid in ids]

@@ -1,0 +1,125 @@
+"""Cache-aware jitted step functions: one program for prefill chunks and
+batched decode.
+
+A single ``model_step`` covers both phases (T=chunk for prefill, T=1 for
+decode): compute chunk K/V -> scatter into the paged cache -> attend against
+the *gathered logical context* with causal + sliding-window + sink masking.
+Because gathered pages are laid out in logical position order, positions
+beyond the sequence length are masked by causality alone and cache garbage
+can never leak — this is what makes chunked prefill and decode the same
+program.
+
+Logits are computed only at each row's last valid position (for GPT-OSS-20B a
+full-chunk logit tensor would be T x 201k floats — never materialized).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gpt_oss_vllm_tpu.config import EngineConfig, ModelConfig
+from gpt_oss_vllm_tpu.engine.kv_cache import KVCache, gather_kv, slot_mapping, write_kv
+from gpt_oss_vllm_tpu.models.gpt_oss import rms_norm
+from gpt_oss_vllm_tpu.models.params import LayerParams, ModelParams
+from gpt_oss_vllm_tpu.ops.attention import mha_reference
+from gpt_oss_vllm_tpu.ops.linear import dense_linear
+from gpt_oss_vllm_tpu.ops.moe import moe_block
+from gpt_oss_vllm_tpu.ops.rope import apply_rope, yarn_rope_tables
+
+
+class StepOut(NamedTuple):
+    logits: jax.Array  # [B, V] f32 at each row's last valid position
+    cache: KVCache
+
+
+def _cached_attention(
+    p: LayerParams,
+    cfg: ModelConfig,
+    layer_idx: int,
+    x: jax.Array,  # [B, T, H]
+    positions: jax.Array,  # [B, T] int32, -1 = pad
+    cache: KVCache,
+    block_tables: jax.Array,  # [B, MB]
+    backend: str,
+) -> Tuple[jax.Array, KVCache]:
+    B, T, H = x.shape
+    q = dense_linear(x, p.wq, p.bq).reshape(B, T, cfg.num_heads, cfg.head_dim)
+    k = dense_linear(x, p.wk, p.bk).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    v = dense_linear(x, p.wv, p.bv).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    safe_pos = jnp.maximum(positions, 0)
+    cos, sin = yarn_rope_tables(cfg, safe_pos)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    slots = slot_mapping(block_tables, positions, cache.block_size)
+    cache = write_kv(cache, layer_idx, k, v, slots)
+
+    window = cfg.sliding_window if cfg.layer_uses_sliding_window(layer_idx) else None
+    sinks = p.sinks if cfg.use_sinks else None
+
+    if backend == "pallas":
+        from gpt_oss_vllm_tpu.ops.paged_attention import paged_attention
+
+        out = paged_attention(
+            q, cache, layer_idx, block_tables, positions, sinks, window
+        )
+    else:
+        k_ctx, v_ctx = gather_kv(cache, layer_idx, block_tables)  # [B, S, KV, D]
+        S = k_ctx.shape[1]
+        k_pos = jnp.arange(S, dtype=jnp.int32)[None, :]  # logical order
+        q_pos = positions[:, :, None]
+        mask = (k_pos[:, None, :] <= q_pos) & (q_pos >= 0)
+        if window is not None and window > 0:
+            mask = mask & (q_pos - k_pos[:, None, :] < window)
+        out = mha_reference(q, k_ctx, v_ctx, sinks, mask)
+    out = out.reshape(B, T, cfg.q_size)
+    return dense_linear(out, p.wo, p.bo), cache
+
+
+def model_step(
+    params: ModelParams,
+    cfg: ModelConfig,
+    cache: KVCache,
+    tokens: jax.Array,  # [B, T] int32 (0 on pads)
+    positions: jax.Array,  # [B, T] int32, -1 = pad
+    block_tables: jax.Array,  # [B, MB] int32, -1 = unallocated
+    last_idx: jax.Array,  # [B] int32 index of last valid position per row
+    moe_strategy: str = "auto",
+    attn_backend: str = "xla",
+) -> StepOut:
+    B, T = tokens.shape
+    x = jnp.take(params.embedding, jnp.maximum(tokens, 0), axis=0)
+    for li, layer in enumerate(params.layers):
+        attn_out, cache = _cached_attention(
+            layer,
+            cfg,
+            li,
+            rms_norm(x, layer.attn_norm, cfg.rms_norm_eps),
+            positions,
+            cache,
+            block_tables,
+            attn_backend,
+        )
+        x = x + attn_out
+        flat = rms_norm(x, layer.mlp_norm, cfg.rms_norm_eps).reshape(B * T, -1)
+        moe = moe_block(
+            flat,
+            layer.router_w,
+            layer.router_b,
+            layer.w_gate_up,
+            layer.b_gate_up,
+            layer.w_down,
+            layer.b_down,
+            cfg,
+            strategy=moe_strategy,
+        )
+        x = x + moe.reshape(B, T, -1)
+    x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
+    # only the last valid position's hidden state reaches the LM head
+    h_last = jnp.take_along_axis(x, last_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    head = params.embedding if params.lm_head is None else params.lm_head
+    logits = dense_linear(h_last, head).astype(jnp.float32)
+    return StepOut(logits=logits, cache=cache)

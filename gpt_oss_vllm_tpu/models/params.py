@@ -1,0 +1,204 @@
+"""Model parameter pytrees + loaders.
+
+All weights use the (out, in) row-major convention — checkpoint-native, so
+loading never transposes. Expert projections are either :class:`NF4Tensor`
+(packed 4-bit, the serving path) or dense bf16 (the training / parity path).
+The quantization partition follows the reference contract
+(``gpt_oss_moe_architecture.md:12-26``): only expert projections quantize;
+router (f32 — fixing the reference's dtype blocker, ``STATUS.md:6``),
+attention, embeddings, and lm_head stay full precision.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpt_oss_vllm_tpu.config import ModelConfig, QuantConfig
+from gpt_oss_vllm_tpu.checkpoint.store import TensorStore
+from gpt_oss_vllm_tpu.quant.tensor import NF4Tensor, nf4_tensor_from_dense
+
+ExpertWeight = Union[NF4Tensor, jax.Array]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "attn_norm", "wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo", "sinks",
+        "mlp_norm", "router_w", "router_b",
+        "w_gate_up", "b_gate_up", "w_down", "b_down",
+    ],
+    meta_fields=[],
+)
+@dataclass
+class LayerParams:
+    # q/k/v kept separate (not fused) so tensor-parallel sharding stays
+    # head-aligned under GSPMD; decode is memory-bound so gemm count is moot
+    attn_norm: jax.Array  # [H]
+    wq: jax.Array  # [Dq, H]
+    bq: Optional[jax.Array]  # [Dq]
+    wk: jax.Array  # [Dkv, H]
+    bk: Optional[jax.Array]
+    wv: jax.Array  # [Dkv, H]
+    bv: Optional[jax.Array]
+    wo: jax.Array  # [H, Dq]
+    bo: Optional[jax.Array]  # [H]
+    sinks: Optional[jax.Array]  # [n_heads] f32
+    mlp_norm: jax.Array  # [H]
+    router_w: jax.Array  # [E, H] f32
+    router_b: Optional[jax.Array]  # [E]
+    w_gate_up: ExpertWeight  # [E, 2FF, H]
+    b_gate_up: Optional[jax.Array]  # [E, 2FF]
+    w_down: ExpertWeight  # [E, H, FF]
+    b_down: Optional[jax.Array]  # [E, H]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["embedding", "layers", "final_norm", "lm_head"],
+    meta_fields=[],
+)
+@dataclass
+class ModelParams:
+    embedding: jax.Array  # [V, H]
+    layers: List[LayerParams]
+    final_norm: jax.Array  # [H]
+    lm_head: Optional[jax.Array]  # [V, H]; None => tied to embedding
+
+    def num_params(self) -> int:
+        total = 0
+        for leaf in jax.tree_util.tree_leaves(self):
+            if leaf.dtype == jnp.uint8:
+                total += leaf.size * 2  # packed 4-bit
+            else:
+                total += leaf.size
+        return total
+
+
+def _get(store: TensorStore, name: str, dtype=None):
+    if name not in store:
+        return None
+    arr = np.asarray(store.read(name))
+    x = jnp.asarray(arr)
+    return x.astype(dtype) if dtype is not None else x
+
+
+def load_params_from_store(
+    store: TensorStore, cfg: ModelConfig, quant: QuantConfig
+) -> ModelParams:
+    """Materialize the param pytree from a native converted checkpoint.
+
+    With ``quant.method == "nf4"`` the packed bits go straight to the device
+    (no dequant); with ``"none"`` experts are dequantized to dense bf16 at
+    load (correctness/parity path).
+    """
+    dt = jnp.dtype(cfg.dtype)
+    H, FF = cfg.hidden_size, cfg.intermediate_size
+
+    def load_expert(li: int, proj: str, out_f: int, in_f: int) -> ExpertWeight:
+        qdata = store.read(f"layers.{li}.moe.{proj}.qdata")
+        scales = store.read(f"layers.{li}.moe.{proj}.scales")
+        t = NF4Tensor(
+            qdata=jnp.asarray(qdata),
+            scales=jnp.asarray(np.asarray(scales, dtype=np.float32)),
+            out_features=out_f,
+            in_features=in_f,
+            blocksize=store.metadata.get("quant", {}).get("blocksize", 64),
+        )
+        if quant.enabled:
+            return t
+        return t.dequantize(dtype=dt)
+
+    layers = []
+    for li in range(cfg.num_layers):
+        p = f"layers.{li}"
+        layers.append(
+            LayerParams(
+                attn_norm=_get(store, f"{p}.attn_norm", jnp.float32),
+                wq=_get(store, f"{p}.wq", dt),
+                bq=_get(store, f"{p}.bq", jnp.float32),
+                wk=_get(store, f"{p}.wk", dt),
+                bk=_get(store, f"{p}.bk", jnp.float32),
+                wv=_get(store, f"{p}.wv", dt),
+                bv=_get(store, f"{p}.bv", jnp.float32),
+                wo=_get(store, f"{p}.wo", dt),
+                bo=_get(store, f"{p}.bo", jnp.float32),
+                sinks=_get(store, f"{p}.sinks", jnp.float32),
+                mlp_norm=_get(store, f"{p}.mlp_norm", jnp.float32),
+                router_w=_get(store, f"{p}.router_w", jnp.float32),
+                router_b=_get(store, f"{p}.router_b", jnp.float32),
+                w_gate_up=load_expert(li, "gate_up", 2 * FF, H),
+                b_gate_up=_reshape_bias(_get(store, f"{p}.moe.gate_up.bias", jnp.float32)),
+                w_down=load_expert(li, "down", H, FF),
+                b_down=_reshape_bias(_get(store, f"{p}.moe.down.bias", jnp.float32)),
+            )
+        )
+    return ModelParams(
+        embedding=_get(store, "embedding", dt),
+        layers=layers,
+        final_norm=_get(store, "final_norm", jnp.float32),
+        lm_head=_get(store, "lm_head", dt),
+    )
+
+
+def _reshape_bias(b):
+    return b
+
+
+def random_params(
+    cfg: ModelConfig,
+    quant: QuantConfig,
+    seed: int = 0,
+    scale: float = 0.02,
+) -> ModelParams:
+    """Random-init params in the exact serving layout (packed NF4 experts when
+    quantized). Weight *values* are irrelevant to throughput, so this is what
+    the benchmarks use when no converted checkpoint is on disk."""
+    rng = np.random.default_rng(seed)
+    dt = jnp.dtype(cfg.dtype)
+    H, FF, E = cfg.hidden_size, cfg.intermediate_size, cfg.num_experts
+
+    def dense(*shape, dtype=dt, s=scale):
+        return jnp.asarray(rng.normal(0, s, size=shape).astype(np.float32), dtype=dtype)
+
+    def expert(out_f, in_f) -> ExpertWeight:
+        w = rng.normal(0, scale, size=(E, out_f, in_f)).astype(np.float32)
+        if quant.enabled:
+            return nf4_tensor_from_dense(w, blocksize=quant.blocksize)
+        return jnp.asarray(w, dtype=dt)
+
+    layers = []
+    for li in range(cfg.num_layers):
+        bias = cfg.attention_bias
+        layers.append(
+            LayerParams(
+                attn_norm=jnp.ones((H,), jnp.float32),
+                wq=dense(cfg.q_size, H),
+                bq=dense(cfg.q_size, dtype=jnp.float32) if bias else None,
+                wk=dense(cfg.kv_size, H),
+                bk=dense(cfg.kv_size, dtype=jnp.float32) if bias else None,
+                wv=dense(cfg.kv_size, H),
+                bv=dense(cfg.kv_size, dtype=jnp.float32) if bias else None,
+                wo=dense(H, cfg.q_size),
+                bo=dense(H, dtype=jnp.float32) if cfg.attention_bias else None,
+                sinks=dense(cfg.num_heads, dtype=jnp.float32, s=1.0) if cfg.use_sinks else None,
+                mlp_norm=jnp.ones((H,), jnp.float32),
+                router_w=dense(E, H, dtype=jnp.float32),
+                router_b=dense(E, dtype=jnp.float32) if cfg.router_bias else None,
+                w_gate_up=expert(2 * FF, H),
+                b_gate_up=dense(E, 2 * FF, dtype=jnp.float32) if cfg.expert_bias else None,
+                w_down=expert(H, FF),
+                b_down=dense(E, H, dtype=jnp.float32) if cfg.expert_bias else None,
+            )
+        )
+    return ModelParams(
+        embedding=dense(cfg.vocab_size, H),
+        layers=layers,
+        final_norm=jnp.ones((H,), jnp.float32),
+        lm_head=None if cfg.tie_word_embeddings else dense(cfg.vocab_size, H),
+    )

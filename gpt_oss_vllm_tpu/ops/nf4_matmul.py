@@ -1,0 +1,161 @@
+"""Fused NF4-dequant matmul Pallas kernel.
+
+TPU-native replacement for the bitsandbytes CUDA ``Linear4bit`` kernels the
+reference leans on (SURVEY.md §2.3 row 3): packed INT4 + per-block scales
+stay in HBM, dequantization happens in VMEM registers inside the matmul —
+HBM traffic is ~K*N/2 bytes instead of 2*K*N, which is the whole game for
+memory-bound decode.
+
+Layout trick: bytes hold (even, odd) element pairs of each row
+(low-nibble-first, the format contract from ``quant.tensor``). Rather than
+re-interleaving nibbles in-kernel (an expensive relayout on the VPU), the
+contraction is split into even/odd subspaces:
+
+    y = x_even @ dequant(low_nibbles)^T + x_odd @ dequant(high_nibbles)^T
+
+``x`` is deinterleaved once outside the kernel (cheap, fused by XLA), and
+each scale block of 64 original columns becomes one aligned block of 32
+packed columns in both subspaces — so scales broadcast with a single
+``pltpu.repeat``. The 16-entry NF4 codebook lookup is a flat select chain on
+the VPU (no gather).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpt_oss_vllm_tpu.quant.nf4 import NF4_CODE
+from gpt_oss_vllm_tpu.quant.tensor import NF4Tensor
+
+
+def _lut_nf4(idx: jax.Array) -> jax.Array:
+    """Codebook lookup via flat selects (VPU); idx int32 in [0, 16)."""
+    out = jnp.full(idx.shape, NF4_CODE[0], dtype=jnp.float32)
+    for i in range(1, 16):
+        out = jnp.where(idx == i, jnp.float32(NF4_CODE[i]), out)
+    return out
+
+
+def _nf4_matmul_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, *, block_j: int):
+    # xe/xo: [M, Kp] ; q: [TN, Kp] u8 ; s: [TN, Kp // block_j] ; o: [M, TN]
+    q = q_ref[:]
+    low = (q & 0x0F).astype(jnp.int32)
+    high = ((q >> 4) & 0x0F).astype(jnp.int32)
+    # Expand per-block scales to per-column on the MXU: s @ B with
+    # B[b, j] = (j // block_j == b). Lane-wise repeat via reshape is an
+    # unsupported shape cast in Mosaic; this one extra small matmul is free
+    # in the memory-bound regime.
+    nb = s_ref.shape[1]
+    Kp = q.shape[1]
+    col_block = jax.lax.broadcasted_iota(jnp.int32, (nb, Kp), 1) // block_j
+    row_block = jax.lax.broadcasted_iota(jnp.int32, (nb, Kp), 0)
+    expand = (col_block == row_block).astype(jnp.float32)
+    scales = jax.lax.dot_general(
+        s_ref[:].astype(jnp.float32), expand,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # [TN, Kp]
+    we = (_lut_nf4(low) * scales).astype(xe_ref.dtype)
+    wo = (_lut_nf4(high) * scales).astype(xe_ref.dtype)
+    acc = jax.lax.dot_general(
+        xe_ref[:], we, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc += jax.lax.dot_general(
+        xo_ref[:], wo, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[:] = acc
+
+
+def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
+    n = x.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def _nf4_matmul_2d(
+    x: jax.Array,  # [M, K]
+    qdata: jax.Array,  # [N, K//2] uint8
+    scales: jax.Array,  # [N, K//64]
+    block_n: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    M, K = x.shape
+    N = qdata.shape[0]
+    Kp = K // 2
+    block_j = Kp // scales.shape[1]  # 32 for blocksize 64
+    # deinterleave x into even/odd column subspaces (fused by XLA)
+    xp = x.reshape(M, Kp, 2)
+    xe, xo = xp[:, :, 0], xp[:, :, 1]
+    xe = _pad_to(xe, 0, 16)
+    xo = _pad_to(xo, 0, 16)
+    Mp = xe.shape[0]
+    bn = min(block_n, N)
+    qdata_p = _pad_to(qdata, 0, bn)
+    scales_p = _pad_to(scales, 0, bn)
+    Np = qdata_p.shape[0]
+    grid = (Np // bn,)
+    out = pl.pallas_call(
+        functools.partial(_nf4_matmul_kernel, block_j=block_j),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Mp, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Mp, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, Kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, Kp // block_j), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * K,
+            bytes_accessed=Np * Kp + Np * (Kp // block_j) * 4 + Mp * K * 2 + Mp * Np * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xe, xo, qdata_p, scales_p)
+    return out[:M, :N]
+
+
+def nf4_matmul(
+    x: jax.Array,
+    w: NF4Tensor,
+    b: Optional[jax.Array] = None,
+    block_n: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """y = x @ W^T (+ b) with W NF4-packed; batched over leading dims of W.
+
+    x: [..., K] (or [E?, ..., K] matching W batch dims); returns f32->x.dtype.
+    Falls back to the XLA dequant path for shapes the kernel can't tile
+    (K odd / blocks straddling rows).
+    """
+    if w.in_features % 128 != 0 or w.blocksize % 2 != 0:
+        y = jax.lax.dot_general(
+            x, w.dequantize(x.dtype), (((x.ndim - 1,), (w.qdata.ndim - 1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (y + b if b is not None else y).astype(x.dtype)
+
+    if w.qdata.ndim == 2:
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, w.in_features)
+        y = _nf4_matmul_2d(x2, w.qdata, w.scales, block_n=block_n, interpret=interpret)
+        y = y.reshape(*lead, w.out_features)
+    elif w.qdata.ndim == 3 and x.ndim == 3 and x.shape[0] == w.qdata.shape[0]:
+        # batched experts: vmap over the expert dim
+        f = functools.partial(_nf4_matmul_2d, block_n=block_n, interpret=interpret)
+        y = jax.vmap(f)(x, w.qdata, w.scales)
+    else:
+        raise ValueError(f"nf4_matmul: incompatible shapes x={x.shape} w={w.shape}")
+    if b is not None:
+        y = y + b
+    return y.astype(x.dtype)

@@ -1,0 +1,90 @@
+"""GSPMD sharding specifications for params, KV cache, and activations.
+
+Layout (SURVEY.md §7 stage 6):
+
+- attention: Megatron-style — q/k/v column-parallel over 'model' (head
+  aligned because q/k/v are stored separately), o row-parallel (XLA inserts
+  the psum); KV cache sharded over kv heads.
+- MoE: experts sharded over 'expert' (leading dim of packed NF4 qdata/scales
+  shards identically), fused gate_up additionally column-parallel over
+  'model' and down row-parallel, so EP x TP compose.
+- lm_head vocab-column-parallel; embedding replicated (tables are read-
+  gathered, cheap); router replicated (f32, tiny).
+- batch/token dims of activations ride 'data'.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gpt_oss_vllm_tpu.models.params import LayerParams, ModelParams
+from gpt_oss_vllm_tpu.quant.tensor import NF4Tensor
+
+
+def layer_pspecs(l: LayerParams) -> LayerParams:
+    def opt(x, spec):
+        return spec if x is not None else None
+
+    def expert_w(w, parallel_dim: int):
+        # [E, out, in]: dim 1 sharded => column-parallel, dim 2 => row-parallel.
+        # NF4Tensor qdata [E, out, in/2] and scales [E, out, in/bs] shard with
+        # the same spec (their packed/blocked dims divide evenly).
+        spec = ["expert", None, None]
+        spec[parallel_dim] = "model"
+        if isinstance(w, NF4Tensor):
+            return NF4Tensor(
+                qdata=P(*spec), scales=P(*spec),
+                out_features=w.out_features, in_features=w.in_features, blocksize=w.blocksize,
+            )
+        return P(*spec)
+
+    return LayerParams(
+        attn_norm=P(None),
+        wq=P("model", None),
+        bq=opt(l.bq, P("model")),
+        wk=P("model", None),
+        bk=opt(l.bk, P("model")),
+        wv=P("model", None),
+        bv=opt(l.bv, P("model")),
+        wo=P(None, "model"),
+        bo=opt(l.bo, P(None)),
+        sinks=opt(l.sinks, P("model")),
+        mlp_norm=P(None),
+        router_w=P(None, None),
+        router_b=opt(l.router_b, P(None)),
+        w_gate_up=expert_w(l.w_gate_up, 1),  # [E, 2FF, H]: column-parallel on 2FF
+        b_gate_up=opt(l.b_gate_up, P("expert", "model")),
+        w_down=expert_w(l.w_down, 2),  # [E, H, FF]: row-parallel on FF
+        b_down=opt(l.b_down, P("expert", None)),
+    )
+
+
+def params_pspecs(params: ModelParams) -> ModelParams:
+    return ModelParams(
+        embedding=P(None, None),
+        layers=[layer_pspecs(l) for l in params.layers],
+        final_norm=P(None),
+        lm_head=P("model", None) if params.lm_head is not None else None,
+    )
+
+
+def cache_pspec() -> P:
+    # [L, num_blocks, block_size, n_kv, D] — kv heads over 'model'
+    return P(None, None, None, "model", None)
+
+
+def _to_sharding(mesh: Mesh, tree):
+    return jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec),
+        tree,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(params: ModelParams, mesh: Mesh) -> ModelParams:
+    """device_put the param tree with its canonical shardings."""
+    shardings = _to_sharding(mesh, params_pspecs(params))
+    return jax.device_put(params, shardings)

@@ -1,0 +1,415 @@
+"""OpenAI-compatible HTTP server (aiohttp + asyncio, single process).
+
+Replaces the reference's subprocess-spawning launcher + patched vLLM API
+server (``gpt_oss_server.py:52-70``) with a first-class asyncio app: a
+background task drives ``InferenceEngine.step()`` in a thread executor
+(continuous batching), per-request asyncio queues fan tokens out to HTTP
+responses, SSE streams emit ``data: {...}`` chunks with the ``data: [DONE]``
+terminator (the ``quick_client.py:118-145`` contract).
+
+Endpoints: GET /health, GET /v1/models, POST /v1/completions,
+POST /v1/chat/completions, GET /metrics. A real readiness endpoint replaces
+the reference's log-scraping probe (``check_server_status.py:35-53``).
+
+Run::
+
+    python -m gpt_oss_vllm_tpu.serving.api_server --tiny --port 8000
+    python -m gpt_oss_vllm_tpu.serving.api_server --checkpoint /path/native \
+        --quant nf4 --max-model-len 4096
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import logging
+import time
+import uuid
+from typing import AsyncIterator, List, Optional, Tuple
+
+from aiohttp import web
+
+from gpt_oss_vllm_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    ModelConfig,
+    QuantConfig,
+    SchedulerConfig,
+    ServingConfig,
+)
+from gpt_oss_vllm_tpu.engine.engine import InferenceEngine, StepOutput
+from gpt_oss_vllm_tpu.engine.request import SamplingParams
+from gpt_oss_vllm_tpu.serving import protocol as proto
+from gpt_oss_vllm_tpu.serving.tokenizer import IncrementalDetokenizer, Tokenizer, get_tokenizer
+
+logger = logging.getLogger("gpt_oss_vllm_tpu.server")
+
+
+class AsyncEngine:
+    """Asyncio facade over the synchronous engine: one pump task calls
+    ``step()`` in a thread executor; outputs are routed to per-request
+    queues."""
+
+    def __init__(self, engine: InferenceEngine, tokenizer: Tokenizer):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self._queues: dict[str, asyncio.Queue] = {}
+        self._pump_task: Optional[asyncio.Task] = None
+        self._ready = False
+        self.start_time = time.time()
+
+    async def start(self):
+        self._pump_task = asyncio.create_task(self._pump())
+        self._ready = True
+
+    async def stop(self):
+        if self._pump_task:
+            self._pump_task.cancel()
+            try:
+                await self._pump_task
+            except asyncio.CancelledError:
+                pass
+
+    @property
+    def ready(self) -> bool:
+        return self._ready
+
+    async def _pump(self):
+        loop = asyncio.get_running_loop()
+        while True:
+            if self.engine.has_work():
+                outputs: List[StepOutput] = await loop.run_in_executor(None, self.engine.step)
+                for out in outputs:
+                    q = self._queues.get(out.request_id)
+                    if q is not None:
+                        q.put_nowait(out)
+            else:
+                await asyncio.sleep(0.002)
+
+    async def submit(
+        self, prompt_ids: List[int], sampling: SamplingParams
+    ) -> Tuple[str, asyncio.Queue]:
+        request_id = uuid.uuid4().hex
+        q: asyncio.Queue = asyncio.Queue()
+        self._queues[request_id] = q
+        self.engine.add_request(request_id, prompt_ids, sampling)
+        return request_id, q
+
+    def finish(self, request_id: str):
+        self._queues.pop(request_id, None)
+
+    def abort(self, request_id: str):
+        self.engine.abort_request(request_id)
+        self.finish(request_id)
+
+    async def stream_tokens(
+        self, prompt_ids: List[int], sampling: SamplingParams
+    ) -> AsyncIterator[StepOutput]:
+        request_id, q = await self.submit(prompt_ids, sampling)
+        finished = False
+        try:
+            while not finished:
+                out = await q.get()
+                finished = out.finished
+                yield out
+        finally:
+            if not finished:
+                # consumer bailed (client disconnect / stop string): free the slot
+                self.engine.abort_request(request_id)
+            self.finish(request_id)
+
+
+# ---------------------------------------------------------------------------
+# HTTP handlers
+# ---------------------------------------------------------------------------
+
+
+def _sampling_from(req, tokenizer: Tokenizer, max_model_len: int) -> SamplingParams:
+    max_tokens = getattr(req, "max_tokens", None) or getattr(req, "max_completion_tokens", None) or 16
+    return SamplingParams(
+        max_tokens=min(max_tokens, max_model_len),
+        temperature=req.temperature,
+        top_p=req.top_p,
+        top_k=req.top_k,
+        stop_token_ids=tuple(tokenizer.stop_ids),
+        seed=req.seed,
+    )
+
+
+def _stop_strings(stop) -> List[str]:
+    if stop is None:
+        return []
+    return [stop] if isinstance(stop, str) else list(stop)
+
+
+class Server:
+    def __init__(self, async_engine: AsyncEngine, serving: ServingConfig, max_model_len: int):
+        self.ae = async_engine
+        self.serving = serving
+        self.max_model_len = max_model_len
+
+    # -- helpers -----------------------------------------------------------
+
+    def _encode_prompt(self, prompt) -> List[int]:
+        if isinstance(prompt, str):
+            return self.ae.tokenizer.encode(prompt)
+        if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
+            return list(prompt)
+        if isinstance(prompt, list) and prompt and isinstance(prompt[0], str):
+            return self.ae.tokenizer.encode(prompt[0])  # n=1 batch for now
+        if isinstance(prompt, list) and prompt and isinstance(prompt[0], list):
+            return list(prompt[0])
+        raise web.HTTPBadRequest(
+            text=proto.ErrorResponse.make("invalid prompt").model_dump_json(),
+            content_type="application/json",
+        )
+
+    # -- endpoints ---------------------------------------------------------
+
+    async def health(self, request: web.Request) -> web.Response:
+        if not self.ae.ready:
+            return web.json_response({"status": "starting"}, status=503)
+        return web.json_response(
+            {
+                "status": "ok",
+                "uptime_s": time.time() - self.ae.start_time,
+                "running": self.ae.engine.num_running(),
+                "waiting": len(self.ae.engine.waiting),
+            }
+        )
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        m = dict(self.ae.engine.metrics)
+        m["kv_blocks_free"] = self.ae.engine.allocator.num_free
+        m["kv_blocks_total"] = self.ae.engine.allocator.num_blocks
+        return web.json_response(m)
+
+    async def models(self, request: web.Request) -> web.Response:
+        return web.json_response(
+            proto.ModelList(data=[proto.ModelCard(id=self.serving.served_model_name)]).model_dump()
+        )
+
+    async def completions(self, request: web.Request) -> web.StreamResponse:
+        try:
+            req = proto.CompletionRequest(**await request.json())
+        except Exception as e:
+            return web.json_response(
+                proto.ErrorResponse.make(f"invalid request: {e}").model_dump(), status=400
+            )
+        prompt_ids = self._encode_prompt(req.prompt)
+        try:
+            sampling = _sampling_from(req, self.ae.tokenizer, self.max_model_len)
+            if req.stream:
+                return await self._stream_completion(request, req, prompt_ids, sampling, chat=False)
+            return await self._full_completion(req, prompt_ids, sampling, chat=False)
+        except ValueError as e:
+            return web.json_response(proto.ErrorResponse.make(str(e)).model_dump(), status=400)
+
+    async def chat_completions(self, request: web.Request) -> web.StreamResponse:
+        try:
+            req = proto.ChatCompletionRequest(**await request.json())
+        except Exception as e:
+            return web.json_response(
+                proto.ErrorResponse.make(f"invalid request: {e}").model_dump(), status=400
+            )
+        prompt_ids = self.ae.tokenizer.render_chat([m.model_dump() for m in req.messages])
+        try:
+            sampling = _sampling_from(req, self.ae.tokenizer, self.max_model_len)
+            if req.stream:
+                return await self._stream_completion(request, req, prompt_ids, sampling, chat=True)
+            return await self._full_completion(req, prompt_ids, sampling, chat=True)
+        except ValueError as e:
+            return web.json_response(proto.ErrorResponse.make(str(e)).model_dump(), status=400)
+
+    # -- generation paths --------------------------------------------------
+
+    async def _full_completion(self, req, prompt_ids, sampling, chat: bool) -> web.Response:
+        detok = IncrementalDetokenizer(self.ae.tokenizer)
+        stops = _stop_strings(req.stop)
+        text = ""
+        finish_reason = None
+        n_tokens = 0
+        async for out in self.ae.stream_tokens(prompt_ids, sampling):
+            n_tokens += 1
+            if out.token_id not in self.ae.tokenizer.stop_ids:
+                text += detok.push(out.token_id, final=out.finished)
+            if out.finished:
+                finish_reason = out.finish_reason
+            for s in stops:
+                if s and s in text:
+                    text = text[: text.index(s)]
+                    finish_reason = "stop"
+        usage = proto.Usage(
+            prompt_tokens=len(prompt_ids),
+            completion_tokens=n_tokens,
+            total_tokens=len(prompt_ids) + n_tokens,
+        )
+        if chat:
+            resp = proto.ChatCompletionResponse(
+                model=req.model,
+                choices=[
+                    proto.ChatChoice(
+                        message=proto.ChatChoiceMessage(content=text),
+                        finish_reason=finish_reason or "stop",
+                    )
+                ],
+                usage=usage,
+            )
+        else:
+            resp = proto.CompletionResponse(
+                model=req.model,
+                choices=[proto.CompletionChoice(text=text, finish_reason=finish_reason or "stop")],
+                usage=usage,
+            )
+        return web.json_response(resp.model_dump())
+
+    async def _stream_completion(
+        self, http_request, req, prompt_ids, sampling, chat: bool
+    ) -> web.StreamResponse:
+        resp = web.StreamResponse(
+            status=200,
+            headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+                "Connection": "keep-alive",
+            },
+        )
+        await resp.prepare(http_request)
+        rid = proto._id("chatcmpl" if chat else "cmpl")
+        detok = IncrementalDetokenizer(self.ae.tokenizer)
+        stops = _stop_strings(req.stop)
+        emitted = ""
+
+        async def send(obj):
+            await resp.write(f"data: {obj.model_dump_json()}\n\n".encode())
+
+        if chat:
+            await send(
+                proto.ChatCompletionChunk(
+                    id=rid,
+                    model=req.model,
+                    choices=[proto.ChatChunkChoice(delta=proto.DeltaMessage(role="assistant"))],
+                )
+            )
+        stopped = False
+        async for out in self.ae.stream_tokens(prompt_ids, sampling):
+            delta = ""
+            if out.token_id not in self.ae.tokenizer.stop_ids:
+                delta = detok.push(out.token_id, final=out.finished)
+            if stops and delta:
+                candidate = emitted + delta
+                hit = next((s for s in stops if s and s in candidate), None)
+                if hit:
+                    delta = candidate[: candidate.index(hit)][len(emitted) :]
+                    stopped = True
+            emitted += delta
+            finish = out.finish_reason if out.finished else ("stop" if stopped else None)
+            if delta or finish:
+                if chat:
+                    await send(
+                        proto.ChatCompletionChunk(
+                            id=rid,
+                            model=req.model,
+                            choices=[
+                                proto.ChatChunkChoice(
+                                    delta=proto.DeltaMessage(content=delta or None),
+                                    finish_reason=finish,
+                                )
+                            ],
+                        )
+                    )
+                else:
+                    await send(
+                        proto.CompletionChunk(
+                            id=rid,
+                            model=req.model,
+                            choices=[proto.CompletionChoice(text=delta, finish_reason=finish)],
+                        )
+                    )
+            if stopped and not out.finished:
+                break  # generator cleanup aborts the engine request
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+
+def build_app(async_engine: AsyncEngine, serving: ServingConfig, max_model_len: int) -> web.Application:
+    s = Server(async_engine, serving, max_model_len)
+    app = web.Application()
+    app.router.add_get("/health", s.health)
+    app.router.add_get("/metrics", s.metrics)
+    app.router.add_get("/v1/models", s.models)
+    app.router.add_post("/v1/completions", s.completions)
+    app.router.add_post("/v1/chat/completions", s.chat_completions)
+
+    async def on_startup(app):
+        await async_engine.start()
+
+    async def on_cleanup(app):
+        await async_engine.stop()
+
+    app.on_startup.append(on_startup)
+    app.on_cleanup.append(on_cleanup)
+    return app
+
+
+def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
+    quant = QuantConfig(method=args.quant)
+    if args.tiny:
+        tokenizer = get_tokenizer("byte")
+        model_cfg = ModelConfig.tiny(vocab_size=max(512, tokenizer.vocab_size))
+        config = EngineConfig(
+            model=model_cfg,
+            quant=quant,
+            cache=CacheConfig(block_size=8, num_blocks=256, max_blocks_per_seq=32),
+            scheduler=SchedulerConfig(max_num_seqs=8, max_model_len=args.max_model_len or 256),
+            serving=ServingConfig(served_model_name="gpt-oss-tiny", port=args.port),
+        )
+        from gpt_oss_vllm_tpu.models.params import random_params
+
+        params = random_params(config.model, quant, seed=0)
+    elif args.checkpoint:
+        from gpt_oss_vllm_tpu.checkpoint.store import TensorStore
+        from gpt_oss_vllm_tpu.models.params import load_params_from_store
+
+        store = TensorStore(args.checkpoint)
+        mc = store.metadata.get("model_config")
+        model_cfg = ModelConfig(**mc) if mc else ModelConfig()
+        tokenizer = get_tokenizer(args.tokenizer)
+        config = EngineConfig(
+            model=model_cfg,
+            quant=quant,
+            scheduler=SchedulerConfig(max_model_len=args.max_model_len or 4096),
+            serving=ServingConfig(served_model_name=model_cfg.name, port=args.port),
+        )
+        params = load_params_from_store(store, model_cfg, quant)
+    else:
+        raise SystemExit("need --tiny or --checkpoint")
+    engine = InferenceEngine(config, params, attn_backend=args.attn_backend)
+    return engine, tokenizer, config
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="gpt_oss_vllm_tpu OpenAI-compatible server")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--checkpoint", default=None, help="native TensorStore dir")
+    ap.add_argument("--tiny", action="store_true", help="tiny random model (smoke)")
+    ap.add_argument("--quant", default="nf4", choices=["nf4", "none"])
+    ap.add_argument("--tokenizer", default="o200k_harmony")
+    ap.add_argument("--max-model-len", type=int, default=None)
+    ap.add_argument("--attn-backend", default="xla", choices=["xla", "pallas"])
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    engine, tokenizer, config = make_engine(args)
+    ae = AsyncEngine(engine, tokenizer)
+    app = build_app(ae, config.serving, config.scheduler.max_model_len)
+    logger.info("starting server on %s:%d (model=%s)", args.host, args.port, config.serving.served_model_name)
+    print("Application startup complete", flush=True)  # readiness line, cf. check_server_status.py:35
+    web.run_app(app, host=args.host, port=args.port, print=None)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""OpenAI-compatible API protocol models.
+
+The endpoint contract the reference's clients exercise
+(``quick_client.py:19-21`` — /v1/models, /v1/completions,
+/v1/chat/completions; SSE framing ``data: {...}`` with ``data: [DONE]``
+terminator and ``choices[0].delta.content`` vs ``.text``,
+``quick_client.py:118-145``; ``usage.completion_tokens`` as the metrics
+surface, ``:155-162``).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from typing import Dict, List, Optional, Union
+
+from pydantic import BaseModel, Field
+
+
+def _id(prefix: str) -> str:
+    return f"{prefix}-{uuid.uuid4().hex[:24]}"
+
+
+class CompletionRequest(BaseModel):
+    model: str
+    prompt: Union[str, List[str], List[int], List[List[int]]]
+    max_tokens: int = 16
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = 0
+    n: int = 1
+    stream: bool = False
+    stop: Optional[Union[str, List[str]]] = None
+    seed: Optional[int] = None
+    echo: bool = False
+
+
+class ChatMessage(BaseModel):
+    role: str
+    content: Optional[str] = None
+
+
+class ChatCompletionRequest(BaseModel):
+    model: str
+    messages: List[ChatMessage]
+    max_tokens: Optional[int] = None
+    max_completion_tokens: Optional[int] = None
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = 0
+    n: int = 1
+    stream: bool = False
+    stop: Optional[Union[str, List[str]]] = None
+    seed: Optional[int] = None
+
+
+class Usage(BaseModel):
+    prompt_tokens: int = 0
+    completion_tokens: int = 0
+    total_tokens: int = 0
+
+
+class CompletionChoice(BaseModel):
+    index: int = 0
+    text: str = ""
+    finish_reason: Optional[str] = None
+    logprobs: Optional[dict] = None
+
+
+class CompletionResponse(BaseModel):
+    id: str = Field(default_factory=lambda: _id("cmpl"))
+    object: str = "text_completion"
+    created: int = Field(default_factory=lambda: int(time.time()))
+    model: str = ""
+    choices: List[CompletionChoice] = []
+    usage: Usage = Field(default_factory=Usage)
+
+
+class ChatChoiceMessage(BaseModel):
+    role: str = "assistant"
+    content: str = ""
+
+
+class ChatChoice(BaseModel):
+    index: int = 0
+    message: ChatChoiceMessage = Field(default_factory=ChatChoiceMessage)
+    finish_reason: Optional[str] = None
+
+
+class ChatCompletionResponse(BaseModel):
+    id: str = Field(default_factory=lambda: _id("chatcmpl"))
+    object: str = "chat.completion"
+    created: int = Field(default_factory=lambda: int(time.time()))
+    model: str = ""
+    choices: List[ChatChoice] = []
+    usage: Usage = Field(default_factory=Usage)
+
+
+class DeltaMessage(BaseModel):
+    role: Optional[str] = None
+    content: Optional[str] = None
+
+
+class ChatChunkChoice(BaseModel):
+    index: int = 0
+    delta: DeltaMessage = Field(default_factory=DeltaMessage)
+    finish_reason: Optional[str] = None
+
+
+class ChatCompletionChunk(BaseModel):
+    id: str
+    object: str = "chat.completion.chunk"
+    created: int = Field(default_factory=lambda: int(time.time()))
+    model: str = ""
+    choices: List[ChatChunkChoice] = []
+
+
+class CompletionChunk(BaseModel):
+    id: str
+    object: str = "text_completion"
+    created: int = Field(default_factory=lambda: int(time.time()))
+    model: str = ""
+    choices: List[CompletionChoice] = []
+
+
+class ModelCard(BaseModel):
+    id: str
+    object: str = "model"
+    created: int = Field(default_factory=lambda: int(time.time()))
+    owned_by: str = "gpt_oss_vllm_tpu"
+
+
+class ModelList(BaseModel):
+    object: str = "list"
+    data: List[ModelCard] = []
+
+
+class ErrorResponse(BaseModel):
+    error: Dict[str, Optional[str]]
+
+    @staticmethod
+    def make(message: str, err_type: str = "invalid_request_error", code: Optional[str] = None):
+        return ErrorResponse(error={"message": message, "type": err_type, "code": code})

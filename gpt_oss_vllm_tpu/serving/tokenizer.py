@@ -1,0 +1,190 @@
+"""Tokenizer abstraction + harmony-style chat rendering.
+
+GPT-OSS uses the o200k_harmony tiktoken encoding with role/channel special
+tokens. Three backends:
+
+- ``tiktoken:<encoding>`` — production (requires the BPE file, cached or
+  fetchable);
+- ``hf:<path>`` — a local HuggingFace tokenizer;
+- ``byte`` — self-contained byte-level vocab (256 bytes + specials), no
+  files needed: what tests and offline benches use.
+
+Chat rendering follows the harmony message framing
+(``<|start|>role<|message|>content<|end|>`` ... ``<|start|>assistant<|message|>``
+with ``<|return|>`` as the generation stop). The reference delegates all of
+this to vLLM's OpenAI server (``gpt_oss_server.py:64-67``); here it is
+first-class and offline-testable.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+
+class Tokenizer:
+    """Uniform interface over the backends."""
+
+    name: str
+    eos_id: int
+    stop_ids: Sequence[int]
+
+    def encode(self, text: str) -> List[int]:
+        raise NotImplementedError
+
+    def decode(self, ids: Sequence[int]) -> str:
+        raise NotImplementedError
+
+    @property
+    def vocab_size(self) -> int:
+        raise NotImplementedError
+
+    # -- chat --------------------------------------------------------------
+
+    def special(self, name: str) -> int:
+        raise NotImplementedError
+
+    def render_chat(self, messages: List[Dict[str, str]]) -> List[int]:
+        """Harmony framing: each message is
+        <|start|>{role}<|message|>{content}<|end|>, then the assistant
+        header is opened for generation."""
+        ids: List[int] = []
+        for m in messages:
+            ids.append(self.special("start"))
+            ids.extend(self.encode(m.get("role", "user")))
+            ids.append(self.special("message"))
+            ids.extend(self.encode(m.get("content", "") or ""))
+            ids.append(self.special("end"))
+        ids.append(self.special("start"))
+        ids.extend(self.encode("assistant"))
+        ids.append(self.special("message"))
+        return ids
+
+
+class ByteTokenizer(Tokenizer):
+    """Byte-level vocab: ids 0-255 are raw bytes; specials follow.
+
+    Self-contained (no downloads) and lossless on any UTF-8 text — the
+    hermetic default for tests/benches in this egress-free environment.
+    """
+
+    SPECIALS = ("pad", "start", "message", "end", "return", "eos")
+
+    def __init__(self, name: str = "byte"):
+        self.name = name
+        self._special_ids = {s: 256 + i for i, s in enumerate(self.SPECIALS)}
+        self.eos_id = self._special_ids["eos"]
+        self.stop_ids = (self._special_ids["return"], self._special_ids["end"], self.eos_id)
+
+    @property
+    def vocab_size(self) -> int:
+        return 256 + len(self.SPECIALS)
+
+    def special(self, name: str) -> int:
+        return self._special_ids[name]
+
+    def encode(self, text: str) -> List[int]:
+        return list(text.encode("utf-8"))
+
+    def decode(self, ids: Sequence[int]) -> str:
+        data = bytes(i for i in ids if 0 <= i < 256)
+        return data.decode("utf-8", errors="replace")
+
+
+class TiktokenTokenizer(Tokenizer):
+    _HARMONY_SPECIALS = {
+        "start": "<|start|>",
+        "message": "<|message|>",
+        "end": "<|end|>",
+        "return": "<|return|>",
+    }
+
+    def __init__(self, encoding: str):
+        import tiktoken
+
+        self.name = f"tiktoken:{encoding}"
+        self._enc = tiktoken.get_encoding(encoding)
+        specials = dict(self._enc._special_tokens)
+        self._special_ids = {}
+        for k, tok in self._HARMONY_SPECIALS.items():
+            if tok in specials:
+                self._special_ids[k] = specials[tok]
+        self.eos_id = self._special_ids.get("return", max(specials.values(), default=self._enc.n_vocab - 1))
+        self.stop_ids = tuple(
+            v for k, v in self._special_ids.items() if k in ("return", "end")
+        ) or (self.eos_id,)
+
+    @property
+    def vocab_size(self) -> int:
+        return self._enc.n_vocab
+
+    def special(self, name: str) -> int:
+        return self._special_ids[name]
+
+    def encode(self, text: str) -> List[int]:
+        return self._enc.encode(text)
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return self._enc.decode(list(ids))
+
+
+class HFTokenizer(Tokenizer):
+    def __init__(self, path: str):
+        from transformers import AutoTokenizer
+
+        self.name = f"hf:{path}"
+        self._tok = AutoTokenizer.from_pretrained(path)
+        self.eos_id = self._tok.eos_token_id or 0
+        self.stop_ids = (self.eos_id,)
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self._tok)
+
+    def special(self, name: str) -> int:
+        mapping = {"start": "<|start|>", "message": "<|message|>", "end": "<|end|>", "return": "<|return|>"}
+        tid = self._tok.convert_tokens_to_ids(mapping[name])
+        if tid is None or tid < 0:
+            raise KeyError(name)
+        return tid
+
+    def encode(self, text: str) -> List[int]:
+        return self._tok.encode(text, add_special_tokens=False)
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return self._tok.decode(list(ids), skip_special_tokens=True)
+
+
+def get_tokenizer(spec: str) -> Tokenizer:
+    if spec == "byte" or spec == "test":
+        return ByteTokenizer()
+    if spec.startswith("hf:"):
+        return HFTokenizer(spec[3:])
+    if spec.startswith("tiktoken:"):
+        return TiktokenTokenizer(spec.removeprefix("tiktoken:"))
+    # bare names: try tiktoken, fall back to byte (offline environments)
+    try:
+        return TiktokenTokenizer(spec)
+    except Exception:
+        return ByteTokenizer(name=f"byte(fallback:{spec})")
+
+
+class IncrementalDetokenizer:
+    """Streaming-safe detokenization: emits only complete UTF-8 text deltas.
+
+    Re-decodes the full output each call and diff-emits; replacement chars at
+    the tail are held back until the sequence completes (partial multi-byte
+    codepoints mid-stream)."""
+
+    def __init__(self, tok: Tokenizer):
+        self._tok = tok
+        self._ids: List[int] = []
+        self._emitted = 0
+
+    def push(self, token_id: int, final: bool = False) -> str:
+        self._ids.append(token_id)
+        text = self._tok.decode(self._ids)
+        if not final and text.endswith("�"):
+            return ""
+        delta = text[self._emitted :]
+        self._emitted = len(text)
+        return delta

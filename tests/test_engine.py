@@ -1,0 +1,180 @@
+"""Engine tests: paged-cache correctness (cached decode == no-cache oracle),
+block allocator, continuous batching, stop conditions, sampling.
+
+The decisive gate (SURVEY.md §7 stage 3/5): greedy tokens produced through
+the paged KV cache + slot-batched decode must equal the naive full-forward
+oracle exactly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gpt_oss_vllm_tpu.config import EngineConfig, QuantConfig
+from gpt_oss_vllm_tpu.engine.engine import InferenceEngine
+from gpt_oss_vllm_tpu.engine.kv_cache import BlockAllocator, KVCache, slot_mapping
+from gpt_oss_vllm_tpu.engine.request import RequestState, SamplingParams
+from gpt_oss_vllm_tpu.models.gpt_oss import greedy_decode
+from gpt_oss_vllm_tpu.models.params import random_params
+from gpt_oss_vllm_tpu.ops.sampling import sample_tokens
+
+
+@pytest.fixture(scope="module")
+def ecfg():
+    return EngineConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def params(ecfg):
+    return random_params(ecfg.model, QuantConfig(method="none"), seed=11)
+
+
+@pytest.fixture()
+def engine(ecfg, params):
+    return InferenceEngine(ecfg, params)
+
+
+def test_slot_mapping():
+    bt = jnp.asarray([[5, 7, -1]], dtype=jnp.int32)
+    pos = jnp.asarray([[0, 1, 8, 9, 16, -1]], dtype=jnp.int32)  # block_size 8
+    slots = np.asarray(slot_mapping(bt, pos, 8))
+    assert slots.tolist() == [[40, 41, 56, 57, -1, -1]]
+
+
+def test_block_allocator_exhaustion_and_free():
+    a = BlockAllocator(4)
+    b1 = a.allocate(3)
+    assert a.num_free == 1
+    with pytest.raises(RuntimeError):
+        a.allocate(2)
+    a.free(b1)
+    assert a.num_free == 4
+    with pytest.raises(ValueError):
+        a.free([99])
+
+
+def test_cached_greedy_matches_oracle(ecfg, params):
+    """Prefill+decode through the paged cache == no-cache greedy decode."""
+    engine = InferenceEngine(ecfg, params)
+    prompt = [3, 14, 15, 9, 2, 6]
+    out = engine.generate([prompt], SamplingParams(max_tokens=6, temperature=0.0))[0]
+    oracle = np.asarray(
+        greedy_decode(params, ecfg.model, jnp.asarray([prompt], dtype=jnp.int32), 6)
+    )[0].tolist()
+    assert out == oracle
+
+
+def test_two_prompts_batch_matches_oracle(ecfg, params):
+    engine = InferenceEngine(ecfg, params)
+    p1, p2 = [1, 2, 3], [100, 50, 25, 12, 6]
+    outs = engine.generate([p1, p2], SamplingParams(max_tokens=4, temperature=0.0))
+    for p, o in zip((p1, p2), outs):
+        oracle = np.asarray(
+            greedy_decode(params, ecfg.model, jnp.asarray([p], dtype=jnp.int32), 4)
+        )[0].tolist()
+        assert o == oracle
+
+
+def test_stop_token_finishes_request(engine):
+    req = engine.add_request("r1", [1, 2, 3], SamplingParams(max_tokens=50, temperature=0.0))
+    stop_tok = None
+    for _ in range(3):
+        outs = engine.step()
+        if outs:
+            stop_tok = outs[0].token_id
+            break
+    engine.abort_request("r1")
+    # new request with that token as stop: finishes on first emission
+    req2 = engine.add_request(
+        "r2", [1, 2, 3], SamplingParams(max_tokens=50, temperature=0.0, stop_token_ids=(stop_tok,))
+    )
+    outs = engine.step()
+    assert outs and outs[0].finished and outs[0].finish_reason == "stop"
+    assert req2.state == RequestState.FINISHED
+
+
+def test_max_tokens_finish_and_slot_release(engine):
+    engine.add_request("r", [5, 6], SamplingParams(max_tokens=2, temperature=0.0))
+    finished = False
+    for _ in range(5):
+        for o in engine.step():
+            if o.finished:
+                finished = True
+                assert o.finish_reason == "length"
+    assert finished
+    assert engine.num_running() == 0
+    assert engine.allocator.num_free == engine.config.cache.num_blocks
+
+
+def test_queueing_beyond_slots(ecfg, params):
+    """More requests than decode slots: the scheduler queues and drains all."""
+    engine = InferenceEngine(ecfg, params)
+    n = ecfg.scheduler.max_num_seqs + 3
+    prompts = [[i + 1, i + 2] for i in range(n)]
+    outs = engine.generate(prompts, SamplingParams(max_tokens=2, temperature=0.0))
+    assert len(outs) == n
+    assert all(len(o) == 2 for o in outs)
+
+
+def test_prompt_too_long_rejected(engine, ecfg):
+    with pytest.raises(ValueError):
+        engine.add_request("x", list(range(ecfg.scheduler.max_model_len + 1)), SamplingParams())
+    with pytest.raises(ValueError):
+        engine.add_request("y", [], SamplingParams())
+
+
+def test_sampling_temperature_zero_is_argmax(rng):
+    logits = jnp.asarray(rng.normal(size=(3, 50)), dtype=jnp.float32)
+    toks = sample_tokens(
+        logits,
+        jax.random.PRNGKey(0),
+        jnp.zeros(3),
+        jnp.ones(3),
+        jnp.zeros(3, dtype=jnp.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(jnp.argmax(logits, -1)))
+
+
+def test_sampling_top_k_restricts_support(rng):
+    logits = jnp.asarray(rng.normal(size=(1, 100)), dtype=jnp.float32)
+    top2 = set(np.asarray(jnp.argsort(logits[0])[-2:]).tolist())
+    seen = set()
+    for i in range(50):
+        t = sample_tokens(
+            logits,
+            jax.random.PRNGKey(i),
+            jnp.ones(1) * 1.5,
+            jnp.ones(1),
+            jnp.asarray([2], dtype=jnp.int32),
+        )
+        seen.add(int(t[0]))
+    assert seen <= top2
+
+
+def test_sampling_top_p_restricts_support():
+    logits = jnp.asarray([[10.0, 9.0, 0.0, -5.0, -5.0]], dtype=jnp.float32)
+    seen = set()
+    for i in range(30):
+        t = sample_tokens(
+            logits,
+            jax.random.PRNGKey(i),
+            jnp.ones(1),
+            jnp.asarray([0.9]),
+            jnp.zeros(1, dtype=jnp.int32),
+        )
+        seen.add(int(t[0]))
+    assert seen <= {0, 1}
+
+
+def test_kv_cache_write_drop_semantics(ecfg):
+    from gpt_oss_vllm_tpu.engine.kv_cache import write_kv
+
+    cache = KVCache.create(ecfg.model, ecfg.cache)
+    k_new = jnp.ones((1, 2, ecfg.model.num_kv_heads, ecfg.model.head_dim))
+    slots = jnp.asarray([[3, -1]], dtype=jnp.int32)  # second write dropped
+    cache2 = write_kv(cache, 0, k_new, k_new, slots)
+    flat = np.asarray(cache2.k[0]).reshape(-1, ecfg.model.num_kv_heads, ecfg.model.head_dim)
+    assert flat[3].sum() > 0
+    assert np.count_nonzero(flat.sum(axis=(1, 2))) == 1  # only slot 3 written

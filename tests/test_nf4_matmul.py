@@ -1,0 +1,58 @@
+"""Fused NF4 matmul kernel vs the XLA dequant-then-matmul oracle
+(interpret mode on CPU; the same kernel compiles for real on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gpt_oss_vllm_tpu.ops.nf4_matmul import nf4_matmul
+from gpt_oss_vllm_tpu.quant.tensor import nf4_tensor_from_dense
+
+
+def _oracle(x, w, b=None):
+    wd = w.dequantize(x.dtype)
+    y = jax.lax.dot_general(
+        x, wd, (((x.ndim - 1,), (wd.ndim - 1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if b is not None:
+        y = y + b
+    return np.asarray(y.astype(x.dtype), dtype=np.float32)
+
+
+@pytest.mark.parametrize("M,N,K", [(1, 256, 128), (16, 128, 256), (7, 384, 128)])
+def test_kernel_matches_oracle(rng, M, N, K):
+    w = nf4_tensor_from_dense(rng.normal(0, 0.05, size=(N, K)).astype(np.float32))
+    x = jnp.asarray(rng.normal(0, 1, size=(M, K)), dtype=jnp.bfloat16)
+    got = np.asarray(
+        nf4_matmul(x, w, block_n=128, interpret=True), dtype=np.float32
+    )
+    want = _oracle(x, w)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+    # tight check in f32 activations
+    x32 = x.astype(jnp.float32)
+    got32 = np.asarray(nf4_matmul(x32, w, block_n=128, interpret=True), dtype=np.float32)
+    want32 = _oracle(x32, w)
+    np.testing.assert_allclose(got32, want32, rtol=2e-3, atol=2e-3)
+
+
+def test_kernel_bias_and_batched_experts(rng):
+    E, N, K, T = 3, 128, 128, 4
+    w = nf4_tensor_from_dense(rng.normal(0, 0.05, size=(E, N, K)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(E, T, K)), dtype=jnp.float32)
+    b = jnp.asarray(rng.normal(size=(N,)), dtype=jnp.float32)
+    got = np.asarray(nf4_matmul(x, w, b=None, block_n=128, interpret=True), dtype=np.float32)
+    for e in range(E):
+        we = nf4_tensor_from_dense(np.asarray(w.dequantize(jnp.float32))[e])
+        np.testing.assert_allclose(
+            got[e], _oracle(x[e], we), rtol=3e-3, atol=3e-3
+        )
+
+
+def test_fallback_path_for_odd_shapes(rng):
+    # in_features not tileable -> XLA fallback, still correct
+    w = nf4_tensor_from_dense(rng.normal(0, 0.05, size=(32, 64)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(5, 64)), dtype=jnp.float32)
+    got = np.asarray(nf4_matmul(x, w, interpret=True), dtype=np.float32)
+    np.testing.assert_allclose(got, _oracle(x, w), rtol=3e-3, atol=3e-3)

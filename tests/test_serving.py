@@ -1,0 +1,194 @@
+"""Serving-layer tests: tokenizers, harmony chat rendering, incremental
+detokenization, protocol models, and the HTTP API end-to-end (aiohttp test
+client over a tiny engine) — the reference's ``smoke_suite.py`` HTTP ladder,
+in-process."""
+
+import asyncio
+import json
+
+import pytest
+
+from gpt_oss_vllm_tpu.serving.protocol import ChatCompletionRequest, CompletionRequest
+from gpt_oss_vllm_tpu.serving.tokenizer import (
+    ByteTokenizer,
+    IncrementalDetokenizer,
+    get_tokenizer,
+)
+
+
+def test_byte_tokenizer_roundtrip():
+    t = ByteTokenizer()
+    s = "hello, wörld! 你好"
+    assert t.decode(t.encode(s)) == s
+    assert t.vocab_size == 262
+    assert t.special("start") == 257
+
+
+def test_get_tokenizer_fallback_offline():
+    # o200k_harmony needs a network fetch; in this egress-free env we must
+    # fall back to the byte tokenizer rather than crash
+    t = get_tokenizer("o200k_harmony")
+    assert t.encode("ab") is not None
+
+
+def test_chat_rendering_harmony_framing():
+    t = ByteTokenizer()
+    ids = t.render_chat([{"role": "user", "content": "hi"}])
+    start, msg, end = t.special("start"), t.special("message"), t.special("end")
+    expect = (
+        [start] + t.encode("user") + [msg] + t.encode("hi") + [end]
+        + [start] + t.encode("assistant") + [msg]
+    )
+    assert ids == expect
+
+
+def test_incremental_detok_holds_partial_utf8():
+    t = ByteTokenizer()
+    d = IncrementalDetokenizer(t)
+    euro = "€".encode("utf-8")  # 3 bytes
+    assert d.push(euro[0]) == ""
+    assert d.push(euro[1]) == ""
+    assert d.push(euro[2]) == "€"
+    assert d.push(ord("x"), final=True) == "x"
+
+
+def test_protocol_models_parse():
+    c = CompletionRequest(model="m", prompt="hello", max_tokens=4, stream=True)
+    assert c.prompt == "hello"
+    ch = ChatCompletionRequest(
+        model="m", messages=[{"role": "user", "content": "hi"}], max_completion_tokens=9
+    )
+    assert ch.messages[0].role == "user"
+
+
+# ---------------------------------------------------------------------------
+# HTTP end-to-end over a tiny engine
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def shared_engine():
+    from gpt_oss_vllm_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        ModelConfig,
+        QuantConfig,
+        SchedulerConfig,
+        ServingConfig,
+    )
+    from gpt_oss_vllm_tpu.engine.engine import InferenceEngine
+    from gpt_oss_vllm_tpu.models.params import random_params
+
+    tok = ByteTokenizer()
+    cfg = EngineConfig(
+        model=ModelConfig.tiny(vocab_size=512),
+        quant=QuantConfig(method="none"),
+        cache=CacheConfig(block_size=8, num_blocks=64, max_blocks_per_seq=16),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_model_len=96),
+        serving=ServingConfig(served_model_name="gpt-oss-tiny"),
+    )
+    params = random_params(cfg.model, cfg.quant, seed=2)
+    return InferenceEngine(cfg, params), tok, cfg
+
+
+@pytest.fixture()
+async def client(shared_engine, aiohttp_client):
+    from gpt_oss_vllm_tpu.serving.api_server import AsyncEngine, build_app
+
+    engine, tok, cfg = shared_engine
+    ae = AsyncEngine(engine, tok)
+    app = build_app(ae, cfg.serving, cfg.scheduler.max_model_len)
+    return await aiohttp_client(app)
+
+
+async def test_health_and_models(client):
+    r = await client.get("/health")
+    assert r.status == 200
+    assert (await r.json())["status"] == "ok"
+    r = await client.get("/v1/models")
+    body = await r.json()
+    assert body["object"] == "list"
+    assert body["data"][0]["id"] == "gpt-oss-tiny"
+
+
+async def test_completions_non_stream(client):
+    r = await client.post(
+        "/v1/completions",
+        json={"model": "gpt-oss-tiny", "prompt": "abc", "max_tokens": 3, "temperature": 0.0},
+    )
+    assert r.status == 200
+    body = await r.json()
+    assert body["object"] == "text_completion"
+    assert body["usage"]["completion_tokens"] >= 1
+    assert body["usage"]["prompt_tokens"] == 3
+    assert body["choices"][0]["finish_reason"] in ("length", "stop")
+
+
+async def test_completions_deterministic_single_token(client):
+    """The reference's determinism idiom: temp 0, max_tokens 1, twice."""
+    payload = {"model": "m", "prompt": "hello", "max_tokens": 1, "temperature": 0.0}
+    t1 = (await (await client.post("/v1/completions", json=payload)).json())["choices"][0]["text"]
+    t2 = (await (await client.post("/v1/completions", json=payload)).json())["choices"][0]["text"]
+    assert t1 == t2
+
+
+async def test_chat_stream_sse(client):
+    r = await client.post(
+        "/v1/chat/completions",
+        json={
+            "model": "m",
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 4,
+            "temperature": 0.0,
+            "stream": True,
+        },
+    )
+    assert r.status == 200
+    assert r.headers["Content-Type"].startswith("text/event-stream")
+    raw = (await r.read()).decode()
+    lines = [l for l in raw.split("\n") if l.startswith("data: ")]
+    assert lines[-1] == "data: [DONE]"
+    chunks = [json.loads(l[6:]) for l in lines[:-1]]
+    assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+    assert any(c["choices"][0].get("finish_reason") for c in chunks)
+    assert chunks[0]["object"] == "chat.completion.chunk"
+
+
+async def test_completions_stream_sse(client):
+    r = await client.post(
+        "/v1/completions",
+        json={"model": "m", "prompt": "xyz", "max_tokens": 3, "temperature": 0.0, "stream": True},
+    )
+    raw = (await r.read()).decode()
+    lines = [l for l in raw.split("\n") if l.startswith("data: ")]
+    assert lines[-1] == "data: [DONE]"
+    assert json.loads(lines[0][6:])["object"] == "text_completion"
+
+
+async def test_bad_request_400(client):
+    r = await client.post("/v1/completions", json={"model": "m"})  # no prompt
+    assert r.status == 400
+    body = await r.json()
+    assert "error" in body
+
+
+async def test_prompt_too_long_400(client):
+    r = await client.post(
+        "/v1/completions",
+        json={"model": "m", "prompt": "x" * 500, "max_tokens": 1},
+    )
+    assert r.status == 400
+
+
+async def test_concurrent_requests(client):
+    """Continuous batching: several in-flight requests all complete."""
+    payloads = [
+        {"model": "m", "prompt": f"req {i}", "max_tokens": 3, "temperature": 0.0}
+        for i in range(6)
+    ]
+    results = await asyncio.gather(
+        *[client.post("/v1/completions", json=p) for p in payloads]
+    )
+    assert all(r.status == 200 for r in results)
+    bodies = [await r.json() for r in results]
+    assert all(b["usage"]["completion_tokens"] >= 1 for b in bodies)
