@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""bench.py — GPT-OSS-20B NF4 serving throughput on the attached TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Primary metric: single-stream greedy decode tokens/s for the full-size
+GPT-OSS-20B architecture (24 layers, 32 experts, top-4, hidden 2880, NF4
+4-bit experts) through the real engine step (paged KV cache, sinks, YaRN,
+alternating sliding window, fused NF4 MoE kernels). Baseline: the
+reference's measured 8.3 tok/s on its RTX 3090 deployment
+(/root/reference/patches/USAGE.md:73).
+
+Weight values are random (generated on-device — no checkpoint can be
+downloaded in this environment); throughput is value-independent. The decode
+loop runs fully on-device (lax.fori_loop feeding greedy argmax back), so
+host/tunnel dispatch latency does not contaminate the measurement.
+
+Secondary metrics (stderr): prefill TTFT, batched decode throughput.
+"""
+
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpt_oss_vllm_tpu.config import CacheConfig, ModelConfig, QuantConfig
+from gpt_oss_vllm_tpu.engine.kv_cache import KVCache
+from gpt_oss_vllm_tpu.engine.step import model_step
+from gpt_oss_vllm_tpu.models.params import random_params_on_device
+
+BASELINE_TOK_S = 8.3  # reference USAGE.md:73
+
+DECODE_STEPS = 32
+PREFILL_LEN = 128
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_decode_step(cfg: ModelConfig, quant_backend: str):
+    """One decode step as its own program, chained by async dispatch.
+
+    Deliberately NOT a lax.fori_loop: XLA:TPU's memory-bound loop optimizer
+    sees the big while loop and emits compressed/uncompressed copies of
+    every weight (+8 GB of HLO temps -> OOM on 16 GB). Sequential donated
+    calls pipeline on-device while the host runs ahead, so dispatch latency
+    is hidden past the first call.
+    """
+
+    @functools.partial(jax.jit, donate_argnames=("cache",))
+    def decode_step(params, cache, block_tables, tok, pos):
+        B = tok.shape[0]
+        out = model_step(
+            params,
+            cfg,
+            cache,
+            tok[:, None],
+            pos[:, None],
+            block_tables,
+            jnp.zeros(B, jnp.int32),
+            moe_strategy="auto",
+            attn_backend="xla",
+            quant_backend=quant_backend,
+        )
+        nxt = jnp.argmax(out.logits, axis=-1).astype(jnp.int32)
+        return out.cache, nxt, pos + 1
+
+    return decode_step
+
+
+def time_decode(cfg, params, cache_cfg, quant_backend, batch, n_steps, reps=3):
+    cache = KVCache.create(cfg, cache_cfg)
+    mb = cache_cfg.max_blocks_per_seq
+    bt = np.full((batch, mb), -1, dtype=np.int32)
+    per_seq = (PREFILL_LEN + n_steps + cache_cfg.block_size) // cache_cfg.block_size + 1
+    blk = 0
+    for b in range(batch):
+        bt[b, :per_seq] = np.arange(blk, blk + per_seq)
+        blk += per_seq
+    assert blk <= cache_cfg.num_blocks, "cache too small for bench"
+    bt = jnp.asarray(bt)
+    step = build_decode_step(cfg, quant_backend)
+    tok0 = jnp.ones((batch,), jnp.int32)
+    pos0 = jnp.full((batch,), PREFILL_LEN, jnp.int32)
+
+    t0 = time.monotonic()
+    cache, tok, pos = step(params, cache, bt, tok0, pos0)
+    jax.block_until_ready(tok)
+    log(f"  decode step (batch={batch}) compile+first: {time.monotonic() - t0:.1f}s")
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.monotonic()
+        tok, pos = tok0, pos0
+        for _ in range(n_steps):
+            cache, tok, pos = step(params, cache, bt, tok, pos)
+        jax.block_until_ready(tok)
+        best = min(best, time.monotonic() - t0)
+    return batch * n_steps / best, best / n_steps
+
+
+def time_prefill(cfg, params, cache_cfg, quant_backend):
+    cache = KVCache.create(cfg, cache_cfg)
+    mb = cache_cfg.max_blocks_per_seq
+    nblk = PREFILL_LEN // cache_cfg.block_size + 1
+    bt = np.full((1, mb), -1, dtype=np.int32)
+    bt[0, :nblk] = np.arange(nblk)
+    step = jax.jit(
+        functools.partial(
+            model_step,
+            cfg=cfg,
+            moe_strategy="all",
+            attn_backend="xla",
+            quant_backend=quant_backend,
+        ),
+        donate_argnames=("cache",),
+    )
+    tokens = jnp.ones((1, PREFILL_LEN), jnp.int32)
+    positions = jnp.arange(PREFILL_LEN, dtype=jnp.int32)[None]
+    last = jnp.asarray([PREFILL_LEN - 1], jnp.int32)
+    out = step(params, cache=cache, tokens=tokens, positions=positions,
+               block_tables=jnp.asarray(bt), last_idx=last)
+    jax.block_until_ready(out.logits)
+    cache = out.cache
+    t0 = time.monotonic()
+    out = step(params, cache=cache, tokens=tokens, positions=positions,
+               block_tables=jnp.asarray(bt), last_idx=last)
+    jax.block_until_ready(out.logits)
+    return time.monotonic() - t0
+
+
+def main():
+    log(f"devices: {jax.devices()}  backend: {jax.default_backend()}")
+    on_tpu = jax.default_backend() == "tpu"
+    quant_backend = "pallas" if on_tpu else "xla"
+    cfg = ModelConfig()  # full GPT-OSS-20B architecture
+    # bf16 scales: adds ~0.4% scale rounding (far below NF4's own step) and
+    # halves scale bytes — needed to fit 20B + KV in 16 GB HBM
+    quant = QuantConfig(method="nf4", scale_dtype="bfloat16")
+    layers = cfg.num_layers
+    scale_note = ""
+
+    while True:
+        try:
+            import dataclasses
+
+            c = dataclasses.replace(cfg, num_layers=layers)
+            t0 = time.monotonic()
+            params = random_params_on_device(c, quant, seed=0)
+            jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
+            log(f"params ready ({layers} layers) in {time.monotonic() - t0:.1f}s")
+            cache_cfg = CacheConfig(block_size=16, num_blocks=160, max_blocks_per_seq=16)
+            tok_s_b1, step_lat = time_decode(c, params, cache_cfg, quant_backend, 1, DECODE_STEPS)
+            log(f"batch=1 decode: {tok_s_b1:.2f} tok/s ({step_lat * 1e3:.1f} ms/step)")
+            try:
+                tok_s_b8, _ = time_decode(c, params, cache_cfg, quant_backend, 8, DECODE_STEPS)
+                log(f"batch=8 decode: {tok_s_b8:.2f} tok/s total")
+            except Exception as e:
+                log(f"batch=8 decode failed: {type(e).__name__}: {str(e)[:200]}")
+            try:
+                ttft = time_prefill(c, params, cache_cfg, quant_backend)
+                log(f"prefill {PREFILL_LEN} tokens: {ttft * 1e3:.1f} ms (TTFT)")
+            except Exception as e:
+                log(f"prefill failed: {type(e).__name__}: {str(e)[:200]}")
+            break
+        except Exception as e:
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg or "exceeds" in msg:
+                layers = layers // 2
+                scale_note = f"_layers{layers}"
+                log(f"OOM; retrying with {layers} layers")
+                if layers < 3:
+                    raise
+            else:
+                raise
+
+    metric = f"decode_tok_s_b1_gpt_oss_20b_nf4{scale_note}"
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(tok_s_b1, 2),
+                "unit": "tok/s",
+                "vs_baseline": round(tok_s_b1 / BASELINE_TOK_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

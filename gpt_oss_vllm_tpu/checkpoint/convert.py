@@ -91,7 +91,9 @@ def convert_unsloth_to_native(
 
             for proj, out_f, in_f in (("gate_up", 2 * FF, H), ("down", H, FF)):
                 qdata = np.zeros((E, out_f, in_f // 2), dtype=np.uint8)
-                scales = np.zeros((E, out_f, in_f // 64), dtype=np.float32)
+                # scales stored transposed [E, nb, out] — TPU lane-padding
+                # economics, see quant/tensor.py layout contract
+                scales = np.zeros((E, in_f // 64, out_f), dtype=np.float32)
                 biases = np.zeros((E, out_f), dtype=np.float32)
                 have_bias = False
                 for e in range(E):
@@ -110,7 +112,7 @@ def convert_unsloth_to_native(
                         elif blocksize < 64:
                             eabs = eabs.reshape(-1, rep).max(axis=1)  # conservative
                     qdata[e] = eq
-                    scales[e] = eabs.reshape(out_f, in_f // 64)
+                    scales[e] = eabs.reshape(out_f, in_f // 64).T
                     b = reader.read_expert_bias(L, e, proj)
                     if b is not None:
                         biases[e] = b

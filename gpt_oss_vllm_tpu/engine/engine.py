@@ -65,16 +65,18 @@ class InferenceEngine:
         self._step_counter = 0
         self.metrics = {"prefill_tokens": 0, "decode_tokens": 0, "steps": 0}
 
-        moe = "auto"
-        self._prefill = jax.jit(
-            partial(model_step, cfg=cfg, moe_strategy=moe, attn_backend=attn_backend),
-            static_argnames=(),
-            donate_argnames=("cache",),
+        qb = config.quant.backend if config.quant.enabled else "xla"
+        if qb == "pallas" and jax.default_backend() != "tpu":
+            qb = "xla"  # compiled Pallas kernels are TPU-only; CPU uses the XLA path
+        step_fn = partial(
+            model_step,
+            cfg=cfg,
+            moe_strategy="auto",
+            attn_backend=attn_backend,
+            quant_backend=qb,
         )
-        self._decode = jax.jit(
-            partial(model_step, cfg=cfg, moe_strategy=moe, attn_backend=attn_backend),
-            donate_argnames=("cache",),
-        )
+        self._prefill = jax.jit(step_fn, donate_argnames=("cache",))
+        self._decode = jax.jit(step_fn, donate_argnames=("cache",))
         self._sample = jax.jit(sample_tokens)
 
     # -- public API --------------------------------------------------------

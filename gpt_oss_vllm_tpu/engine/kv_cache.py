@@ -28,13 +28,18 @@ from gpt_oss_vllm_tpu.config import CacheConfig, ModelConfig
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["k", "v"],
-    meta_fields=["block_size"],
+    meta_fields=["block_size", "num_kv_heads", "head_dim"],
 )
 @dataclass
 class KVCache:
-    k: jax.Array  # [L, num_blocks, block_size, n_kv, D]
-    v: jax.Array  # [L, num_blocks, block_size, n_kv, D]
+    # Stored FLAT over (head, dim): [L, num_blocks, block_size, n_kv * D].
+    # A trailing dim of D=64 would lane-pad 2x on TPU (measured +192 MB on
+    # GPT-OSS-20B); n_kv*D = 512 is pad-free. Views reshape after gather.
+    k: jax.Array  # [L, num_blocks, block_size, n_kv * D]
+    v: jax.Array  # [L, num_blocks, block_size, n_kv * D]
     block_size: int
+    num_kv_heads: int
+    head_dim: int
 
     @property
     def num_blocks(self) -> int:
@@ -46,11 +51,16 @@ class KVCache:
             cfg.num_layers,
             cache.num_blocks,
             cache.block_size,
-            cfg.num_kv_heads,
-            cfg.head_dim,
+            cfg.num_kv_heads * cfg.head_dim,
         )
         dt = jnp.dtype(cache.dtype)
-        return KVCache(k=jnp.zeros(shape, dt), v=jnp.zeros(shape, dt), block_size=cache.block_size)
+        return KVCache(
+            k=jnp.zeros(shape, dt),
+            v=jnp.zeros(shape, dt),
+            block_size=cache.block_size,
+            num_kv_heads=cfg.num_kv_heads,
+            head_dim=cfg.head_dim,
+        )
 
     def nbytes(self) -> int:
         return self.k.nbytes + self.v.nbytes
@@ -77,20 +87,22 @@ def write_kv(
     v_new: jax.Array,
     slots: jax.Array,  # [B, T] int32 flat slots, -1 to drop
 ) -> KVCache:
-    L, NB, BS, KV, D = cache.k.shape
+    L, NB, BS, KVD = cache.k.shape
     # scatter mode="drop" only drops OUT-OF-BOUNDS indices; negative indices
     # would wrap. Remap padding (-1) to NB*BS, which is out of bounds.
     flat_slots = slots.reshape(-1)
     flat_slots = jnp.where(flat_slots < 0, NB * BS, flat_slots)
-    kf = cache.k.reshape(L, NB * BS, KV, D)
-    vf = cache.v.reshape(L, NB * BS, KV, D)
-    kf = kf.at[layer, flat_slots].set(
-        k_new.reshape(-1, KV, D).astype(kf.dtype), mode="drop"
+    kf = cache.k.reshape(L, NB * BS, KVD)
+    vf = cache.v.reshape(L, NB * BS, KVD)
+    kf = kf.at[layer, flat_slots].set(k_new.reshape(-1, KVD).astype(kf.dtype), mode="drop")
+    vf = vf.at[layer, flat_slots].set(v_new.reshape(-1, KVD).astype(vf.dtype), mode="drop")
+    return KVCache(
+        k=kf.reshape(cache.k.shape),
+        v=vf.reshape(cache.v.shape),
+        block_size=cache.block_size,
+        num_kv_heads=cache.num_kv_heads,
+        head_dim=cache.head_dim,
     )
-    vf = vf.at[layer, flat_slots].set(
-        v_new.reshape(-1, KV, D).astype(vf.dtype), mode="drop"
-    )
-    return KVCache(k=kf.reshape(cache.k.shape), v=vf.reshape(cache.v.shape), block_size=cache.block_size)
 
 
 def gather_kv(
@@ -104,9 +116,10 @@ def gather_kv(
     directly from HBM instead (``ops.paged_attention``).
     """
     tables = jnp.maximum(block_tables, 0)
-    k = jnp.take(cache.k[layer], tables, axis=0)  # [B, max_blocks, BS, KV, D]
+    k = jnp.take(cache.k[layer], tables, axis=0)  # [B, MB, BS, KVD]
     v = jnp.take(cache.v[layer], tables, axis=0)
-    B, MB, BS, KV, D = k.shape
+    B, MB, BS, KVD = k.shape
+    KV, D = cache.num_kv_heads, cache.head_dim
     return k.reshape(B, MB * BS, KV, D), v.reshape(B, MB * BS, KV, D)
 
 

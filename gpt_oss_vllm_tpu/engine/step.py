@@ -60,12 +60,18 @@ def _cached_attention(
     window = cfg.sliding_window if cfg.layer_uses_sliding_window(layer_idx) else None
     sinks = p.sinks if cfg.use_sinks else None
 
-    if backend == "pallas":
-        from gpt_oss_vllm_tpu.ops.paged_attention import paged_attention
+    if backend == "pallas" and T == 1:
+        from gpt_oss_vllm_tpu.ops.paged_attention import paged_attention_decode
 
-        out = paged_attention(
-            q, cache, layer_idx, block_tables, positions, sinks, window
-        )
+        out = paged_attention_decode(
+            q[:, 0],
+            cache.k[layer_idx],
+            cache.v[layer_idx],
+            block_tables,
+            positions[:, 0],
+            sinks=sinks,
+            window=window,
+        )[:, None]
     else:
         k_ctx, v_ctx = gather_kv(cache, layer_idx, block_tables)  # [B, S, KV, D]
         S = k_ctx.shape[1]
@@ -89,6 +95,7 @@ def model_step(
     last_idx: jax.Array,  # [B] int32 index of last valid position per row
     moe_strategy: str = "auto",
     attn_backend: str = "xla",
+    quant_backend: str = "xla",
 ) -> StepOut:
     B, T = tokens.shape
     x = jnp.take(params.embedding, jnp.maximum(tokens, 0), axis=0)
@@ -115,11 +122,16 @@ def model_step(
             layer.b_down,
             cfg,
             strategy=moe_strategy,
+            backend=quant_backend,
         )
         x = x + moe.reshape(B, T, -1)
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
     # only the last valid position's hidden state reaches the LM head
     h_last = jnp.take_along_axis(x, last_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
     head = params.embedding if params.lm_head is None else params.lm_head
-    logits = dense_linear(h_last, head).astype(jnp.float32)
-    return StepOut(logits=logits, cache=cache)
+    # contract over the head table's MINOR dim (head @ h^T) — the x @ W^T form
+    # makes XLA:TPU relayout the 1.1 GB vocab table into a transposed copy
+    logits = jax.lax.dot_general(
+        head, h_last, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).T
+    return StepOut(logits=logits.astype(jnp.float32), cache=cache)

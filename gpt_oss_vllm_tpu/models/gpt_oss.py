@@ -68,6 +68,7 @@ def transformer_layer(
     x: jax.Array,  # [B, T, H]
     positions: jax.Array,
     moe_strategy: str = "auto",
+    quant_backend: str = "xla",
 ) -> jax.Array:
     h = x + attention_block(p, cfg, layer_idx, rms_norm(x, p.attn_norm, cfg.rms_norm_eps), positions)
     B, T, H = h.shape
@@ -82,6 +83,7 @@ def transformer_layer(
         p.b_down,
         cfg,
         strategy=moe_strategy,
+        backend=quant_backend,
     )
     return h + moe.reshape(B, T, H)
 
@@ -92,6 +94,7 @@ def forward(
     tokens: jax.Array,  # [B, T] int32
     positions: Optional[jax.Array] = None,  # [B, T] int32; default arange
     moe_strategy: str = "auto",
+    quant_backend: str = "xla",
 ) -> jax.Array:
     """Full no-cache forward; returns logits [B, T, vocab] (f32)."""
     B, T = tokens.shape
@@ -99,7 +102,10 @@ def forward(
         positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
     x = jnp.take(params.embedding, tokens, axis=0)
     for li, layer in enumerate(params.layers):
-        x = transformer_layer(layer, cfg, li, x, positions, moe_strategy=moe_strategy)
+        x = transformer_layer(
+            layer, cfg, li, x, positions,
+            moe_strategy=moe_strategy, quant_backend=quant_backend,
+        )
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
     head = params.embedding if params.lm_head is None else params.lm_head
     return dense_linear(x, head).astype(jnp.float32)

@@ -150,6 +150,78 @@ def _reshape_bias(b):
     return b
 
 
+def random_params_on_device(
+    cfg: ModelConfig,
+    quant: QuantConfig,
+    seed: int = 0,
+    scale: float = 0.02,
+) -> ModelParams:
+    """Random params generated entirely on-device with jax.random.
+
+    Same layout as :func:`random_params` but no host->device transfer — for
+    benchmarking the full-size model on a remote/tunnel-attached chip, where
+    shipping ~13 GB of host-generated weights would dominate startup.
+    """
+    dt = jnp.dtype(cfg.dtype)
+    H, FF, E = cfg.hidden_size, cfg.intermediate_size, cfg.num_experts
+    key = jax.random.PRNGKey(seed)
+
+    def nxt():
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return sub
+
+    def dense(*shape, dtype=dt, s=scale):
+        return (jax.random.normal(nxt(), shape, dtype=jnp.float32) * s).astype(dtype)
+
+    def expert(out_f, in_f) -> ExpertWeight:
+        if not quant.enabled:
+            return dense(E, out_f, in_f)
+        bits = jax.random.randint(nxt(), (E, out_f, in_f // 2), 0, 256, dtype=jnp.int32)
+        scales = jnp.abs(
+            jax.random.normal(nxt(), (E, in_f // quant.blocksize, out_f), dtype=jnp.float32)
+        ) * scale + scale * 0.5
+        scales = scales.astype(jnp.dtype(quant.scale_dtype))
+        return NF4Tensor(
+            qdata=bits.astype(jnp.uint8),
+            scales=scales,
+            out_features=out_f,
+            in_features=in_f,
+            blocksize=quant.blocksize,
+        )
+
+    layers = []
+    for _ in range(cfg.num_layers):
+        bias = cfg.attention_bias
+        layers.append(
+            LayerParams(
+                attn_norm=jnp.ones((H,), jnp.float32),
+                wq=dense(cfg.q_size, H),
+                bq=dense(cfg.q_size, dtype=jnp.float32) if bias else None,
+                wk=dense(cfg.kv_size, H),
+                bk=dense(cfg.kv_size, dtype=jnp.float32) if bias else None,
+                wv=dense(cfg.kv_size, H),
+                bv=dense(cfg.kv_size, dtype=jnp.float32) if bias else None,
+                wo=dense(H, cfg.q_size),
+                bo=dense(H, dtype=jnp.float32) if bias else None,
+                sinks=dense(cfg.num_heads, dtype=jnp.float32, s=1.0) if cfg.use_sinks else None,
+                mlp_norm=jnp.ones((H,), jnp.float32),
+                router_w=dense(E, H, dtype=jnp.float32),
+                router_b=dense(E, dtype=jnp.float32) if cfg.router_bias else None,
+                w_gate_up=expert(2 * FF, H),
+                b_gate_up=dense(E, 2 * FF, dtype=jnp.float32) if cfg.expert_bias else None,
+                w_down=expert(H, FF),
+                b_down=dense(E, H, dtype=jnp.float32) if cfg.expert_bias else None,
+            )
+        )
+    return ModelParams(
+        embedding=dense(cfg.vocab_size, H),
+        layers=layers,
+        final_norm=jnp.ones((H,), jnp.float32),
+        lm_head=None if cfg.tie_word_embeddings else dense(cfg.vocab_size, H),
+    )
+
+
 def random_params(
     cfg: ModelConfig,
     quant: QuantConfig,

@@ -77,21 +77,47 @@ def expert_act(gate_up: jax.Array, cfg: ModelConfig) -> jax.Array:
     return (up + 1.0) * glu
 
 
+def _take_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather along dim 0 via a 2-D view. A 3-D gather makes XLA:TPU prefer a
+    transposed operand layout, which inserts full-tensor relayout copies of
+    every expert weight (measured +9 GB of HLO temps on GPT-OSS-20B); the 2-D
+    row gather keeps the default layout."""
+    E = x.shape[0]
+    flat = x.reshape(E, -1)
+    return jnp.take(flat, idx, axis=0).reshape(idx.shape[0], *x.shape[1:])
+
+
 def _expert_tensors(w: ExpertWeight, idx: jax.Array) -> ExpertWeight:
     """Gather experts along the leading dim of a (possibly packed) weight."""
     if isinstance(w, NF4Tensor):
         return NF4Tensor(
-            qdata=jnp.take(w.qdata, idx, axis=0),
-            scales=jnp.take(w.scales, idx, axis=0),
+            qdata=_take_rows(w.qdata, idx),
+            scales=_take_rows(w.scales, idx),
             out_features=w.out_features,
             in_features=w.in_features,
             blocksize=w.blocksize,
         )
-    return jnp.take(w, idx, axis=0)
+    return _take_rows(w, idx)
 
 
 def _dense(w: ExpertWeight, dtype) -> jax.Array:
     return w.dequantize(dtype) if isinstance(w, NF4Tensor) else w.astype(dtype)
+
+
+def _batched_expert_matmul(
+    x: jax.Array,  # [G, T, K] (G = expert groups)
+    w: ExpertWeight,  # [G, N, K] (NF4-packed or dense)
+    backend: str,
+) -> jax.Array:
+    """y[g] = x[g] @ W[g]^T in f32, fused NF4 kernel when available."""
+    if isinstance(w, NF4Tensor) and backend == "pallas":
+        from gpt_oss_vllm_tpu.ops.nf4_matmul import nf4_matmul
+
+        return nf4_matmul(x, w).astype(jnp.float32)
+    wd = _dense(w, x.dtype)
+    return jax.lax.dot_general(
+        x, wd, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
 
 
 def moe_gather(
@@ -102,6 +128,7 @@ def moe_gather(
     w_down: ExpertWeight,  # [E, H, FF]
     b_down: Optional[jax.Array],  # [E, H]
     cfg: ModelConfig,
+    backend: str = "xla",
 ) -> jax.Array:
     """Small-T path: pull the T*k selected experts' weights and batch-matmul.
 
@@ -110,14 +137,14 @@ def moe_gather(
     T, H = x.shape
     k = routing.indices.shape[1]
     flat_idx = routing.indices.reshape(-1)  # [T*k]
-    gu = _dense(_expert_tensors(w_gate_up, flat_idx), x.dtype)  # [T*k, 2FF, H]
-    dn = _dense(_expert_tensors(w_down, flat_idx), x.dtype)  # [T*k, H, FF]
-    xe = jnp.repeat(x, k, axis=0)  # [T*k, H]
-    h = jnp.einsum("tfh,th->tf", gu.astype(jnp.float32), xe.astype(jnp.float32))
+    gu = _expert_tensors(w_gate_up, flat_idx)  # [T*k, 2FF, H] (packed or dense)
+    dn = _expert_tensors(w_down, flat_idx)  # [T*k, H, FF]
+    xe = jnp.repeat(x, k, axis=0)[:, None, :]  # [T*k, 1, H]
+    h = _batched_expert_matmul(xe, gu, backend)[:, 0]  # [T*k, 2FF] f32
     if b_gate_up is not None:
         h = h + jnp.take(b_gate_up, flat_idx, axis=0)
     a = expert_act(h, cfg)
-    y = jnp.einsum("thf,tf->th", dn.astype(jnp.float32), a)
+    y = _batched_expert_matmul(a.astype(x.dtype)[:, None, :], dn, backend)[:, 0]
     if b_down is not None:
         y = y + jnp.take(b_down, flat_idx, axis=0)
     y = y.reshape(T, k, H) * routing.weights[..., None]
@@ -132,6 +159,7 @@ def moe_all_experts(
     w_down: ExpertWeight,
     b_down: Optional[jax.Array],
     cfg: ModelConfig,
+    backend: str = "xla",
 ) -> jax.Array:
     """Every expert processes every token; combine masks the non-selected.
 
@@ -139,13 +167,12 @@ def moe_all_experts(
     all (or most) experts are active anyway."""
     T, H = x.shape
     E = cfg.num_experts
-    gu = _dense(w_gate_up, x.dtype)  # [E, 2FF, H]
-    dn = _dense(w_down, x.dtype)  # [E, H, FF]
-    h = jnp.einsum("efh,th->etf", gu.astype(jnp.float32), x.astype(jnp.float32))
+    xb = jnp.broadcast_to(x[None], (E, T, H))
+    h = _batched_expert_matmul(xb, w_gate_up, backend)  # [E, T, 2FF] f32
     if b_gate_up is not None:
         h = h + b_gate_up[:, None, :]
     a = expert_act(h, cfg)
-    y = jnp.einsum("ehf,etf->eth", dn.astype(jnp.float32), a)
+    y = _batched_expert_matmul(a.astype(x.dtype), w_down, backend)  # [E, T, H]
     if b_down is not None:
         y = y + b_down[:, None, :]
     # combine [T, E]: sum_k weight_k * one_hot(idx_k)
@@ -167,6 +194,7 @@ def moe_block(
     b_down: Optional[jax.Array],
     cfg: ModelConfig,
     strategy: str = "auto",
+    backend: str = "xla",
 ) -> jax.Array:
     routing = route_topk(
         x, router_w, router_b, cfg.experts_per_token, fp32_logits=cfg.router_logits_fp32
@@ -177,4 +205,4 @@ def moe_block(
             "gather" if x.shape[0] * cfg.experts_per_token < cfg.num_experts else "all"
         )
     fn = moe_gather if strategy == "gather" else moe_all_experts
-    return fn(x, routing, w_gate_up, b_gate_up, w_down, b_down, cfg)
+    return fn(x, routing, w_gate_up, b_gate_up, w_down, b_down, cfg, backend=backend)

@@ -43,22 +43,23 @@ def _lut_nf4(idx: jax.Array) -> jax.Array:
 
 
 def _nf4_matmul_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, *, block_j: int):
-    # xe/xo: [M, Kp] ; q: [TN, Kp] u8 ; s: [TN, Kp // block_j] ; o: [M, TN]
-    q = q_ref[:]
-    low = (q & 0x0F).astype(jnp.int32)
-    high = ((q >> 4) & 0x0F).astype(jnp.int32)
-    # Expand per-block scales to per-column on the MXU: s @ B with
+    # xe/xo: [M, Kp] ; q: [TN, Kp] u8 ; s: [nb, TN] (transposed) ; o: [M, TN]
+    # int32 first: Mosaic cannot legalize shifts on 8-bit vectors (arith.shrui)
+    q = q_ref[:].astype(jnp.int32)
+    low = q & 0x0F
+    high = (q >> 4) & 0x0F
+    # Expand per-block scales to per-column on the MXU: s^T expansion via
     # B[b, j] = (j // block_j == b). Lane-wise repeat via reshape is an
     # unsupported shape cast in Mosaic; this one extra small matmul is free
     # in the memory-bound regime.
-    nb = s_ref.shape[1]
+    nb = s_ref.shape[0]
     Kp = q.shape[1]
     col_block = jax.lax.broadcasted_iota(jnp.int32, (nb, Kp), 1) // block_j
     row_block = jax.lax.broadcasted_iota(jnp.int32, (nb, Kp), 0)
     expand = (col_block == row_block).astype(jnp.float32)
     scales = jax.lax.dot_general(
         s_ref[:].astype(jnp.float32), expand,
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )  # [TN, Kp]
     we = (_lut_nf4(low) * scales).astype(xe_ref.dtype)
     wo = (_lut_nf4(high) * scales).astype(xe_ref.dtype)
@@ -85,14 +86,14 @@ def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
 def _nf4_matmul_2d(
     x: jax.Array,  # [M, K]
     qdata: jax.Array,  # [N, K//2] uint8
-    scales: jax.Array,  # [N, K//64]
+    scales: jax.Array,  # [K//64, N] (transposed layout)
     block_n: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
     M, K = x.shape
     N = qdata.shape[0]
     Kp = K // 2
-    block_j = Kp // scales.shape[1]  # 32 for blocksize 64
+    block_j = Kp // scales.shape[0]  # 32 for blocksize 64
     # deinterleave x into even/odd column subspaces (fused by XLA)
     xp = x.reshape(M, Kp, 2)
     xe, xo = xp[:, :, 0], xp[:, :, 1]
@@ -101,8 +102,9 @@ def _nf4_matmul_2d(
     Mp = xe.shape[0]
     bn = min(block_n, N)
     qdata_p = _pad_to(qdata, 0, bn)
-    scales_p = _pad_to(scales, 0, bn)
+    scales_p = _pad_to(scales, 1, bn)
     Np = qdata_p.shape[0]
+    nb = scales.shape[0]
     grid = (Np // bn,)
     out = pl.pallas_call(
         functools.partial(_nf4_matmul_kernel, block_j=block_j),
@@ -111,7 +113,7 @@ def _nf4_matmul_2d(
             pl.BlockSpec((Mp, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Mp, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, Kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, Kp // block_j), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((Mp, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
@@ -136,13 +138,17 @@ def nf4_matmul(
 
     x: [..., K] (or [E?, ..., K] matching W batch dims); returns f32->x.dtype.
     Falls back to the XLA dequant path for shapes the kernel can't tile
-    (K odd / blocks straddling rows).
+    (odd K / scale blocks straddling rows). Non-lane-aligned K (e.g. the
+    GPT-OSS 2880) is fine — Mosaic pads the minor dim internally.
     """
-    if w.in_features % 128 != 0 or w.blocksize % 2 != 0:
-        y = jax.lax.dot_general(
-            x, w.dequantize(x.dtype), (((x.ndim - 1,), (w.qdata.ndim - 1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    if w.in_features % w.blocksize != 0 or w.blocksize % 2 != 0:
+        wd = w.dequantize(x.dtype)
+        if w.qdata.ndim == 2:
+            dnums = (((x.ndim - 1,), (1,)), ((), ()))
+        else:
+            # leading expert batch dim on both operands
+            dnums = (((x.ndim - 1,), (2,)), ((0,), (0,)))
+        y = jax.lax.dot_general(x, wd, dnums, preferred_element_type=jnp.float32)
         return (y + b if b is not None else y).astype(x.dtype)
 
     if w.qdata.ndim == 2:

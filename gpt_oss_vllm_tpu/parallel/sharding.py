@@ -30,13 +30,14 @@ def layer_pspecs(l: LayerParams) -> LayerParams:
 
     def expert_w(w, parallel_dim: int):
         # [E, out, in]: dim 1 sharded => column-parallel, dim 2 => row-parallel.
-        # NF4Tensor qdata [E, out, in/2] and scales [E, out, in/bs] shard with
-        # the same spec (their packed/blocked dims divide evenly).
+        # NF4Tensor qdata [E, out, in/2] shards like the dense weight; scales
+        # are stored transposed [E, in/bs, out], so their spec swaps the last
+        # two axes.
         spec = ["expert", None, None]
         spec[parallel_dim] = "model"
         if isinstance(w, NF4Tensor):
             return NF4Tensor(
-                qdata=P(*spec), scales=P(*spec),
+                qdata=P(*spec), scales=P(spec[0], spec[2], spec[1]),
                 out_features=w.out_features, in_features=w.in_features, blocksize=w.blocksize,
             )
         return P(*spec)

@@ -15,9 +15,12 @@ expert/stack dims):
   elements ``2k`` (low nibble) and ``2k+1`` (high nibble), i.e. the
   reference's decode order (``streaming_unsloth_bnb.py:179-190``). The
   converter normalizes any source nibble order into this one.
-- ``scales`` : float  ``(..., out, in // blocksize)`` — first-level absmax,
+- ``scales`` : float  ``(..., in // blocksize, out)`` — first-level absmax,
   already double-dequantized at conversion time (the nested level never
   reaches the device; SURVEY.md §5 "checkpoint/resume" design consequence).
+  Stored TRANSPOSED (block dim before out dim) so the minor dimension is the
+  large ``out`` — a ``(out, nb)`` layout lane-pads nb=45 up to 128 on TPU,
+  a 2.8x memory tax measured at +3.4 GB on GPT-OSS-20B.
 - ``blocksize`` must divide ``in`` so no block straddles a row
   (64 | 2880 for GPT-OSS-20B).
 """
@@ -43,7 +46,7 @@ from gpt_oss_vllm_tpu.quant.nf4 import NF4_CODE, nf4_quantize
 @dataclass
 class NF4Tensor:
     qdata: jax.Array  # uint8 (..., out, in // 2)
-    scales: jax.Array  # (..., out, in // blocksize)
+    scales: jax.Array  # (..., in // blocksize, out)  [transposed; see above]
     out_features: int
     in_features: int
     blocksize: int = 64
@@ -67,7 +70,8 @@ class NF4Tensor:
         vals = jnp.take(code, idx, axis=0)
         nblk = self.in_features // self.blocksize
         vals = vals.reshape(*q.shape[:-1], nblk, self.blocksize)
-        vals = vals * self.scales.astype(jnp.float32)[..., None]
+        scales_ob = jnp.swapaxes(self.scales, -1, -2)  # (..., out, nb)
+        vals = vals * scales_ob.astype(jnp.float32)[..., None]
         return vals.reshape(*q.shape[:-1], self.in_features).astype(dtype)
 
     def nbytes(self) -> int:
@@ -92,9 +96,9 @@ def nf4_tensor_from_dense(
     for row in flat:
         packed, absmax = nf4_quantize(row, blocksize=blocksize)
         qdatas.append(packed.reshape(out_f, in_f // 2))
-        scaless.append(absmax.reshape(out_f, in_f // blocksize))
+        scaless.append(absmax.reshape(out_f, in_f // blocksize).T)
     qdata = np.stack(qdatas).reshape(*batch, out_f, in_f // 2)
-    scales = np.stack(scaless).reshape(*batch, out_f, in_f // blocksize)
+    scales = np.stack(scaless).reshape(*batch, in_f // blocksize, out_f)
     return NF4Tensor(
         qdata=jnp.asarray(qdata),
         scales=jnp.asarray(scales, dtype=scale_dtype),

@@ -110,7 +110,8 @@ def test_converter_is_lossless_on_weight_bits(synth_ckpt, native_ckpt, tiny_cfg)
     dst = s.read("layers.0.moe.down.qdata")[5]
     np.testing.assert_array_equal(np.asarray(dst), src)
     # and the dense decode through the native store equals the reader's dense path
-    scales = np.asarray(s.read("layers.0.moe.down.scales")[5], dtype=np.float32)
+    # (store scales are transposed [nb, out]; flat dequant wants [out, nb] order)
+    scales = np.asarray(s.read("layers.0.moe.down.scales")[5], dtype=np.float32).T
     native_dense = nf4_dequantize(np.asarray(dst).reshape(-1), scales.reshape(-1), (H, FF), 64)
     ref_dense = r.read_expert_dense(0, 5, "down", H, FF)
     np.testing.assert_allclose(native_dense, ref_dense, atol=2e-6)

@@ -175,6 +175,8 @@ def test_kv_cache_write_drop_semantics(ecfg):
     k_new = jnp.ones((1, 2, ecfg.model.num_kv_heads, ecfg.model.head_dim))
     slots = jnp.asarray([[3, -1]], dtype=jnp.int32)  # second write dropped
     cache2 = write_kv(cache, 0, k_new, k_new, slots)
-    flat = np.asarray(cache2.k[0]).reshape(-1, ecfg.model.num_kv_heads, ecfg.model.head_dim)
+    flat = np.asarray(cache2.k[0]).reshape(
+        -1, ecfg.model.num_kv_heads, ecfg.model.head_dim
+    )
     assert flat[3].sum() > 0
     assert np.count_nonzero(flat.sum(axis=(1, 2))) == 1  # only slot 3 written

@@ -130,7 +130,7 @@ def test_nf4_tensor_jax_dequant_matches_numpy(rng):
     w = rng.normal(0, 0.02, size=(3, 32, 128)).astype(np.float32)  # expert dim
     t = nf4_tensor_from_dense(w, blocksize=64)
     assert t.qdata.shape == (3, 32, 64)
-    assert t.scales.shape == (3, 32, 2)
+    assert t.scales.shape == (3, 2, 32)  # transposed [.., nb, out] layout
     jax_deq = np.asarray(t.dequantize(dtype=np.float32))
     for e in range(3):
         packed, absmax = nf4_quantize(w[e], blocksize=64)
