@@ -42,6 +42,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def dataclasses_replace_tied(cfg):
+    import dataclasses
+
+    return dataclasses.replace(cfg, tie_word_embeddings=True)
+
+
 def build_decode_step(cfg: ModelConfig, quant_backend: str):
     """One decode step as its own program, chained by async dispatch.
 
@@ -90,18 +96,27 @@ def time_decode(cfg, params, cache_cfg, quant_backend, batch, n_steps, reps=3):
 
     t0 = time.monotonic()
     cache, tok, pos = step(params, cache, bt, tok0, pos0)
-    jax.block_until_ready(tok)
+    _ = np.asarray(tok)  # on this backend only a value readback synchronizes
     log(f"  decode step (batch={batch}) compile+first: {time.monotonic() - t0:.1f}s")
 
-    best = float("inf")
-    for _ in range(reps):
+    def run_chain(n):
+        nonlocal cache
         t0 = time.monotonic()
         tok, pos = tok0, pos0
-        for _ in range(n_steps):
+        for _ in range(n):
             cache, tok, pos = step(params, cache, bt, tok, pos)
-        jax.block_until_ready(tok)
-        best = min(best, time.monotonic() - t0)
-    return batch * n_steps / best, best / n_steps
+        _ = np.asarray(tok)
+        return time.monotonic() - t0
+
+    run_chain(4)  # warm
+    # slope timing: difference of two chain lengths cancels the fixed
+    # dispatch+sync+readback overhead of the tunnel-attached device
+    n1, n2 = 8, 8 + n_steps
+    best = float("inf")
+    for _ in range(reps):
+        t1, t2 = run_chain(n1), run_chain(n2)
+        best = min(best, (t2 - t1) / (n2 - n1))
+    return batch / best, best
 
 
 def time_prefill(cfg, params, cache_cfg, quant_backend):
@@ -125,22 +140,29 @@ def time_prefill(cfg, params, cache_cfg, quant_backend):
     last = jnp.asarray([PREFILL_LEN - 1], jnp.int32)
     out = step(params, cache=cache, tokens=tokens, positions=positions,
                block_tables=jnp.asarray(bt), last_idx=last)
-    jax.block_until_ready(out.logits)
+    _ = np.asarray(out.logits[0, :8])
     cache = out.cache
-    t0 = time.monotonic()
-    out = step(params, cache=cache, tokens=tokens, positions=positions,
-               block_tables=jnp.asarray(bt), last_idx=last)
-    jax.block_until_ready(out.logits)
-    return time.monotonic() - t0
+    best = float("inf")
+    for _i in range(3):
+        t0 = time.monotonic()
+        out = step(params, cache=cache, tokens=tokens, positions=positions,
+                   block_tables=jnp.asarray(bt), last_idx=last)
+        cache = out.cache
+        _ = np.asarray(out.logits[0, :8])  # sync; includes one readback RTT
+        best = min(best, time.monotonic() - t0)
+    return best
 
 
 def main():
     log(f"devices: {jax.devices()}  backend: {jax.default_backend()}")
     on_tpu = jax.default_backend() == "tpu"
     quant_backend = "pallas" if on_tpu else "xla"
-    cfg = ModelConfig()  # full GPT-OSS-20B architecture
-    # bf16 scales: adds ~0.4% scale rounding (far below NF4's own step) and
-    # halves scale bytes — needed to fit 20B + KV in 16 GB HBM
+    # Full GPT-OSS-20B architecture. tie_word_embeddings: the decode compute
+    # path (embed gather + lm-head matmul) is identical, but only one 1.16 GB
+    # vocab table stays resident — the margin that lets 24 layers + KV fit in
+    # this chip's 15.75 GB HBM. bf16 scales likewise (+0.4% scale rounding,
+    # far below NF4's own step).
+    cfg = dataclasses_replace_tied(ModelConfig())
     quant = QuantConfig(method="nf4", scale_dtype="bfloat16")
     layers = cfg.num_layers
     scale_note = ""
@@ -171,6 +193,12 @@ def main():
         except Exception as e:
             msg = str(e)
             if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg or "exceeds" in msg:
+                # free the failed attempt's buffers before rebuilding
+                params = None  # noqa: F841
+                import gc
+
+                gc.collect()
+                jax.clear_caches()
                 layers = layers // 2
                 scale_note = f"_layers{layers}"
                 log(f"OOM; retrying with {layers} layers")

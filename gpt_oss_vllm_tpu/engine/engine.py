@@ -45,11 +45,42 @@ def _next_bucket(n: int, lo: int = 16) -> int:
 
 
 class InferenceEngine:
-    def __init__(self, config: EngineConfig, params: ModelParams, attn_backend: str = "xla"):
+    def __init__(
+        self,
+        config: EngineConfig,
+        params: ModelParams,
+        attn_backend: str = "xla",
+        mesh=None,
+    ):
+        """mesh: optional jax Mesh ('data','expert','model'). When given,
+        params are GSPMD-sharded (EP over experts, head-aligned TP) and the
+        KV cache is sharded over kv heads; the same jitted step functions
+        then run SPMD — XLA inserts the collectives (SURVEY.md §2.3)."""
         self.config = config
+        self.mesh = mesh
+        if mesh is not None:
+            from gpt_oss_vllm_tpu.parallel.sharding import (
+                cache_pspec,
+                shard_params,
+            )
+            from jax.sharding import NamedSharding
+
+            params = shard_params(params, mesh)
         self.params = params
         cfg, cc, sc = config.model, config.cache, config.scheduler
         self.cache = KVCache.create(cfg, cc)
+        if mesh is not None:
+            from gpt_oss_vllm_tpu.parallel.sharding import cache_pspec
+            from jax.sharding import NamedSharding
+
+            sharding = NamedSharding(mesh, cache_pspec())
+            self.cache = KVCache(
+                k=jax.device_put(self.cache.k, sharding),
+                v=jax.device_put(self.cache.v, sharding),
+                block_size=self.cache.block_size,
+                num_kv_heads=self.cache.num_kv_heads,
+                head_dim=self.cache.head_dim,
+            )
         self.allocator = BlockAllocator(cc.num_blocks)
         self.block_size = cc.block_size
         self.max_blocks = cc.max_blocks_per_seq
@@ -64,6 +95,9 @@ class InferenceEngine:
         self._key = jax.random.PRNGKey(config.seed)
         self._step_counter = 0
         self.metrics = {"prefill_tokens": 0, "decode_tokens": 0, "steps": 0}
+        from gpt_oss_vllm_tpu.utils.telemetry import StepTimer
+
+        self.timer = StepTimer()
 
         qb = config.quant.backend if config.quant.enabled else "xla"
         if qb == "pallas" and jax.default_backend() != "tpu":
@@ -255,8 +289,16 @@ class InferenceEngine:
         outputs: List[StepOutput] = []
         self.metrics["steps"] += 1
         if self.waiting:
-            outputs.extend(self._admit_one())
-        outputs.extend(self._decode_all())
+            t0 = time.time()
+            admitted = self._admit_one()
+            if admitted:
+                self.timer.record("prefill", time.time() - t0)
+            outputs.extend(admitted)
+        t0 = time.time()
+        decoded = self._decode_all()
+        if decoded:
+            self.timer.record("decode", time.time() - t0)
+        outputs.extend(decoded)
         self._step_counter += 1
         return outputs
 

@@ -204,5 +204,22 @@ def moe_block(
         strategy = (
             "gather" if x.shape[0] * cfg.experts_per_token < cfg.num_experts else "all"
         )
+    if strategy == "gmm":
+        import functools
+
+        from gpt_oss_vllm_tpu.ops.moe_gmm import moe_gmm_block
+
+        if not isinstance(w_gate_up, NF4Tensor):
+            raise ValueError("gmm strategy requires NF4-packed expert weights")
+        return moe_gmm_block(
+            x,
+            routing.weights,
+            routing.indices,
+            w_gate_up,
+            b_gate_up,
+            w_down,
+            b_down,
+            act_fn=functools.partial(expert_act, cfg=cfg),
+        )
     fn = moe_gather if strategy == "gather" else moe_all_experts
     return fn(x, routing, w_gate_up, b_gate_up, w_down, b_down, cfg, backend=backend)

@@ -73,8 +73,9 @@ def params_pspecs(params: ModelParams) -> ModelParams:
 
 
 def cache_pspec() -> P:
-    # [L, num_blocks, block_size, n_kv, D] — kv heads over 'model'
-    return P(None, None, None, "model", None)
+    # [L, num_blocks, block_size, n_kv * D] (flat head-dim layout) — sharding
+    # the last dim over 'model' is head-aligned whenever tp divides n_kv
+    return P(None, None, None, "model")
 
 
 def _to_sharding(mesh: Mesh, tree):

@@ -183,6 +183,7 @@ class Server:
         m = dict(self.ae.engine.metrics)
         m["kv_blocks_free"] = self.ae.engine.allocator.num_free
         m["kv_blocks_total"] = self.ae.engine.allocator.num_blocks
+        m["step_latency"] = self.ae.engine.timer.summary()
         return web.json_response(m)
 
     async def models(self, request: web.Request) -> web.Response:

@@ -1,0 +1,74 @@
+"""Ragged grouped-expert gmm kernel vs the gather-strategy oracle."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gpt_oss_vllm_tpu.config import ModelConfig
+from gpt_oss_vllm_tpu.ops.moe import expert_act, moe_gather, route_topk, RouterOut
+from gpt_oss_vllm_tpu.ops.moe_gmm import build_grouping, moe_gmm_block
+from gpt_oss_vllm_tpu.quant.tensor import nf4_tensor_from_dense
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return ModelConfig.tiny(num_experts=8, experts_per_token=2)
+
+
+def test_build_grouping(rng):
+    ids = jnp.asarray([3, 1, 3, 0, 1, 3], dtype=jnp.int32)
+    g = build_grouping(ids, 5)
+    sorted_ids = np.asarray(jnp.take(ids, g.sorted_pair_to_row))
+    assert list(sorted_ids) == sorted(sorted_ids.tolist())
+    np.testing.assert_array_equal(np.asarray(g.group_size), [1, 2, 0, 3, 0])
+    np.testing.assert_array_equal(np.asarray(g.group_start), [0, 1, 3, 3, 6])
+    np.testing.assert_array_equal(np.asarray(g.group_expert), [0, 1, -1, 3, -1])
+
+
+@pytest.mark.parametrize("T", [1, 5, 9])
+def test_gmm_block_matches_gather(rng, cfg, T):
+    E, H, FF = cfg.num_experts, cfg.hidden_size, cfg.intermediate_size
+    wgu = nf4_tensor_from_dense(rng.normal(0, 0.05, size=(E, 2 * FF, H)).astype(np.float32))
+    wdn = nf4_tensor_from_dense(rng.normal(0, 0.05, size=(E, H, FF)).astype(np.float32))
+    bgu = jnp.asarray(rng.normal(size=(E, 2 * FF)) * 0.01, dtype=jnp.float32)
+    bdn = jnp.asarray(rng.normal(size=(E, H)) * 0.01, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(T, H)) * 0.3, dtype=jnp.float32)
+    rw = jnp.asarray(rng.normal(size=(E, H)), dtype=jnp.float32)
+    routing = route_topk(x, rw, None, cfg.experts_per_token)
+
+    oracle = moe_gather(x, routing, wgu, bgu, wdn, bdn, cfg, backend="xla")
+    got = moe_gmm_block(
+        x,
+        routing.weights,
+        routing.indices,
+        wgu,
+        bgu,
+        wdn,
+        bdn,
+        act_fn=functools.partial(expert_act, cfg=cfg),
+        tm=4,  # small window to exercise group chunking
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle), rtol=5e-3, atol=5e-3)
+
+
+def test_gmm_skewed_routing_all_one_expert(rng, cfg):
+    """All pairs land on one expert: exercises multi-chunk groups."""
+    E, H, FF = cfg.num_experts, cfg.hidden_size, cfg.intermediate_size
+    wgu = nf4_tensor_from_dense(rng.normal(0, 0.05, size=(E, 2 * FF, H)).astype(np.float32))
+    wdn = nf4_tensor_from_dense(rng.normal(0, 0.05, size=(E, H, FF)).astype(np.float32))
+    T, k = 6, cfg.experts_per_token
+    x = jnp.asarray(rng.normal(size=(T, H)) * 0.3, dtype=jnp.float32)
+    indices = jnp.full((T, k), 3, dtype=jnp.int32)
+    weights = jnp.full((T, k), 1.0 / k, dtype=jnp.float32)
+    routing = RouterOut(weights=weights, indices=indices)
+    oracle = moe_gather(x, routing, wgu, None, wdn, None, cfg, backend="xla")
+    got = moe_gmm_block(
+        x, weights, indices, wgu, None, wdn, None,
+        act_fn=functools.partial(expert_act, cfg=cfg), tm=4, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle), rtol=5e-3, atol=5e-3)
