@@ -101,17 +101,19 @@ def load_params_from_store(
     H, FF = cfg.hidden_size, cfg.intermediate_size
 
     def load_expert(li: int, proj: str, out_f: int, in_f: int) -> ExpertWeight:
+        from gpt_oss_vllm_tpu.quant.tensor import ensure_kernel_padded
+
         qdata = store.read(f"layers.{li}.moe.{proj}.qdata")
         scales = store.read(f"layers.{li}.moe.{proj}.scales")
         t = NF4Tensor(
             qdata=jnp.asarray(qdata),
-            scales=jnp.asarray(np.asarray(scales, dtype=np.float32)),
+            scales=jnp.asarray(np.asarray(scales)).astype(jnp.dtype(quant.scale_dtype)),
             out_features=out_f,
             in_features=in_f,
             blocksize=store.metadata.get("quant", {}).get("blocksize", 64),
         )
         if quant.enabled:
-            return t
+            return ensure_kernel_padded(t)
         return t.dequantize(dtype=dt)
 
     layers = []
@@ -177,17 +179,21 @@ def random_params_on_device(
     def expert(out_f, in_f) -> ExpertWeight:
         if not quant.enabled:
             return dense(E, out_f, in_f)
+        from gpt_oss_vllm_tpu.quant.tensor import ensure_kernel_padded
+
         bits = jax.random.randint(nxt(), (E, out_f, in_f // 2), 0, 256, dtype=jnp.int32)
         scales = jnp.abs(
             jax.random.normal(nxt(), (E, in_f // quant.blocksize, out_f), dtype=jnp.float32)
         ) * scale + scale * 0.5
         scales = scales.astype(jnp.dtype(quant.scale_dtype))
-        return NF4Tensor(
-            qdata=bits.astype(jnp.uint8),
-            scales=scales,
-            out_features=out_f,
-            in_features=in_f,
-            blocksize=quant.blocksize,
+        return ensure_kernel_padded(
+            NF4Tensor(
+                qdata=bits.astype(jnp.uint8),
+                scales=scales,
+                out_features=out_f,
+                in_features=in_f,
+                blocksize=quant.blocksize,
+            )
         )
 
     layers = []

@@ -200,10 +200,14 @@ def moe_block(
         x, router_w, router_b, cfg.experts_per_token, fp32_logits=cfg.router_logits_fp32
     )
     if strategy == "auto":
-        # gather wins while selected-expert weight reads < all-expert reads
-        strategy = (
-            "gather" if x.shape[0] * cfg.experts_per_token < cfg.num_experts else "all"
-        )
+        small = x.shape[0] * cfg.experts_per_token < cfg.num_experts
+        if backend == "pallas" and isinstance(w_gate_up, NF4Tensor) and x.shape[0] * cfg.experts_per_token <= 512:
+            # decode-sized token counts: the ragged gmm kernel reads only the
+            # activated experts' bytes straight from HBM (no gather copies)
+            strategy = "gmm"
+        else:
+            # gather wins while selected-expert reads < all-expert reads
+            strategy = "gather" if small else "all"
     if strategy == "gmm":
         import functools
 

@@ -36,40 +36,76 @@ from gpt_oss_vllm_tpu.ops.nf4_matmul import _lut_nf4
 from gpt_oss_vllm_tpu.quant.tensor import NF4Tensor
 
 
+ROW_ALIGN = 8  # Mosaic: dynamic sublane offsets must be provably 8-aligned
+
+
 class Grouping(NamedTuple):
     sorted_pair_to_row: jax.Array  # [P] int32: pair index sorted by expert
-    group_expert: jax.Array  # [E] int32 expert id (-1 = empty group)
-    group_start: jax.Array  # [E] int32 offset into sorted pairs
-    group_size: jax.Array  # [E] int32
+    pair_position: jax.Array  # [P] int32: padded-layout row of sorted pair i
+    group_expert: jax.Array  # [G] int32 expert id of compact group (repeats
+    #                           the previous id for unused slots -> their
+    #                           pipeline loads are elided as unchanged)
+    group_start: jax.Array  # [G] int32 8-ALIGNED offset into the padded rows
+    group_size: jax.Array  # [G] int32 (0 for unused slots)
+
+
+def num_groups(num_pairs: int, num_experts: int) -> int:
+    """Compact group count: at most min(E, P) distinct experts activate."""
+    return min(num_experts, num_pairs)
 
 
 def build_grouping(expert_ids: jax.Array, num_experts: int) -> Grouping:
-    """Sort T*k routed pairs by expert; one (possibly empty) group per expert."""
+    """Sort T*k routed pairs by expert into COMPACT groups (one slot per
+    distinct activated expert — for batch-1 decode that is k slots, not E,
+    which shrinks the kernel grid 8x for GPT-OSS).
+
+    Each group's rows live at an 8-aligned offset in a padded layout (gaps
+    between groups are dead rows) so kernel row windows satisfy Mosaic's
+    alignment proof."""
+    P = expert_ids.shape[0]
+    G = num_groups(P, num_experts)
     order = jnp.argsort(expert_ids).astype(jnp.int32)
     sorted_ids = jnp.take(expert_ids, order)
-    counts = jnp.zeros(num_experts, jnp.int32).at[sorted_ids].add(1)
-    starts = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    is_new = jnp.concatenate(
+        [jnp.ones(1, jnp.int32), (sorted_ids[1:] != sorted_ids[:-1]).astype(jnp.int32)]
     )
-    experts = jnp.where(counts > 0, jnp.arange(num_experts, dtype=jnp.int32), -1)
-    return Grouping(order, experts, starts, counts)
+    slot_of_pair = jnp.cumsum(is_new).astype(jnp.int32) - 1  # [P] compact slot
+    slot_sizes = jnp.zeros(G, jnp.int32).at[slot_of_pair].add(1, mode="drop")
+    raw_starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(slot_sizes)[:-1].astype(jnp.int32)]
+    )
+    padded_sizes = ((slot_sizes + ROW_ALIGN - 1) // ROW_ALIGN) * ROW_ALIGN
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_sizes)[:-1].astype(jnp.int32)]
+    )
+    rank = jnp.arange(P, dtype=jnp.int32) - jnp.take(raw_starts, slot_of_pair)
+    position = jnp.take(starts, slot_of_pair) + rank
+    slot_expert = (
+        jnp.zeros(G, jnp.int32).at[slot_of_pair].max(sorted_ids, mode="drop")
+    )
+    # unused slots repeat the last real expert id (cummax keeps them equal to
+    # the previous slot's id so their block loads are elided)
+    slot_expert = jnp.where(slot_sizes > 0, slot_expert, 0)
+    slot_expert = jax.lax.associative_scan(jnp.maximum, slot_expert)
+    return Grouping(order, position, slot_expert, starts, slot_sizes)
+
+
+def padded_rows(num_pairs: int, num_experts: int, tm: int) -> int:
+    """Static bound on the padded layout size (+ window overrun margin)."""
+    return num_pairs + ROW_ALIGN * num_groups(num_pairs, num_experts) + tm
 
 
 def _gmm_kernel(
     # scalar prefetch
-    expert_ref,  # [E] int32
+    expert_ref,  # [E] int32 (load-index expert per group, empty groups repeat)
     start_ref,  # [E]
     size_ref,  # [E]
-    # tensors
-    xe_ref,  # [P_pad, K//2] VMEM (even columns of sorted tokens)
+    # pipelined blocks (index maps use the prefetched expert ids)
+    xe_ref,  # [P_pad, K//2] VMEM (even columns of padded token rows)
     xo_ref,  # [P_pad, K//2] VMEM (odd columns)
-    q_hbm,  # [E, N, K//2] HBM
-    s_hbm,  # [E, nb, N] HBM
+    q_ref,  # [1, TN, K//2] VMEM block of this group's expert
+    s_ref,  # [1, nb, TN] VMEM block
     o_ref,  # [P_pad, TN] VMEM (resident out-tile)
-    # scratch
-    q_buf,  # [TN, K//2]
-    s_buf,  # [nb, TN]
-    sems,
     *,
     tn: int,
     kp: int,
@@ -77,10 +113,8 @@ def _gmm_kernel(
     block_j: int,
     tm: int,
 ):
-    jn = pl.program_id(0)
     g = pl.program_id(1)
     s = pl.program_id(2)
-    e = expert_ref[g]
     size = size_ref[g]
     chunk_rows = size - s * tm  # rows this chunk still owns
 
@@ -90,12 +124,8 @@ def _gmm_kernel(
 
     @pl.when(chunk_rows > 0)
     def _work():
-        qd = pltpu.make_async_copy(q_hbm.at[e, pl.ds(jn * tn, tn), :], q_buf, sems.at[0])
-        sd = pltpu.make_async_copy(s_hbm.at[e, :, pl.ds(jn * tn, tn)], s_buf, sems.at[1])
-        qd.start()
-        sd.start()
-        qd.wait()
-        sd.wait()
+        q_buf = q_ref[0]  # [TN, Kp]
+        s_buf = s_ref[0]  # [nb, TN]
         q = q_buf[:].astype(jnp.int32)
         low = q & 0x0F
         high = (q >> 4) & 0x0F
@@ -108,7 +138,9 @@ def _gmm_kernel(
         )  # [TN, Kp]
         we = (_lut_nf4(low) * scales).astype(xe_ref.dtype)
         wo = (_lut_nf4(high) * scales).astype(xe_ref.dtype)
-        row0 = start_ref[g] + s * tm
+        # group starts are 8-aligned by construction (build_grouping) and tm
+        # is a multiple of 8 — assert it for Mosaic's dynamic-offset proof
+        row0 = pl.multiple_of(start_ref[g] + s * tm, ROW_ALIGN)
         xe = xe_ref[pl.ds(row0, tm), :]
         xo = xo_ref[pl.ds(row0, tm), :]
         acc = jax.lax.dot_general(
@@ -123,50 +155,72 @@ def _gmm_kernel(
         o_ref[pl.ds(row0, tm), :] = jnp.where(valid, acc, cur)
 
 
+def _check_tm(tm: int) -> int:
+    if tm % ROW_ALIGN != 0:
+        raise ValueError(f"tm must be a multiple of {ROW_ALIGN}, got {tm}")
+    return tm
+
+
 def moe_gmm_nf4(
     xe_sorted: jax.Array,  # [P_pad, K//2]
     xo_sorted: jax.Array,  # [P_pad, K//2]
     w: NF4Tensor,  # [E, N, K] packed
     grouping: Grouping,
     tm: int,
-    block_n: int = 512,
+    num_pairs: int,
+    block_n: int = 640,
     interpret: bool = False,
 ) -> jax.Array:
+    from gpt_oss_vllm_tpu.quant.tensor import ensure_kernel_padded, kernel_out_tile
+
     P_pad, Kp = xe_sorted.shape
     K = Kp * 2
-    E, N = w.qdata.shape[0], w.out_features
     nb = K // w.blocksize
     G = grouping.group_expert.shape[0]
-    tn = min(block_n, N)
-    assert N % tn == 0, (N, tn)
-    n_chunks = max(1, -(-(P_pad - tm) // tm)) if tm < P_pad else 1
-    grid = (N // tn, G, n_chunks)
+
+    # out-tile tn must be a 128-multiple divisor of the PHYSICAL out dim
+    # (lane constraint on q/s/out blocks). Weights should arrive pre-padded
+    # (ensure_kernel_padded at load); the in-graph fallback pad here would
+    # copy the weights EVERY call.
+    w = ensure_kernel_padded(w, cap=block_n)
+    N = w.out_rows
+    tn = kernel_out_tile(N, block_n)
+    NQ = N // tn
+    # chunks cover the worst-case group (all pairs on one expert)
+    n_chunks = max(1, -(-num_pairs // tm))
+    grid = (NQ, G, n_chunks)
     kernel = functools.partial(_gmm_kernel, tn=tn, kp=Kp, nb=nb, block_j=Kp // nb, tm=tm)
+    # group_expert already repeats ids across unused compact slots, so their
+    # unchanged block indices elide the pipeline DMAs
+    load_expert = grouping.group_expert.astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, tn, Kp),
+                lambda j, g, s, e_ref, *_: (e_ref[g], j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, nb, tn),
+                lambda j, g, s, e_ref, *_: (e_ref[g], 0, j),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (P_pad, tn), lambda j, g, s, *_: (0, j), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((tn, Kp), w.qdata.dtype),
-            pltpu.VMEM((nb, tn), w.scales.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((P_pad, N), jnp.float32),
         interpret=interpret,
     )(
-        grouping.group_expert,
+        load_expert,
         grouping.group_start,
         grouping.group_size,
         xe_sorted,
@@ -174,6 +228,7 @@ def moe_gmm_nf4(
         w.qdata,
         w.scales,
     )
+    return out[:, : w.out_features]
 
 
 def _deinterleave(x: jax.Array):
@@ -199,24 +254,25 @@ def moe_gmm_block(
     k = routing_indices.shape[1]
     E = w_gate_up.qdata.shape[0]
     P = T * k
-    tm = min(tm, P)
+    tm = _check_tm(max(ROW_ALIGN, min(tm, ((P + 7) // 8) * 8)))
     flat_ids = routing_indices.reshape(-1)
     grouping = build_grouping(flat_ids, E)
     token_of_pair = jnp.take(
         jnp.repeat(jnp.arange(T, dtype=jnp.int32), k), grouping.sorted_pair_to_row
     )
     sorted_experts = jnp.take(flat_ids, grouping.sorted_pair_to_row)
-    P_pad = P + tm  # window overrun room
-    x_sorted = jnp.zeros((P_pad, H), x.dtype).at[:P].set(jnp.take(x, token_of_pair, axis=0))
-    xe, xo = _deinterleave(x_sorted)
+    pos = grouping.pair_position  # padded-layout rows (8-aligned group starts)
+    P_pad = padded_rows(P, E, tm)
+    x_padded = jnp.zeros((P_pad, H), x.dtype).at[pos].set(jnp.take(x, token_of_pair, axis=0))
+    xe, xo = _deinterleave(x_padded)
 
-    h = moe_gmm_nf4(xe, xo, w_gate_up, grouping, tm, interpret=interpret)[:P]
+    h = jnp.take(moe_gmm_nf4(xe, xo, w_gate_up, grouping, tm, P, interpret=interpret), pos, axis=0)
     if b_gate_up is not None:
         h = h + jnp.take(b_gate_up, sorted_experts, axis=0)
     a = act_fn(h).astype(x.dtype)
-    a_pad = jnp.zeros((P_pad, a.shape[-1]), x.dtype).at[:P].set(a)
-    ae, ao = _deinterleave(a_pad)
-    y = moe_gmm_nf4(ae, ao, w_down, grouping, tm, interpret=interpret)[:P]
+    a_padded = jnp.zeros((P_pad, a.shape[-1]), x.dtype).at[pos].set(a)
+    ae, ao = _deinterleave(a_padded)
+    y = jnp.take(moe_gmm_nf4(ae, ao, w_down, grouping, tm, P, interpret=interpret), pos, axis=0)
     if b_down is not None:
         y = y + jnp.take(b_down, sorted_experts, axis=0)
     wts = jnp.take(routing_weights.reshape(-1), grouping.sorted_pair_to_row)

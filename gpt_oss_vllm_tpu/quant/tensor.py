@@ -59,10 +59,20 @@ class NF4Tensor:
     def shape(self):
         return (*self.batch_shape, self.out_features, self.in_features)
 
+    @property
+    def out_rows(self) -> int:
+        """Physical row count; may exceed ``out_features`` when the tensor is
+        stored kernel-padded (extra zero-scale rows so the out dim has a
+        128-multiple tile — e.g. 2880 -> 3072). Logical results always slice
+        to ``out_features``."""
+        return self.qdata.shape[-2]
+
     def dequantize(self, dtype=jnp.bfloat16) -> jax.Array:
         """In-graph XLA dequantization to a dense matrix (correctness path)."""
         code = jnp.asarray(NF4_CODE, dtype=jnp.float32)
         q = self.qdata
+        if self.out_rows != self.out_features:
+            q = q[..., : self.out_features, :]
         low = (q & 0x0F).astype(jnp.int32)
         high = ((q >> 4) & 0x0F).astype(jnp.int32)
         # interleave (low, high) pairs back into the flat row order
@@ -70,12 +80,54 @@ class NF4Tensor:
         vals = jnp.take(code, idx, axis=0)
         nblk = self.in_features // self.blocksize
         vals = vals.reshape(*q.shape[:-1], nblk, self.blocksize)
-        scales_ob = jnp.swapaxes(self.scales, -1, -2)  # (..., out, nb)
+        scales_ob = jnp.swapaxes(self.scales, -1, -2)  # (..., out_rows, nb)
+        if self.out_rows != self.out_features:
+            scales_ob = scales_ob[..., : self.out_features, :]
         vals = vals * scales_ob.astype(jnp.float32)[..., None]
         return vals.reshape(*q.shape[:-1], self.in_features).astype(dtype)
 
     def nbytes(self) -> int:
         return self.qdata.size + self.scales.size * self.scales.dtype.itemsize
+
+
+def kernel_out_tile(n: int, cap: int = 640):
+    """Largest 128-multiple divisor of n up to cap (None if none exists)."""
+    best = None
+    for t in range(128, min(cap, n) + 1, 128):
+        if n % t == 0:
+            best = t
+    return best
+
+
+def ensure_kernel_padded(t: NF4Tensor, cap: int = 640) -> NF4Tensor:
+    """Pad out rows only when the grouped kernels have no legal out tile
+    (e.g. 2880 -> 3072); a no-op otherwise. Call once at parameter creation —
+    padding inside a jitted step would copy the weights every call."""
+    if kernel_out_tile(t.out_rows, cap) is not None:
+        return t
+    return pad_out_rows(t, multiple=512)
+
+
+def pad_out_rows(t: NF4Tensor, multiple: int = 512) -> NF4Tensor:
+    """Kernel-pad the out dim with zero-scale rows up to a multiple of
+    ``multiple`` (so grouped kernels get 128-aligned out tiles). Logical
+    ``out_features`` is unchanged; padded rows decode to exact zeros."""
+    rows = t.out_rows
+    target = -(-rows // multiple) * multiple
+    if target == rows:
+        return t
+    pad = target - rows
+    widths_q = [(0, 0)] * t.qdata.ndim
+    widths_q[-2] = (0, pad)
+    widths_s = [(0, 0)] * t.scales.ndim
+    widths_s[-1] = (0, pad)  # scales are [..., nb, out]
+    return NF4Tensor(
+        qdata=jnp.pad(t.qdata, widths_q),
+        scales=jnp.pad(t.scales, widths_s),
+        out_features=t.out_features,
+        in_features=t.in_features,
+        blocksize=t.blocksize,
+    )
 
 
 def nf4_tensor_from_dense(

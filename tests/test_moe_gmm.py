@@ -24,9 +24,14 @@ def test_build_grouping(rng):
     g = build_grouping(ids, 5)
     sorted_ids = np.asarray(jnp.take(ids, g.sorted_pair_to_row))
     assert list(sorted_ids) == sorted(sorted_ids.tolist())
-    np.testing.assert_array_equal(np.asarray(g.group_size), [1, 2, 0, 3, 0])
-    np.testing.assert_array_equal(np.asarray(g.group_start), [0, 1, 3, 3, 6])
-    np.testing.assert_array_equal(np.asarray(g.group_expert), [0, 1, -1, 3, -1])
+    # compact grouping: one slot per DISTINCT activated expert
+    np.testing.assert_array_equal(np.asarray(g.group_size), [1, 2, 3, 0, 0])
+    # starts are padded to 8-aligned group regions
+    np.testing.assert_array_equal(np.asarray(g.group_start), [0, 8, 16, 24, 24])
+    # unused slots repeat the previous expert id (DMA elision)
+    np.testing.assert_array_equal(np.asarray(g.group_expert), [0, 1, 3, 3, 3])
+    np.testing.assert_array_equal(np.asarray(g.pair_position), [0, 8, 9, 16, 17, 18])
+    assert all(np.asarray(g.group_start) % 8 == 0)
 
 
 @pytest.mark.parametrize("T", [1, 5, 9])
