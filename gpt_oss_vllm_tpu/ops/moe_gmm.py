@@ -173,9 +173,9 @@ def moe_gmm_nf4(
 ) -> jax.Array:
     from gpt_oss_vllm_tpu.quant.tensor import ensure_kernel_padded, kernel_out_tile
 
-    P_pad, Kp = xe_sorted.shape
-    K = Kp * 2
-    nb = K // w.blocksize
+    P_pad, Kp = xe_sorted.shape  # Kp = physical packed width (may be padded)
+    assert Kp == w.kp_phys, (Kp, w.kp_phys)
+    nb = w.nb_phys
     G = grouping.group_expert.shape[0]
 
     # out-tile tn must be a 128-multiple divisor of the PHYSICAL out dim
@@ -231,9 +231,15 @@ def moe_gmm_nf4(
     return out[:, : w.out_features]
 
 
-def _deinterleave(x: jax.Array):
+def _deinterleave(x: jax.Array, kp_phys: int):
     xp = x.reshape(*x.shape[:-1], x.shape[-1] // 2, 2)
-    return xp[..., 0], xp[..., 1]
+    xe, xo = xp[..., 0], xp[..., 1]
+    pad = kp_phys - xe.shape[-1]
+    if pad:
+        widths = [(0, 0)] * xe.ndim
+        widths[-1] = (0, pad)
+        xe, xo = jnp.pad(xe, widths), jnp.pad(xo, widths)
+    return xe, xo
 
 
 def moe_gmm_block(
@@ -263,15 +269,19 @@ def moe_gmm_block(
     sorted_experts = jnp.take(flat_ids, grouping.sorted_pair_to_row)
     pos = grouping.pair_position  # padded-layout rows (8-aligned group starts)
     P_pad = padded_rows(P, E, tm)
+    from gpt_oss_vllm_tpu.quant.tensor import ensure_kernel_padded
+
+    w_gate_up = ensure_kernel_padded(w_gate_up)
+    w_down = ensure_kernel_padded(w_down)
     x_padded = jnp.zeros((P_pad, H), x.dtype).at[pos].set(jnp.take(x, token_of_pair, axis=0))
-    xe, xo = _deinterleave(x_padded)
+    xe, xo = _deinterleave(x_padded, w_gate_up.kp_phys)
 
     h = jnp.take(moe_gmm_nf4(xe, xo, w_gate_up, grouping, tm, P, interpret=interpret), pos, axis=0)
     if b_gate_up is not None:
         h = h + jnp.take(b_gate_up, sorted_experts, axis=0)
     a = act_fn(h).astype(x.dtype)
     a_padded = jnp.zeros((P_pad, a.shape[-1]), x.dtype).at[pos].set(a)
-    ae, ao = _deinterleave(a_padded)
+    ae, ao = _deinterleave(a_padded, w_down.kp_phys)
     y = jnp.take(moe_gmm_nf4(ae, ao, w_down, grouping, tm, P, interpret=interpret), pos, axis=0)
     if b_down is not None:
         y = y + jnp.take(b_down, sorted_experts, axis=0)

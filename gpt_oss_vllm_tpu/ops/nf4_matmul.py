@@ -155,11 +155,11 @@ def nf4_matmul(
         lead = x.shape[:-1]
         x2 = x.reshape(-1, w.in_features)
         y = _nf4_matmul_2d(x2, w.qdata, w.scales, block_n=block_n, interpret=interpret)
-        y = y.reshape(*lead, w.out_features)
+        y = y[:, : w.out_features].reshape(*lead, w.out_features)
     elif w.qdata.ndim == 3 and x.ndim == 3 and x.shape[0] == w.qdata.shape[0]:
         # batched experts: vmap over the expert dim
         f = functools.partial(_nf4_matmul_2d, block_n=block_n, interpret=interpret)
-        y = jax.vmap(f)(x, w.qdata, w.scales)
+        y = jax.vmap(f)(x, w.qdata, w.scales)[..., : w.out_features]
     else:
         raise ValueError(f"nf4_matmul: incompatible shapes x={x.shape} w={w.shape}")
     if b is not None:

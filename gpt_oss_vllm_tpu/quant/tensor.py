@@ -67,12 +67,26 @@ class NF4Tensor:
         to ``out_features``."""
         return self.qdata.shape[-2]
 
+    @property
+    def kp_phys(self) -> int:
+        """Physical packed-byte count per row; may exceed in_features // 2
+        when kernel-padded to a 128 multiple (1440 -> 1536). Pad bytes decode
+        against zero scales, contributing exact zeros."""
+        return self.qdata.shape[-1]
+
+    @property
+    def nb_phys(self) -> int:
+        return self.scales.shape[-2]
+
     def dequantize(self, dtype=jnp.bfloat16) -> jax.Array:
         """In-graph XLA dequantization to a dense matrix (correctness path)."""
         code = jnp.asarray(NF4_CODE, dtype=jnp.float32)
         q = self.qdata
+        kp_logical = self.in_features // 2
         if self.out_rows != self.out_features:
             q = q[..., : self.out_features, :]
+        if self.kp_phys != kp_logical:
+            q = q[..., :kp_logical]
         low = (q & 0x0F).astype(jnp.int32)
         high = ((q >> 4) & 0x0F).astype(jnp.int32)
         # interleave (low, high) pairs back into the flat row order
@@ -80,9 +94,11 @@ class NF4Tensor:
         vals = jnp.take(code, idx, axis=0)
         nblk = self.in_features // self.blocksize
         vals = vals.reshape(*q.shape[:-1], nblk, self.blocksize)
-        scales_ob = jnp.swapaxes(self.scales, -1, -2)  # (..., out_rows, nb)
+        scales_ob = jnp.swapaxes(self.scales, -1, -2)  # (..., out_rows, nb_phys)
         if self.out_rows != self.out_features:
             scales_ob = scales_ob[..., : self.out_features, :]
+        if self.nb_phys != nblk:
+            scales_ob = scales_ob[..., :nblk]
         vals = vals * scales_ob.astype(jnp.float32)[..., None]
         return vals.reshape(*q.shape[:-1], self.in_features).astype(dtype)
 
@@ -100,12 +116,33 @@ def kernel_out_tile(n: int, cap: int = 640):
 
 
 def ensure_kernel_padded(t: NF4Tensor, cap: int = 640) -> NF4Tensor:
-    """Pad out rows only when the grouped kernels have no legal out tile
-    (e.g. 2880 -> 3072); a no-op otherwise. Call once at parameter creation —
-    padding inside a jitted step would copy the weights every call."""
-    if kernel_out_tile(t.out_rows, cap) is not None:
-        return t
-    return pad_out_rows(t, multiple=512)
+    """Kernel-friendly storage padding, applied ONCE at parameter creation
+    (padding inside a jitted step would copy the weights every call):
+
+    - out rows padded when no legal 128-multiple out tile exists
+      (2880 -> 3072 zero-scale rows);
+    - packed minor dim padded to a 128 multiple (1440 -> 1536 bytes/row) with
+      matching zero scale blocks, so the device layout is unpadded/compact —
+      a lane-padded u8 layout forces XLA to relayout-copy the whole weight
+      in front of every Pallas call.
+    """
+    if kernel_out_tile(t.out_rows, cap) is None:
+        t = pad_out_rows(t, multiple=512)
+    pad_k = (-t.kp_phys) % 128
+    if pad_k:
+        widths_q = [(0, 0)] * t.qdata.ndim
+        widths_q[-1] = (0, pad_k)
+        pad_blocks = pad_k * 2 // t.blocksize
+        widths_s = [(0, 0)] * t.scales.ndim
+        widths_s[-2] = (0, pad_blocks)
+        t = NF4Tensor(
+            qdata=jnp.pad(t.qdata, widths_q),
+            scales=jnp.pad(t.scales, widths_s),
+            out_features=t.out_features,
+            in_features=t.in_features,
+            blocksize=t.blocksize,
+        )
+    return t
 
 
 def pad_out_rows(t: NF4Tensor, multiple: int = 512) -> NF4Tensor:
