@@ -27,6 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compile cache: the 24-layer step program takes minutes through
+# the remote-compile helper; caching makes reruns start in seconds.
+jax.config.update("jax_compilation_cache_dir", "/tmp/gpt_oss_tpu_jit_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 from gpt_oss_vllm_tpu.config import CacheConfig, ModelConfig, QuantConfig
 from gpt_oss_vllm_tpu.engine.kv_cache import KVCache
 from gpt_oss_vllm_tpu.engine.step import model_step
@@ -154,6 +159,11 @@ def time_prefill(cfg, params, cache_cfg, quant_backend):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=None)
+    args = ap.parse_args()
     log(f"devices: {jax.devices()}  backend: {jax.default_backend()}")
     on_tpu = jax.default_backend() == "tpu"
     quant_backend = "pallas" if on_tpu else "xla"
@@ -164,8 +174,8 @@ def main():
     # far below NF4's own step).
     cfg = dataclasses_replace_tied(ModelConfig())
     quant = QuantConfig(method="nf4", scale_dtype="bfloat16")
-    layers = cfg.num_layers
-    scale_note = ""
+    layers = args.layers or cfg.num_layers
+    scale_note = "" if layers == cfg.num_layers else f"_layers{layers}"
 
     while True:
         try:
@@ -193,17 +203,21 @@ def main():
         except Exception as e:
             msg = str(e)
             if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg or "exceeds" in msg:
-                # free the failed attempt's buffers before rebuilding
-                params = None  # noqa: F841
-                import gc
+                # retry in a FRESH process: in-process retries inherit the
+                # failed attempt's fragmented HBM and OOM again
+                import subprocess
+                import sys as _sys
 
-                gc.collect()
-                jax.clear_caches()
                 layers = layers // 2
-                scale_note = f"_layers{layers}"
-                log(f"OOM; retrying with {layers} layers")
+                log(f"OOM; retrying with {layers} layers in a fresh process")
                 if layers < 3:
                     raise
+                r = subprocess.run(
+                    [_sys.executable, __file__, "--layers", str(layers)],
+                    stdout=subprocess.PIPE,
+                )
+                _sys.stdout.buffer.write(r.stdout)
+                return
             else:
                 raise
 

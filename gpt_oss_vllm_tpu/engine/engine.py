@@ -35,6 +35,8 @@ class StepOutput:
     token_id: int
     finished: bool
     finish_reason: Optional[str] = None
+    logprob: Optional[float] = None
+    top_logprobs: Optional[list] = None  # [(token_id, logprob), ...]
 
 
 def _next_bucket(n: int, lo: int = 16) -> int:
@@ -112,6 +114,9 @@ class InferenceEngine:
         self._prefill = jax.jit(step_fn, donate_argnames=("cache",))
         self._decode = jax.jit(step_fn, donate_argnames=("cache",))
         self._sample = jax.jit(sample_tokens)
+        from gpt_oss_vllm_tpu.ops.sampling import sample_with_logprobs
+
+        self._sample_lp = jax.jit(sample_with_logprobs, static_argnames=("num_logprobs",))
 
     # -- public API --------------------------------------------------------
 
@@ -202,24 +207,41 @@ class InferenceEngine:
         )
         self.cache = out.cache
         self.metrics["prefill_tokens"] += n_prompt
-        token = self._sample_row(out.logits, [req])[0]
+        toks, lp = self._sample_row(out.logits, [req])
+        token = toks[0]
         req.first_token_time = time.time()
         self.block_tables[slot] = bt[0]
         self.seq_lens[slot] = n_prompt + 1
         self.last_token[slot] = token
-        return [self._append_token(req, int(token))]
+        return [self._append_token(req, int(token), lp, 0)]
 
-    def _sample_row(self, logits: jax.Array, reqs: List[Request]) -> np.ndarray:
-        B = logits.shape[0]
+    def _sample_row(self, logits: jax.Array, reqs: List[Request]):
+        """Sample one token per row; returns (tokens, per-req logprob info or
+        None). Logprob computation only compiles/runs when a request asks."""
         temp = np.array([r.sampling.temperature for r in reqs], dtype=np.float32)
         top_p = np.array([r.sampling.top_p for r in reqs], dtype=np.float32)
         top_k = np.array([r.sampling.top_k for r in reqs], dtype=np.int32)
         self._key, sub = jax.random.split(self._key)
-        toks = self._sample(logits, sub, jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(top_k))
-        return np.asarray(toks)
+        want_lp = max((r.sampling.logprobs or 0) for r in reqs)
+        if want_lp == 0:
+            toks = self._sample(
+                logits, sub, jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(top_k)
+            )
+            return np.asarray(toks), None
+        n = min(max(want_lp, 1), 16)
+        toks, chosen, ids, vals = self._sample_lp(
+            logits, sub, jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(top_k), n
+        )
+        return np.asarray(toks), (np.asarray(chosen), np.asarray(ids), np.asarray(vals))
 
-    def _append_token(self, req: Request, token: int) -> StepOutput:
+    def _append_token(self, req: Request, token: int, lp=None, row: int = 0) -> StepOutput:
         req.output_token_ids.append(token)
+        logprob = top_lp = None
+        if lp is not None and req.sampling.logprobs is not None:
+            chosen, ids, vals = lp
+            logprob = float(chosen[row])
+            n = req.sampling.logprobs
+            top_lp = [(int(t), float(v)) for t, v in zip(ids[row][:n], vals[row][:n])]
         reason = None
         if token in req.sampling.stop_token_ids:
             reason = "stop"
@@ -229,8 +251,8 @@ class InferenceEngine:
             reason = "length"
         if reason is not None:
             self._release(req, reason)
-            return StepOutput(req.request_id, token, True, reason)
-        return StepOutput(req.request_id, token, False)
+            return StepOutput(req.request_id, token, True, reason, logprob, top_lp)
+        return StepOutput(req.request_id, token, False, None, logprob, top_lp)
 
     def _grow_blocks(self, req: Request) -> bool:
         """Ensure block capacity for one more token."""
@@ -272,12 +294,12 @@ class InferenceEngine:
         self.cache = out.cache
         reqs = [r for _, r in running]
         rows = [i for i, _ in running]
-        sampled = self._sample_row(out.logits[np.array(rows)], reqs)
+        sampled, lp = self._sample_row(out.logits[np.array(rows)], reqs)
         outputs = []
-        for (i, req), tok in zip(running, sampled):
+        for ri, ((i, req), tok) in enumerate(zip(running, sampled)):
             self.metrics["decode_tokens"] += 1
             slot = req.slot
-            step_out = self._append_token(req, int(tok))
+            step_out = self._append_token(req, int(tok), lp, ri)
             if not step_out.finished:
                 self.seq_lens[slot] += 1
                 self.last_token[slot] = tok

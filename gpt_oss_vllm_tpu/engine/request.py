@@ -16,6 +16,7 @@ class SamplingParams:
     top_k: int = 0  # 0 = disabled
     stop_token_ids: tuple = ()
     seed: Optional[int] = None
+    logprobs: Optional[int] = None  # return top-N logprobs per token
 
     @property
     def greedy(self) -> bool:

@@ -179,21 +179,34 @@ def random_params_on_device(
     def expert(out_f, in_f) -> ExpertWeight:
         if not quant.enabled:
             return dense(E, out_f, in_f)
-        from gpt_oss_vllm_tpu.quant.tensor import ensure_kernel_padded
+        from gpt_oss_vllm_tpu.quant.tensor import kernel_out_tile
 
-        bits = jax.random.randint(nxt(), (E, out_f, in_f // 2), 0, 256, dtype=jnp.int32)
+        # generate directly in the kernel-padded physical shape — creating
+        # then jnp.pad-ing would double-allocate every weight (fragmentation
+        # killed the 20B fit); zero the pad scales so pad regions decode to 0
+        rows = out_f
+        if kernel_out_tile(rows) is None:
+            rows = -(-rows // 512) * 512
+        kp = -(-(in_f // 2) // 128) * 128
+        nbp = kp * 2 // quant.blocksize
+        nb = in_f // quant.blocksize
+        try:
+            bits = jax.random.bits(nxt(), (E, rows, kp), dtype=jnp.uint8)
+        except Exception:
+            bits = jax.random.randint(nxt(), (E, rows, kp), 0, 256, dtype=jnp.int32).astype(jnp.uint8)
         scales = jnp.abs(
-            jax.random.normal(nxt(), (E, in_f // quant.blocksize, out_f), dtype=jnp.float32)
+            jax.random.normal(nxt(), (E, nbp, rows), dtype=jnp.float32)
         ) * scale + scale * 0.5
+        block_ok = (jnp.arange(nbp) < nb)[None, :, None]
+        row_ok = (jnp.arange(rows) < out_f)[None, None, :]
+        scales = jnp.where(block_ok & row_ok, scales, 0.0)
         scales = scales.astype(jnp.dtype(quant.scale_dtype))
-        return ensure_kernel_padded(
-            NF4Tensor(
-                qdata=bits.astype(jnp.uint8),
-                scales=scales,
-                out_features=out_f,
-                in_features=in_f,
-                blocksize=quant.blocksize,
-            )
+        return NF4Tensor(
+            qdata=bits,
+            scales=scales,
+            out_features=out_f,
+            in_features=in_f,
+            blocksize=quant.blocksize,
         )
 
     layers = []

@@ -43,3 +43,20 @@ def sample_tokens(
     temp = jnp.maximum(temperature, 1e-6)[:, None]
     sampled = jax.random.categorical(key, masked / temp, axis=-1).astype(jnp.int32)
     return jnp.where(temperature <= 0.0, greedy, sampled)
+
+
+def sample_with_logprobs(
+    logits: jax.Array,  # [B, V] f32
+    key: jax.Array,
+    temperature: jax.Array,
+    top_p: jax.Array,
+    top_k: jax.Array,
+    num_logprobs: int,
+):
+    """Sampling plus OpenAI-style logprobs: the chosen token's logprob and
+    the top-``num_logprobs`` (token, logprob) pairs, all device-side."""
+    tokens = sample_tokens(logits, key, temperature, top_p, top_k)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    chosen = jnp.take_along_axis(logp, tokens[:, None], axis=1)[:, 0]
+    top_vals, top_ids = jax.lax.top_k(logp, num_logprobs)
+    return tokens, chosen, top_ids.astype(jnp.int32), top_vals

@@ -127,6 +127,9 @@ class AsyncEngine:
 
 def _sampling_from(req, tokenizer: Tokenizer, max_model_len: int) -> SamplingParams:
     max_tokens = getattr(req, "max_tokens", None) or getattr(req, "max_completion_tokens", None) or 16
+    lp = getattr(req, "logprobs", None)
+    if isinstance(lp, bool):  # chat API: logprobs: true + top_logprobs: N
+        lp = (getattr(req, "top_logprobs", None) or 1) if lp else None
     return SamplingParams(
         max_tokens=min(max_tokens, max_model_len),
         temperature=req.temperature,
@@ -134,6 +137,7 @@ def _sampling_from(req, tokenizer: Tokenizer, max_model_len: int) -> SamplingPar
         top_k=req.top_k,
         stop_token_ids=tuple(tokenizer.stop_ids),
         seed=req.seed,
+        logprobs=lp,
     )
 
 
@@ -231,8 +235,21 @@ class Server:
         text = ""
         finish_reason = None
         n_tokens = 0
+        lp = (
+            proto.LogProbs() if sampling.logprobs is not None and not chat else None
+        )
         async for out in self.ae.stream_tokens(prompt_ids, sampling):
             n_tokens += 1
+            if lp is not None and out.logprob is not None:
+                lp.tokens.append(self.ae.tokenizer.decode([out.token_id]))
+                lp.token_logprobs.append(out.logprob)
+                lp.top_logprobs.append(
+                    {
+                        self.ae.tokenizer.decode([t]): v
+                        for t, v in (out.top_logprobs or [])
+                    }
+                )
+                lp.text_offset.append(len(text))
             if out.token_id not in self.ae.tokenizer.stop_ids:
                 text += detok.push(out.token_id, final=out.finished)
             if out.finished:
@@ -260,7 +277,11 @@ class Server:
         else:
             resp = proto.CompletionResponse(
                 model=req.model,
-                choices=[proto.CompletionChoice(text=text, finish_reason=finish_reason or "stop")],
+                choices=[
+                    proto.CompletionChoice(
+                        text=text, finish_reason=finish_reason or "stop", logprobs=lp
+                    )
+                ],
                 usage=usage,
             )
         return web.json_response(resp.model_dump())

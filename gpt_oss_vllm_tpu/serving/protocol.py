@@ -33,6 +33,7 @@ class CompletionRequest(BaseModel):
     stop: Optional[Union[str, List[str]]] = None
     seed: Optional[int] = None
     echo: bool = False
+    logprobs: Optional[int] = None
 
 
 class ChatMessage(BaseModel):
@@ -52,6 +53,15 @@ class ChatCompletionRequest(BaseModel):
     stream: bool = False
     stop: Optional[Union[str, List[str]]] = None
     seed: Optional[int] = None
+    logprobs: bool = False
+    top_logprobs: Optional[int] = None
+
+
+class LogProbs(BaseModel):
+    tokens: List[str] = []
+    token_logprobs: List[Optional[float]] = []
+    top_logprobs: List[Optional[Dict[str, float]]] = []
+    text_offset: List[int] = []
 
 
 class Usage(BaseModel):
@@ -64,7 +74,7 @@ class CompletionChoice(BaseModel):
     index: int = 0
     text: str = ""
     finish_reason: Optional[str] = None
-    logprobs: Optional[dict] = None
+    logprobs: Optional[LogProbs] = None
 
 
 class CompletionResponse(BaseModel):

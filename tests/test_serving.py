@@ -192,3 +192,16 @@ async def test_concurrent_requests(client):
     assert all(r.status == 200 for r in results)
     bodies = [await r.json() for r in results]
     assert all(b["usage"]["completion_tokens"] >= 1 for b in bodies)
+
+
+async def test_completions_logprobs(client):
+    r = await client.post(
+        "/v1/completions",
+        json={"model": "m", "prompt": "ab", "max_tokens": 3, "temperature": 0.0, "logprobs": 2},
+    )
+    assert r.status == 200
+    lp = (await r.json())["choices"][0]["logprobs"]
+    assert lp is not None
+    assert len(lp["token_logprobs"]) == 3
+    assert all(v <= 0 for v in lp["token_logprobs"])
+    assert len(lp["top_logprobs"][0]) == 2
