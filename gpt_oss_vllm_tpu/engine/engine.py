@@ -192,20 +192,30 @@ class InferenceEngine:
 
         bt = np.full((1, self.max_blocks), -1, dtype=np.int32)
         bt[0, : len(req.blocks)] = req.blocks
-        bucket = _next_bucket(n_prompt)
-        tokens = np.zeros((1, bucket), dtype=np.int32)
-        tokens[0, :n_prompt] = req.prompt_token_ids
-        positions = np.full((1, bucket), -1, dtype=np.int32)
-        positions[0, :n_prompt] = np.arange(n_prompt)
-        out = self._prefill(
-            self.params,
-            cache=self.cache,
-            tokens=jnp.asarray(tokens),
-            positions=jnp.asarray(positions),
-            block_tables=jnp.asarray(bt),
-            last_idx=jnp.asarray([n_prompt - 1], dtype=jnp.int32),
-        )
-        self.cache = out.cache
+        # chunked prefill: the unified step attends against the paged cache,
+        # so long prompts stream through in prefill_chunk-bounded pieces
+        # (bounding per-step latency under continuous batching) and only the
+        # final chunk's logits reach the sampler
+        chunk_budget = max(16, self.config.scheduler.prefill_chunk)
+        start = 0
+        out = None
+        while start < n_prompt:
+            size = min(chunk_budget, n_prompt - start)
+            bucket = _next_bucket(size)
+            tokens = np.zeros((1, bucket), dtype=np.int32)
+            tokens[0, :size] = req.prompt_token_ids[start : start + size]
+            positions = np.full((1, bucket), -1, dtype=np.int32)
+            positions[0, :size] = np.arange(start, start + size)
+            out = self._prefill(
+                self.params,
+                cache=self.cache,
+                tokens=jnp.asarray(tokens),
+                positions=jnp.asarray(positions),
+                block_tables=jnp.asarray(bt),
+                last_idx=jnp.asarray([size - 1], dtype=jnp.int32),
+            )
+            self.cache = out.cache
+            start += size
         self.metrics["prefill_tokens"] += n_prompt
         toks, lp = self._sample_row(out.logits, [req])
         token = toks[0]

@@ -180,3 +180,20 @@ def test_kv_cache_write_drop_semantics(ecfg):
     )
     assert flat[3].sum() > 0
     assert np.count_nonzero(flat.sum(axis=(1, 2))) == 1  # only slot 3 written
+
+
+def test_chunked_prefill_matches_oracle(ecfg, params):
+    """A prompt longer than prefill_chunk streams through in pieces and still
+    produces the oracle's greedy tokens."""
+    import dataclasses
+
+    cfg2 = dataclasses.replace(
+        ecfg, scheduler=dataclasses.replace(ecfg.scheduler, prefill_chunk=16)
+    )
+    engine = InferenceEngine(cfg2, params)
+    prompt = list(range(2, 50))  # 48 tokens -> 3 chunks of 16
+    out = engine.generate([prompt], SamplingParams(max_tokens=4, temperature=0.0))[0]
+    oracle = np.asarray(
+        greedy_decode(params, ecfg.model, jnp.asarray([prompt], dtype=jnp.int32), 4)
+    )[0].tolist()
+    assert out == oracle
