@@ -183,8 +183,8 @@ def main():
 
             c = dataclasses.replace(cfg, num_layers=layers)
             t0 = time.monotonic()
-            params = random_params_on_device(c, quant, seed=0)
-            jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
+            params = random_params_on_device(c, quant, seed=0, sync_every_layer=True)
+            time.sleep(2.0)  # let deferred frees drain
             log(f"params ready ({layers} layers) in {time.monotonic() - t0:.1f}s")
             cache_cfg = CacheConfig(block_size=16, num_blocks=160, max_blocks_per_seq=16)
             tok_s_b1, step_lat = time_decode(c, params, cache_cfg, quant_backend, 1, DECODE_STEPS)

@@ -157,6 +157,7 @@ def random_params_on_device(
     quant: QuantConfig,
     seed: int = 0,
     scale: float = 0.02,
+    sync_every_layer: bool = False,
 ) -> ModelParams:
     """Random params generated entirely on-device with jax.random.
 
@@ -233,6 +234,11 @@ def random_params_on_device(
                 b_down=dense(E, H, dtype=jnp.float32) if cfg.expert_bias else None,
             )
         )
+        if sync_every_layer:
+            # drain the creation stream layer by layer (a full-stream sync at
+            # the end wedges the tunnel backend, and unsynced creation leaves
+            # transients resident when the first step runs)
+            np.asarray(layers[-1].wq[:1, :8])
     return ModelParams(
         embedding=dense(cfg.vocab_size, H),
         layers=layers,

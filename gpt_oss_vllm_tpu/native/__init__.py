@@ -121,3 +121,104 @@ def native_dequant_absmax(q: np.ndarray, nested_absmax: np.ndarray,
         _ptr(out, ctypes.c_float), q.size, nested_blocksize, na.size,
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Native block allocator (prefix-sharing KV block manager)
+# ---------------------------------------------------------------------------
+
+_BA_PATH = os.path.join(_DIR, "libblockalloc.so")
+_ba_lib = None
+
+
+def load_blockalloc(build: bool = True):
+    global _ba_lib
+    if _ba_lib is not None:
+        return _ba_lib
+    if not os.path.exists(_BA_PATH) and build:
+        try:
+            subprocess.run(
+                ["sh", os.path.join(_DIR, "build.sh")],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    if os.path.exists(_BA_PATH):
+        try:
+            lib = ctypes.CDLL(_BA_PATH)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.ba_create.restype = ctypes.c_void_p
+            lib.ba_create.argtypes = [ctypes.c_int64]
+            lib.ba_destroy.argtypes = [ctypes.c_void_p]
+            lib.ba_num_free.restype = ctypes.c_int64
+            lib.ba_num_free.argtypes = [ctypes.c_void_p]
+            lib.ba_allocate.argtypes = [ctypes.c_void_p, ctypes.c_int64, i32p]
+            lib.ba_release.argtypes = [ctypes.c_void_p, i32p, ctypes.c_int64]
+            lib.ba_prefix_lookup.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32, i32p, ctypes.c_int, i32p
+            ]
+            lib.ba_register.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32, i32p, ctypes.c_int, ctypes.c_int32
+            ]
+            lib.ba_stats.argtypes = [ctypes.c_void_p, i64p, i64p]
+            assert lib.ba_abi_version() == 1
+            _ba_lib = lib
+        except Exception:
+            _ba_lib = None
+    return _ba_lib
+
+
+class NativeBlockAllocator:
+    """Prefix-sharing KV block manager over the C++ core.
+
+    Same alloc/free surface as engine.kv_cache.BlockAllocator, plus
+    prefix_lookup/register for radix-style prompt-prefix reuse."""
+
+    def __init__(self, num_blocks: int):
+        lib = load_blockalloc()
+        if lib is None:
+            raise RuntimeError("libblockalloc.so unavailable")
+        self._lib = lib
+        self._h = ctypes.c_void_p(lib.ba_create(num_blocks))
+        self.num_blocks = num_blocks
+
+    def __del__(self):
+        try:
+            self._lib.ba_destroy(self._h)
+        except Exception:
+            pass
+
+    @property
+    def num_free(self) -> int:
+        return self._lib.ba_num_free(self._h)
+
+    def can_allocate(self, n: int) -> bool:
+        return self.num_free >= n
+
+    def allocate(self, n: int):
+        out = (ctypes.c_int32 * n)()
+        if self._lib.ba_allocate(self._h, n, out) != 0:
+            raise RuntimeError(f"KV cache exhausted: want {n} blocks, have {self.num_free}")
+        return list(out)
+
+    def free(self, blocks):
+        arr = (ctypes.c_int32 * len(blocks))(*blocks)
+        self._lib.ba_release(self._h, arr, len(blocks))
+
+    def prefix_lookup(self, parent: int, tokens) -> Optional[int]:
+        arr = (ctypes.c_int32 * len(tokens))(*tokens)
+        out = ctypes.c_int32(-1)
+        hit = self._lib.ba_prefix_lookup(
+            self._h, parent, arr, len(tokens), ctypes.byref(out)
+        )
+        return int(out.value) if hit else None
+
+    def register_prefix(self, parent: int, tokens, block: int) -> None:
+        arr = (ctypes.c_int32 * len(tokens))(*tokens)
+        self._lib.ba_register(self._h, parent, arr, len(tokens), block)
+
+    def stats(self):
+        h, m = ctypes.c_int64(), ctypes.c_int64()
+        self._lib.ba_stats(self._h, ctypes.byref(h), ctypes.byref(m))
+        return {"prefix_hits": h.value, "prefix_misses": m.value}
