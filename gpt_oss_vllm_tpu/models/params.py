@@ -180,14 +180,11 @@ def random_params_on_device(
     def expert(out_f, in_f) -> ExpertWeight:
         if not quant.enabled:
             return dense(E, out_f, in_f)
-        from gpt_oss_vllm_tpu.quant.tensor import kernel_out_tile
-
         # generate directly in the kernel-padded physical shape — creating
-        # then jnp.pad-ing would double-allocate every weight (fragmentation
-        # killed the 20B fit); zero the pad scales so pad regions decode to 0
+        # then jnp.pad-ing would double-allocate every weight; zero the pad
+        # scales so pad regions decode to 0. Only the packed dim pads (the
+        # grouped kernel handles non-128 out dims natively).
         rows = out_f
-        if kernel_out_tile(rows) is None:
-            rows = -(-rows // 512) * 512
         kp = -(-(in_f // 2) // 128) * 128
         nbp = kp * 2 // quant.blocksize
         nb = in_f // quant.blocksize

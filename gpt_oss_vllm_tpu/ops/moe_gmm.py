@@ -104,15 +104,18 @@ def _gmm_kernel(
     xe_ref,  # [P_pad, K//2] VMEM (even columns of padded token rows)
     xo_ref,  # [P_pad, K//2] VMEM (odd columns)
     q_ref,  # [1, TN, K//2] VMEM block of this group's expert
-    s_ref,  # [1, nb, TN] VMEM block
-    o_ref,  # [P_pad, TN] VMEM (resident out-tile)
+    s_ref,  # [1, nb, TN] VMEM block — or [1, nb, N] when full_scales
+    o_ref,  # [P_pad, TN] VMEM — or [1, P_pad, TN] when full_scales
     *,
     tn: int,
     kp: int,
     nb: int,
     block_j: int,
     tm: int,
+    full_scales: bool = False,
+    n_total: int = 0,
 ):
+    jn = pl.program_id(0)
     g = pl.program_id(1)
     s = pl.program_id(2)
     size = size_ref[g]
@@ -125,17 +128,35 @@ def _gmm_kernel(
     @pl.when(chunk_rows > 0)
     def _work():
         q_buf = q_ref[0]  # [TN, Kp]
-        s_buf = s_ref[0]  # [nb, TN]
         q = q_buf[:].astype(jnp.int32)
         low = q & 0x0F
         high = (q >> 4) & 0x0F
         col_block = jax.lax.broadcasted_iota(jnp.int32, (nb, kp), 1) // block_j
         row_block = jax.lax.broadcasted_iota(jnp.int32, (nb, kp), 0)
         expand = (col_block == row_block).astype(jnp.float32)
-        scales = jax.lax.dot_general(
-            s_buf[:].astype(jnp.float32), expand, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [TN, Kp]
+        if full_scales:
+            # TN is not lane-tileable (e.g. 720 of N=2880): the whole expert's
+            # scales [nb, N] are resident; select this tile's columns with a
+            # one-hot matmul (lane slicing at non-128 offsets is illegal, the
+            # MXU is not)
+            s_full = s_ref[0].astype(jnp.float32)  # [nb, N]
+            col = jax.lax.broadcasted_iota(jnp.int32, (tn, n_total), 1)
+            want = jn * tn + jax.lax.broadcasted_iota(jnp.int32, (tn, n_total), 0)
+            sel = (col == want).astype(jnp.float32)  # [tn, N]
+            s_sel = jax.lax.dot_general(
+                sel, s_full, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [tn, nb]
+            scales = jax.lax.dot_general(
+                s_sel, expand, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [TN, Kp]
+        else:
+            s_buf = s_ref[0]  # [nb, TN]
+            scales = jax.lax.dot_general(
+                s_buf[:].astype(jnp.float32), expand, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [TN, Kp]
         we = (_lut_nf4(low) * scales).astype(xe_ref.dtype)
         wo = (_lut_nf4(high) * scales).astype(xe_ref.dtype)
         # group starts are 8-aligned by construction (build_grouping) and tm
@@ -151,8 +172,12 @@ def _gmm_kernel(
         )
         rows = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0)
         valid = rows < chunk_rows
-        cur = o_ref[pl.ds(row0, tm), :]
-        o_ref[pl.ds(row0, tm), :] = jnp.where(valid, acc, cur)
+        if full_scales:
+            cur = o_ref[0, pl.ds(row0, tm), :]
+            o_ref[0, pl.ds(row0, tm), :] = jnp.where(valid, acc, cur)
+        else:
+            cur = o_ref[pl.ds(row0, tm), :]
+            o_ref[pl.ds(row0, tm), :] = jnp.where(valid, acc, cur)
 
 
 def _check_tm(tm: int) -> int:
@@ -171,28 +196,56 @@ def moe_gmm_nf4(
     block_n: int = 640,
     interpret: bool = False,
 ) -> jax.Array:
-    from gpt_oss_vllm_tpu.quant.tensor import ensure_kernel_padded, kernel_out_tile
+    from gpt_oss_vllm_tpu.quant.tensor import kernel_out_tile
 
     P_pad, Kp = xe_sorted.shape  # Kp = physical packed width (may be padded)
     assert Kp == w.kp_phys, (Kp, w.kp_phys)
     nb = w.nb_phys
     G = grouping.group_expert.shape[0]
 
-    # out-tile tn must be a 128-multiple divisor of the PHYSICAL out dim
-    # (lane constraint on q/s/out blocks). Weights should arrive pre-padded
-    # (ensure_kernel_padded at load); the in-graph fallback pad here would
-    # copy the weights EVERY call.
-    w = ensure_kernel_padded(w, cap=block_n)
+    # out-tile tn: prefer a 128-multiple divisor of the out dim (lane
+    # constraint on the scales/out blocks). When none exists (2880), fall
+    # back to any x8 divisor with FULL-last-dim block shapes: the output is
+    # stored reshaped (NQ, P_pad, tn) and scales load whole [nb, N] per
+    # group with an in-kernel one-hot column selection — no out-row padding.
     N = w.out_rows
     tn = kernel_out_tile(N, block_n)
+    full_scales = tn is None
+    if full_scales:
+        for t in range(ROW_ALIGN, min(block_n, N) + 1, ROW_ALIGN):
+            if N % t == 0:
+                tn = t
+        if tn is None:
+            raise ValueError(f"no valid out tile for N={N}")
     NQ = N // tn
     # chunks cover the worst-case group (all pairs on one expert)
     n_chunks = max(1, -(-num_pairs // tm))
     grid = (NQ, G, n_chunks)
-    kernel = functools.partial(_gmm_kernel, tn=tn, kp=Kp, nb=nb, block_j=Kp // nb, tm=tm)
+    kernel = functools.partial(
+        _gmm_kernel, tn=tn, kp=Kp, nb=nb, block_j=Kp // nb, tm=tm,
+        full_scales=full_scales, n_total=N,
+    )
     # group_expert already repeats ids across unused compact slots, so their
     # unchanged block indices elide the pipeline DMAs
     load_expert = grouping.group_expert.astype(jnp.int32)
+    if full_scales:
+        s_spec = pl.BlockSpec(
+            (1, nb, N), lambda j, g, s, e_ref, *_: (e_ref[g], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (1, P_pad, tn), lambda j, g, s, *_: (j, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((NQ, P_pad, tn), jnp.float32)
+    else:
+        s_spec = pl.BlockSpec(
+            (1, nb, tn), lambda j, g, s, e_ref, *_: (e_ref[g], 0, j),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (P_pad, tn), lambda j, g, s, *_: (0, j), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((P_pad, N), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
@@ -204,20 +257,14 @@ def moe_gmm_nf4(
                 lambda j, g, s, e_ref, *_: (e_ref[g], j, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, nb, tn),
-                lambda j, g, s, e_ref, *_: (e_ref[g], 0, j),
-                memory_space=pltpu.VMEM,
-            ),
+            s_spec,
         ],
-        out_specs=pl.BlockSpec(
-            (P_pad, tn), lambda j, g, s, *_: (0, j), memory_space=pltpu.VMEM
-        ),
-    )
+        out_specs=out_spec,
+        )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((P_pad, N), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(
         load_expert,
@@ -228,6 +275,8 @@ def moe_gmm_nf4(
         w.qdata,
         w.scales,
     )
+    if full_scales:
+        out = out.transpose(1, 0, 2).reshape(P_pad, N)
     return out[:, : w.out_features]
 
 

@@ -119,15 +119,14 @@ def ensure_kernel_padded(t: NF4Tensor, cap: int = 640) -> NF4Tensor:
     """Kernel-friendly storage padding, applied ONCE at parameter creation
     (padding inside a jitted step would copy the weights every call):
 
-    - out rows padded when no legal 128-multiple out tile exists
-      (2880 -> 3072 zero-scale rows);
-    - packed minor dim padded to a 128 multiple (1440 -> 1536 bytes/row) with
-      matching zero scale blocks, so the device layout is unpadded/compact —
-      a lane-padded u8 layout forces XLA to relayout-copy the whole weight
-      in front of every Pallas call.
+    packed minor dim padded to a 128 multiple (1440 -> 1536 bytes/row) with
+    matching zero scale blocks, so the device layout is unpadded/compact —
+    a lane-padded u8 layout forces XLA to relayout-copy the whole weight in
+    front of every Pallas call (measured +1.75 ms per GPT-OSS-20B layer).
+
+    Out rows are NOT padded: the grouped kernel handles non-128-tileable out
+    dims with full-last-dim block shapes (see ops.moe_gmm full_scales mode).
     """
-    if kernel_out_tile(t.out_rows, cap) is None:
-        t = pad_out_rows(t, multiple=512)
     pad_k = (-t.kp_phys) % 128
     if pad_k:
         widths_q = [(0, 0)] * t.qdata.ndim

@@ -77,3 +77,32 @@ def test_gmm_skewed_routing_all_one_expert(rng, cfg):
         act_fn=functools.partial(expert_act, cfg=cfg), tm=4, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(oracle), rtol=5e-3, atol=5e-3)
+
+
+def test_gmm_full_scales_branch(rng):
+    """Out dims with no 128-multiple divisor (like GPT-OSS's 2880) use the
+    full-scales block form with in-kernel column selection."""
+    from gpt_oss_vllm_tpu.ops.moe_gmm import build_grouping, moe_gmm_nf4, padded_rows
+    from gpt_oss_vllm_tpu.quant.tensor import kernel_out_tile
+
+    E, N, K = 4, 288, 128  # 288: x8 divisors only -> full_scales, NQ=2
+    assert kernel_out_tile(N) is None
+    w = nf4_tensor_from_dense(rng.normal(0, 0.05, size=(E, N, K)).astype(np.float32))
+    ids = jnp.asarray([0, 2, 2, 3], dtype=jnp.int32)
+    grouping = build_grouping(ids, E)
+    P, tm = 4, 8
+    P_pad = padded_rows(P, E, tm)
+    x = rng.normal(size=(P_pad, K)).astype(np.float32)
+    xp = x.reshape(P_pad, K // 2, 2)
+    y = moe_gmm_nf4(
+        jnp.asarray(xp[:, :, 0]), jnp.asarray(xp[:, :, 1]), w, grouping, tm, P,
+        block_n=160, interpret=True,
+    )
+    # oracle: rows at pair positions should equal x_row @ W_expert^T
+    wd = np.asarray(w.dequantize(jnp.float32))
+    pos = np.asarray(grouping.pair_position)
+    sorted_ids = np.asarray(jnp.take(ids, grouping.sorted_pair_to_row))
+    got = np.asarray(y)
+    for p_i in range(P):
+        want = x[pos[p_i]] @ wd[sorted_ids[p_i]].T
+        np.testing.assert_allclose(got[pos[p_i]], want, rtol=5e-3, atol=5e-3)
