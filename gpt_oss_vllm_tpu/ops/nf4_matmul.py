@@ -92,11 +92,15 @@ def _nf4_matmul_2d(
 ) -> jax.Array:
     M, K = x.shape
     N = qdata.shape[0]
-    Kp = K // 2
+    Kp = qdata.shape[1]  # physical packed width (may be kernel-padded)
     block_j = Kp // scales.shape[0]  # 32 for blocksize 64
-    # deinterleave x into even/odd column subspaces (fused by XLA)
-    xp = x.reshape(M, Kp, 2)
+    # deinterleave x into even/odd column subspaces (fused by XLA); pad the
+    # packed width to match kernel-padded weights (pad columns hit zero
+    # scales, contributing exact zeros)
+    xp = x.reshape(M, K // 2, 2)
     xe, xo = xp[:, :, 0], xp[:, :, 1]
+    xe = _pad_to(xe, 1, Kp) if xe.shape[1] != Kp else xe
+    xo = _pad_to(xo, 1, Kp) if xo.shape[1] != Kp else xo
     xe = _pad_to(xe, 0, 16)
     xo = _pad_to(xo, 0, 16)
     Mp = xe.shape[0]

@@ -56,3 +56,21 @@ def test_fallback_path_for_odd_shapes(rng):
     x = jnp.asarray(rng.normal(size=(5, 64)), dtype=jnp.float32)
     got = np.asarray(nf4_matmul(x, w, interpret=True), dtype=np.float32)
     np.testing.assert_allclose(got, _oracle(x, w), rtol=3e-3, atol=3e-3)
+
+
+def test_kernel_padded_weights_match_oracle(rng):
+    """ensure_kernel_padded (packed-dim 128-multiple, zero pad scales) must
+    be output-invariant through both the kernel and the fallback."""
+    from gpt_oss_vllm_tpu.quant.tensor import ensure_kernel_padded
+
+    w = nf4_tensor_from_dense(rng.normal(0, 0.05, size=(128, 192)).astype(np.float32))
+    wp = ensure_kernel_padded(w)
+    assert wp.kp_phys == 128 and wp.in_features == 192
+    x = jnp.asarray(rng.normal(size=(4, 192)), dtype=jnp.float32)
+    got = np.asarray(nf4_matmul(x, wp, block_n=128, interpret=True), dtype=np.float32)
+    want = _oracle(x, w)
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-3)
+    # dequantize also slices padding away
+    np.testing.assert_allclose(
+        np.asarray(wp.dequantize(jnp.float32)), np.asarray(w.dequantize(jnp.float32))
+    )
