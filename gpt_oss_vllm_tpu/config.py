@@ -160,6 +160,9 @@ class CacheConfig:
     num_blocks: int = 2048  # total blocks in the pool (per shard)
     max_blocks_per_seq: int = 512
     dtype: str = "bfloat16"
+    # radix-style prompt-prefix KV reuse via the native C++ block manager
+    # (falls back to the plain free-list allocator if the library is absent)
+    enable_prefix_caching: bool = True
 
 
 @dataclass(frozen=True)

@@ -26,7 +26,7 @@ from gpt_oss_vllm_tpu.engine.kv_cache import BlockAllocator, KVCache
 from gpt_oss_vllm_tpu.engine.request import Request, RequestState, SamplingParams
 from gpt_oss_vllm_tpu.engine.step import model_step
 from gpt_oss_vllm_tpu.models.params import ModelParams
-from gpt_oss_vllm_tpu.ops.sampling import sample_tokens
+from gpt_oss_vllm_tpu.ops.sampling import sample_tokens_seeded
 
 
 @dataclass
@@ -83,7 +83,21 @@ class InferenceEngine:
                 num_kv_heads=self.cache.num_kv_heads,
                 head_dim=self.cache.head_dim,
             )
-        self.allocator = BlockAllocator(cc.num_blocks)
+        # prefix-sharing native allocator when available (radix-style prompt
+        # reuse, SURVEY.md §2.3 block-manager row); free-list fallback keeps
+        # the engine dependency-free
+        self.prefix_caching = False
+        self.allocator = None
+        if cc.enable_prefix_caching:
+            try:
+                from gpt_oss_vllm_tpu.native import NativeBlockAllocator
+
+                self.allocator = NativeBlockAllocator(cc.num_blocks)
+                self.prefix_caching = True
+            except Exception:
+                self.allocator = None
+        if self.allocator is None:
+            self.allocator = BlockAllocator(cc.num_blocks)
         self.block_size = cc.block_size
         self.max_blocks = cc.max_blocks_per_seq
         self.num_slots = sc.max_num_seqs
@@ -94,9 +108,14 @@ class InferenceEngine:
         self.block_tables = np.full((self.num_slots, self.max_blocks), -1, dtype=np.int32)
         self.seq_lens = np.zeros(self.num_slots, dtype=np.int32)
         self.last_token = np.zeros(self.num_slots, dtype=np.int32)
-        self._key = jax.random.PRNGKey(config.seed)
+        self._seed_rng = np.random.default_rng(config.seed)
         self._step_counter = 0
-        self.metrics = {"prefill_tokens": 0, "decode_tokens": 0, "steps": 0}
+        self.metrics = {
+            "prefill_tokens": 0,
+            "decode_tokens": 0,
+            "steps": 0,
+            "prefix_cached_tokens": 0,
+        }
         from gpt_oss_vllm_tpu.utils.telemetry import StepTimer
 
         self.timer = StepTimer()
@@ -113,7 +132,7 @@ class InferenceEngine:
         )
         self._prefill = jax.jit(step_fn, donate_argnames=("cache",))
         self._decode = jax.jit(step_fn, donate_argnames=("cache",))
-        self._sample = jax.jit(sample_tokens)
+        self._sample = jax.jit(sample_tokens_seeded)
         from gpt_oss_vllm_tpu.ops.sampling import sample_with_logprobs
 
         self._sample_lp = jax.jit(sample_with_logprobs, static_argnames=("num_logprobs",))
@@ -130,7 +149,15 @@ class InferenceEngine:
                 f"prompt length {len(prompt_token_ids)} >= max_model_len "
                 f"{self.config.scheduler.max_model_len}"
             )
-        req = Request(request_id=request_id, prompt_token_ids=list(prompt_token_ids), sampling=sampling)
+        seed = sampling.seed
+        if seed is None:
+            seed = int(self._seed_rng.integers(0, 2**31 - 1))
+        req = Request(
+            request_id=request_id,
+            prompt_token_ids=list(prompt_token_ids),
+            sampling=sampling,
+            seed_resolved=seed,
+        )
         self.requests[request_id] = req
         self.waiting.append(req)
         return req
@@ -175,29 +202,61 @@ class InferenceEngine:
             req.finish_reason = reason
             req.finish_time = time.time()
 
+    def _prefix_match(self, req: Request) -> List[int]:
+        """Claim the longest chain of cached full prompt blocks (refcounts are
+        incremented by lookup; caller owns releasing them)."""
+        bs = self.block_size
+        shared: List[int] = []
+        # the final prompt token must always be prefilled (its logits feed the
+        # sampler), so at most (n_prompt - 1) // bs full blocks can be shared
+        parent = -1
+        for bi in range((req.num_prompt_tokens - 1) // bs):
+            chunk = req.prompt_token_ids[bi * bs : (bi + 1) * bs]
+            b = self.allocator.prefix_lookup(parent, chunk)
+            if b is None:
+                break
+            shared.append(b)
+            parent = b
+        return shared
+
+    def _register_prefix_blocks(self, req: Request, n_shared_blocks: int) -> None:
+        """Publish this request's freshly-filled full prompt blocks for reuse."""
+        bs = self.block_size
+        for bi in range(n_shared_blocks, req.num_prompt_tokens // bs):
+            parent = req.blocks[bi - 1] if bi > 0 else -1
+            chunk = req.prompt_token_ids[bi * bs : (bi + 1) * bs]
+            self.allocator.register_prefix(parent, chunk, req.blocks[bi])
+
     def _admit_one(self) -> List[StepOutput]:
         """Prefill the next waiting request into a free slot."""
         req = self.waiting[0]
         slot = self._free_slot()
         n_prompt = req.num_prompt_tokens
+        shared = self._prefix_match(req) if self.prefix_caching else []
         # room for the prompt plus at least one generated token
-        need = self._blocks_for(n_prompt + 1)
+        need = self._blocks_for(n_prompt + 1) - len(shared)
         if slot is None or not self.allocator.can_allocate(need):
+            if shared:
+                self.allocator.free(shared)  # drop claimed prefix refs
             return []
         self.waiting.popleft()
         req.slot = slot
         req.state = RequestState.RUNNING
-        req.blocks = self.allocator.allocate(need)
+        req.blocks = shared + self.allocator.allocate(need)
         self.slots[slot] = req
+        n_shared_tok = len(shared) * self.block_size
+        req.num_shared_prompt_tokens = n_shared_tok
+        self.metrics["prefix_cached_tokens"] += n_shared_tok
 
         bt = np.full((1, self.max_blocks), -1, dtype=np.int32)
         bt[0, : len(req.blocks)] = req.blocks
         # chunked prefill: the unified step attends against the paged cache,
         # so long prompts stream through in prefill_chunk-bounded pieces
         # (bounding per-step latency under continuous batching) and only the
-        # final chunk's logits reach the sampler
+        # final chunk's logits reach the sampler. Prefix-cached tokens are
+        # skipped entirely — their K/V already sit in the shared blocks.
         chunk_budget = max(16, self.config.scheduler.prefill_chunk)
-        start = 0
+        start = n_shared_tok
         out = None
         while start < n_prompt:
             size = min(chunk_budget, n_prompt - start)
@@ -216,7 +275,9 @@ class InferenceEngine:
             )
             self.cache = out.cache
             start += size
-        self.metrics["prefill_tokens"] += n_prompt
+        self.metrics["prefill_tokens"] += n_prompt - n_shared_tok
+        if self.prefix_caching:
+            self._register_prefix_blocks(req, len(shared))
         toks, lp = self._sample_row(out.logits, [req])
         token = toks[0]
         req.first_token_time = time.time()
@@ -231,16 +292,21 @@ class InferenceEngine:
         temp = np.array([r.sampling.temperature for r in reqs], dtype=np.float32)
         top_p = np.array([r.sampling.top_p for r in reqs], dtype=np.float32)
         top_k = np.array([r.sampling.top_k for r in reqs], dtype=np.int32)
-        self._key, sub = jax.random.split(self._key)
+        # per-request (seed, draw-counter) streams: reproducible whatever the
+        # batch composition (the counter is the number of tokens emitted)
+        seeds = np.array([r.seed_resolved for r in reqs], dtype=np.int32)
+        ctrs = np.array([len(r.output_token_ids) for r in reqs], dtype=np.int32)
         want_lp = max((r.sampling.logprobs or 0) for r in reqs)
         if want_lp == 0:
             toks = self._sample(
-                logits, sub, jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(top_k)
+                logits, jnp.asarray(seeds), jnp.asarray(ctrs),
+                jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(top_k),
             )
             return np.asarray(toks), None
         n = min(max(want_lp, 1), 16)
         toks, chosen, ids, vals = self._sample_lp(
-            logits, sub, jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(top_k), n
+            logits, jnp.asarray(seeds), jnp.asarray(ctrs),
+            jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(top_k), n
         )
         return np.asarray(toks), (np.asarray(chosen), np.asarray(ids), np.asarray(vals))
 

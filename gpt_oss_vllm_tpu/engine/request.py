@@ -43,6 +43,11 @@ class Request:
     first_token_time: Optional[float] = None
     finish_time: Optional[float] = None
     finish_reason: Optional[str] = None
+    # resolved per-request PRNG seed (sampling.seed, or engine-assigned):
+    # the request's token stream is fold_in(PRNGKey(seed), draw_counter),
+    # reproducible independent of batch composition
+    seed_resolved: int = 0
+    num_shared_prompt_tokens: int = 0  # prefix-cache hits (KV reused, not recomputed)
 
     @property
     def num_prompt_tokens(self) -> int:

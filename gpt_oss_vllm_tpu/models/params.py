@@ -188,17 +188,20 @@ def random_params_on_device(
         kp = -(-(in_f // 2) // 128) * 128
         nbp = kp * 2 // quant.blocksize
         nb = in_f // quant.blocksize
-        try:
-            bits = jax.random.bits(nxt(), (E, rows, kp), dtype=jnp.uint8)
-        except Exception:
-            bits = jax.random.randint(nxt(), (E, rows, kp), 0, 256, dtype=jnp.int32).astype(jnp.uint8)
+        # uint32 bits + bitcast: peak transient == final size (requesting
+        # uint8 bits directly can materialize a 4x 32-bit intermediate —
+        # ~1.1 GB per gate_up tensor, the difference between the 24-layer
+        # model fitting HBM at creation time or not)
+        assert kp % 4 == 0
+        words = jax.random.bits(nxt(), (E, rows, kp // 4), dtype=jnp.uint32)
+        bits = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(E, rows, kp)
+        sdt = jnp.dtype(quant.scale_dtype)
         scales = jnp.abs(
-            jax.random.normal(nxt(), (E, nbp, rows), dtype=jnp.float32)
-        ) * scale + scale * 0.5
+            jax.random.normal(nxt(), (E, nbp, rows), dtype=sdt)
+        ) * jnp.asarray(scale, sdt) + jnp.asarray(scale * 0.5, sdt)
         block_ok = (jnp.arange(nbp) < nb)[None, :, None]
         row_ok = (jnp.arange(rows) < out_f)[None, None, :]
-        scales = jnp.where(block_ok & row_ok, scales, 0.0)
-        scales = scales.astype(jnp.dtype(quant.scale_dtype))
+        scales = jnp.where(block_ok & row_ok, scales, jnp.zeros((), sdt))
         return NF4Tensor(
             qdata=bits,
             scales=scales,

@@ -2,6 +2,17 @@
 
 Replaces the substrate vLLM sampler the reference relies on; determinism
 idiom preserved: temperature 0 == argmax (``smoke_suite.py:27-40``).
+
+Two entry points:
+
+- ``sample_tokens(logits, key, ...)`` — one PRNG key for the whole batch
+  (cheap, non-reproducible across batch compositions).
+- ``sample_tokens_seeded(logits, seeds, counters, ...)`` — per-row
+  (seed, step-counter) streams: each request's token sequence is a pure
+  function of its seed and sampling params, independent of which other
+  requests share the decode batch. This is the engine's default and is
+  stronger than the reference substrate's per-request seeding (vLLM seeds
+  a per-request generator whose draws still interleave with scheduling).
 """
 
 from __future__ import annotations
@@ -12,19 +23,13 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
-def sample_tokens(
+def _mask_logits(
     logits: jax.Array,  # [B, V] f32
-    key: jax.Array,  # PRNG key
-    temperature: jax.Array,  # [B] f32; 0 => greedy
     top_p: jax.Array,  # [B] f32 in (0, 1]
     top_k: jax.Array,  # [B] int32; 0 => disabled
 ) -> jax.Array:
-    """Returns sampled token ids [B] int32. Fully batched: each row applies
-    its own temperature/top-p/top-k (mixed greedy+sampled batches jit as one
-    program — no recompile per sampling config)."""
+    """Apply per-row top-k then top-p (nucleus) masking."""
     B, V = logits.shape
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-
     # top-k mask: keep the k highest logits per row
     sorted_desc = jnp.sort(logits, axis=-1)[:, ::-1]  # [B, V]
     k_idx = jnp.clip(jnp.where(top_k > 0, top_k, V) - 1, 0, V - 1)
@@ -38,16 +43,60 @@ def sample_tokens(
     # keep tokens whose cumulative prob (exclusive) < top_p
     cutoff_mask = (cum - probs_sorted) < top_p[:, None]
     threshold = jnp.min(jnp.where(cutoff_mask, s, jnp.inf), axis=-1)  # smallest kept logit
-    masked = jnp.where(masked >= threshold[:, None], masked, NEG_INF)
+    return jnp.where(masked >= threshold[:, None], masked, NEG_INF)
 
+
+def sample_tokens(
+    logits: jax.Array,  # [B, V] f32
+    key: jax.Array,  # PRNG key
+    temperature: jax.Array,  # [B] f32; 0 => greedy
+    top_p: jax.Array,  # [B] f32 in (0, 1]
+    top_k: jax.Array,  # [B] int32; 0 => disabled
+) -> jax.Array:
+    """Returns sampled token ids [B] int32. Fully batched: each row applies
+    its own temperature/top-p/top-k (mixed greedy+sampled batches jit as one
+    program — no recompile per sampling config)."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    masked = _mask_logits(logits, top_p, top_k)
     temp = jnp.maximum(temperature, 1e-6)[:, None]
     sampled = jax.random.categorical(key, masked / temp, axis=-1).astype(jnp.int32)
     return jnp.where(temperature <= 0.0, greedy, sampled)
 
 
+def _row_gumbel(seeds: jax.Array, counters: jax.Array, V: int) -> jax.Array:
+    """Per-row Gumbel noise from independent (seed, counter) streams."""
+
+    def one(seed, ctr):
+        k = jax.random.fold_in(jax.random.PRNGKey(seed), ctr)
+        return jax.random.gumbel(k, (V,), jnp.float32)
+
+    return jax.vmap(one)(seeds, counters)
+
+
+def sample_tokens_seeded(
+    logits: jax.Array,  # [B, V] f32
+    seeds: jax.Array,  # [B] uint32/int32 per-request seed
+    counters: jax.Array,  # [B] int32 per-request draw counter (tokens emitted)
+    temperature: jax.Array,  # [B] f32; 0 => greedy
+    top_p: jax.Array,
+    top_k: jax.Array,
+) -> jax.Array:
+    """Per-request deterministic sampling via the Gumbel-max trick:
+    argmax(logits/T + Gumbel) ~ Categorical(softmax(logits/T)); the noise
+    comes from fold_in(PRNGKey(seed), counter) so a request replays the
+    exact same token stream whatever batch it lands in."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    masked = _mask_logits(logits, top_p, top_k)
+    temp = jnp.maximum(temperature, 1e-6)[:, None]
+    gumbel = _row_gumbel(seeds, counters, logits.shape[1])
+    sampled = jnp.argmax(masked / temp + gumbel, axis=-1).astype(jnp.int32)
+    return jnp.where(temperature <= 0.0, greedy, sampled)
+
+
 def sample_with_logprobs(
     logits: jax.Array,  # [B, V] f32
-    key: jax.Array,
+    seeds: jax.Array,  # [B]
+    counters: jax.Array,  # [B]
     temperature: jax.Array,
     top_p: jax.Array,
     top_k: jax.Array,
@@ -55,7 +104,7 @@ def sample_with_logprobs(
 ):
     """Sampling plus OpenAI-style logprobs: the chosen token's logprob and
     the top-``num_logprobs`` (token, logprob) pairs, all device-side."""
-    tokens = sample_tokens(logits, key, temperature, top_p, top_k)
+    tokens = sample_tokens_seeded(logits, seeds, counters, temperature, top_p, top_k)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     chosen = jnp.take_along_axis(logp, tokens[:, None], axis=1)[:, 0]
     top_vals, top_ids = jax.lax.top_k(logp, num_logprobs)

@@ -229,48 +229,68 @@ class Server:
 
     # -- generation paths --------------------------------------------------
 
+    @staticmethod
+    def _nth_sampling(sampling: SamplingParams, i: int) -> SamplingParams:
+        """Choice i of an n>1 request: an independent stream. A user seed
+        derives per-choice seeds (seed+i) so the whole response is
+        reproducible; unseeded requests get engine-assigned seeds."""
+        if i == 0 or sampling.seed is None:
+            return sampling
+        import dataclasses
+
+        return dataclasses.replace(sampling, seed=sampling.seed + i)
+
     async def _full_completion(self, req, prompt_ids, sampling, chat: bool) -> web.Response:
-        detok = IncrementalDetokenizer(self.ae.tokenizer)
         stops = _stop_strings(req.stop)
-        text = ""
-        finish_reason = None
-        n_tokens = 0
-        lp = (
-            proto.LogProbs() if sampling.logprobs is not None and not chat else None
-        )
-        async for out in self.ae.stream_tokens(prompt_ids, sampling):
-            n_tokens += 1
-            if lp is not None and out.logprob is not None:
-                lp.tokens.append(self.ae.tokenizer.decode([out.token_id]))
-                lp.token_logprobs.append(out.logprob)
-                lp.top_logprobs.append(
-                    {
-                        self.ae.tokenizer.decode([t]): v
-                        for t, v in (out.top_logprobs or [])
-                    }
-                )
-                lp.text_offset.append(len(text))
-            if out.token_id not in self.ae.tokenizer.stop_ids:
-                text += detok.push(out.token_id, final=out.finished)
-            if out.finished:
-                finish_reason = out.finish_reason
-            for s in stops:
-                if s and s in text:
-                    text = text[: text.index(s)]
-                    finish_reason = "stop"
+        n = max(1, getattr(req, "n", 1) or 1)
+
+        async def one_choice(i: int):
+            detok = IncrementalDetokenizer(self.ae.tokenizer)
+            text = ""
+            finish_reason = None
+            n_tokens = 0
+            lp = proto.LogProbs() if sampling.logprobs is not None and not chat else None
+            async for out in self.ae.stream_tokens(prompt_ids, self._nth_sampling(sampling, i)):
+                n_tokens += 1
+                if lp is not None and out.logprob is not None:
+                    lp.tokens.append(self.ae.tokenizer.decode([out.token_id]))
+                    lp.token_logprobs.append(out.logprob)
+                    lp.top_logprobs.append(
+                        {
+                            self.ae.tokenizer.decode([t]): v
+                            for t, v in (out.top_logprobs or [])
+                        }
+                    )
+                    lp.text_offset.append(len(text))
+                if out.token_id not in self.ae.tokenizer.stop_ids:
+                    text += detok.push(out.token_id, final=out.finished)
+                if out.finished:
+                    finish_reason = out.finish_reason
+                for s in stops:
+                    if s and s in text:
+                        text = text[: text.index(s)]
+                        finish_reason = "stop"
+            return text, finish_reason, n_tokens, lp
+
+        # n>1 choices run concurrently through the engine's continuous batch;
+        # the prefix cache makes the shared prompt's KV a one-time cost
+        results = await asyncio.gather(*(one_choice(i) for i in range(n)))
+        total_completion = sum(r[2] for r in results)
         usage = proto.Usage(
             prompt_tokens=len(prompt_ids),
-            completion_tokens=n_tokens,
-            total_tokens=len(prompt_ids) + n_tokens,
+            completion_tokens=total_completion,
+            total_tokens=len(prompt_ids) + total_completion,
         )
         if chat:
             resp = proto.ChatCompletionResponse(
                 model=req.model,
                 choices=[
                     proto.ChatChoice(
+                        index=i,
                         message=proto.ChatChoiceMessage(content=text),
                         finish_reason=finish_reason or "stop",
                     )
+                    for i, (text, finish_reason, _, _) in enumerate(results)
                 ],
                 usage=usage,
             )
@@ -279,8 +299,9 @@ class Server:
                 model=req.model,
                 choices=[
                     proto.CompletionChoice(
-                        text=text, finish_reason=finish_reason or "stop", logprobs=lp
+                        index=i, text=text, finish_reason=finish_reason or "stop", logprobs=lp
                     )
+                    for i, (text, finish_reason, _, lp) in enumerate(results)
                 ],
                 usage=usage,
             )
@@ -299,35 +320,65 @@ class Server:
         )
         await resp.prepare(http_request)
         rid = proto._id("chatcmpl" if chat else "cmpl")
-        detok = IncrementalDetokenizer(self.ae.tokenizer)
         stops = _stop_strings(req.stop)
-        emitted = ""
+        n = max(1, getattr(req, "n", 1) or 1)
 
         async def send(obj):
             await resp.write(f"data: {obj.model_dump_json()}\n\n".encode())
 
         if chat:
-            await send(
-                proto.ChatCompletionChunk(
-                    id=rid,
-                    model=req.model,
-                    choices=[proto.ChatChunkChoice(delta=proto.DeltaMessage(role="assistant"))],
+            for i in range(n):
+                await send(
+                    proto.ChatCompletionChunk(
+                        id=rid,
+                        model=req.model,
+                        choices=[
+                            proto.ChatChunkChoice(
+                                index=i, delta=proto.DeltaMessage(role="assistant")
+                            )
+                        ],
+                    )
                 )
-            )
-        stopped = False
-        async for out in self.ae.stream_tokens(prompt_ids, sampling):
-            delta = ""
-            if out.token_id not in self.ae.tokenizer.stop_ids:
-                delta = detok.push(out.token_id, final=out.finished)
-            if stops and delta:
-                candidate = emitted + delta
-                hit = next((s for s in stops if s and s in candidate), None)
-                if hit:
-                    delta = candidate[: candidate.index(hit)][len(emitted) :]
-                    stopped = True
-            emitted += delta
-            finish = out.finish_reason if out.finished else ("stop" if stopped else None)
-            if delta or finish:
+
+        # one pump per choice; deltas interleave on the wire tagged by index
+        # (the OpenAI stream contract for n>1)
+        queue: asyncio.Queue = asyncio.Queue()
+        DONE = object()
+
+        async def pump(i: int):
+            detok = IncrementalDetokenizer(self.ae.tokenizer)
+            emitted = ""
+            stopped = False
+            try:
+                async for out in self.ae.stream_tokens(
+                    prompt_ids, self._nth_sampling(sampling, i)
+                ):
+                    delta = ""
+                    if out.token_id not in self.ae.tokenizer.stop_ids:
+                        delta = detok.push(out.token_id, final=out.finished)
+                    if stops and delta:
+                        candidate = emitted + delta
+                        hit = next((s for s in stops if s and s in candidate), None)
+                        if hit:
+                            delta = candidate[: candidate.index(hit)][len(emitted) :]
+                            stopped = True
+                    emitted += delta
+                    finish = out.finish_reason if out.finished else ("stop" if stopped else None)
+                    if delta or finish:
+                        await queue.put((i, delta, finish))
+                    if stopped and not out.finished:
+                        break  # generator cleanup aborts the engine request
+            finally:
+                await queue.put((i, DONE, None))
+
+        tasks = [asyncio.create_task(pump(i)) for i in range(n)]
+        done = 0
+        try:
+            while done < n:
+                i, delta, finish = await queue.get()
+                if delta is DONE:
+                    done += 1
+                    continue
                 if chat:
                     await send(
                         proto.ChatCompletionChunk(
@@ -335,6 +386,7 @@ class Server:
                             model=req.model,
                             choices=[
                                 proto.ChatChunkChoice(
+                                    index=i,
                                     delta=proto.DeltaMessage(content=delta or None),
                                     finish_reason=finish,
                                 )
@@ -346,11 +398,14 @@ class Server:
                         proto.CompletionChunk(
                             id=rid,
                             model=req.model,
-                            choices=[proto.CompletionChoice(text=delta, finish_reason=finish)],
+                            choices=[
+                                proto.CompletionChoice(index=i, text=delta, finish_reason=finish)
+                            ],
                         )
                     )
-            if stopped and not out.finished:
-                break  # generator cleanup aborts the engine request
+        finally:
+            for t in tasks:
+                t.cancel()
         await resp.write(b"data: [DONE]\n\n")
         await resp.write_eof()
         return resp

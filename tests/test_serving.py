@@ -205,3 +205,63 @@ async def test_completions_logprobs(client):
     assert len(lp["token_logprobs"]) == 3
     assert all(v <= 0 for v in lp["token_logprobs"])
     assert len(lp["top_logprobs"][0]) == 2
+
+
+async def test_n_choices_non_stream(client):
+    r = await client.post(
+        "/v1/completions",
+        json={
+            "model": "m", "prompt": "abc", "max_tokens": 3,
+            "temperature": 0.8, "seed": 7, "n": 3,
+        },
+    )
+    assert r.status == 200
+    body = await r.json()
+    assert [c["index"] for c in body["choices"]] == [0, 1, 2]
+    assert body["usage"]["completion_tokens"] == 9
+    # seeded n>1 is reproducible end-to-end
+    r2 = await client.post(
+        "/v1/completions",
+        json={
+            "model": "m", "prompt": "abc", "max_tokens": 3,
+            "temperature": 0.8, "seed": 7, "n": 3,
+        },
+    )
+    b2 = await r2.json()
+    assert [c["text"] for c in b2["choices"]] == [c["text"] for c in body["choices"]]
+
+
+async def test_n_choices_stream(client):
+    r = await client.post(
+        "/v1/chat/completions",
+        json={
+            "model": "m",
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 3, "temperature": 0.9, "n": 2, "stream": True,
+        },
+    )
+    assert r.status == 200
+    seen = set()
+    finished = set()
+    async for line in r.content:
+        line = line.decode().strip()
+        if not line.startswith("data: ") or line == "data: [DONE]":
+            continue
+        import json as _json
+
+        chunk = _json.loads(line[6:])
+        for c in chunk["choices"]:
+            seen.add(c["index"])
+            if c.get("finish_reason"):
+                finished.add(c["index"])
+    assert seen == {0, 1}
+    assert finished == {0, 1}
+
+
+async def test_seed_reproducibility_http(client):
+    payload = {
+        "model": "m", "prompt": "xyz", "max_tokens": 5, "temperature": 1.1, "seed": 99,
+    }
+    t1 = (await (await client.post("/v1/completions", json=payload)).json())["choices"][0]["text"]
+    t2 = (await (await client.post("/v1/completions", json=payload)).json())["choices"][0]["text"]
+    assert t1 == t2
