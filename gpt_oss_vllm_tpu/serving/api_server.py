@@ -188,7 +188,40 @@ class Server:
         m["kv_blocks_free"] = self.ae.engine.allocator.num_free
         m["kv_blocks_total"] = self.ae.engine.allocator.num_blocks
         m["step_latency"] = self.ae.engine.timer.summary()
+        if hasattr(self.ae.engine.allocator, "stats"):
+            m["prefix_cache"] = self.ae.engine.allocator.stats()
+        from gpt_oss_vllm_tpu.utils.telemetry import device_memory_stats
+
+        mem = device_memory_stats()
+        if mem:
+            m["device_memory"] = {
+                k: mem[k]
+                for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")
+                if k in mem
+            }
         return web.json_response(m)
+
+    # -- profiling (SURVEY.md §5: jax.profiler trace endpoints replacing the
+    #    reference's wall-clock-only telemetry) -----------------------------
+
+    async def profile_start(self, request: web.Request) -> web.Response:
+        trace_dir = request.query.get("dir", "/tmp/gpt_oss_vllm_tpu_trace")
+        import jax
+
+        try:
+            jax.profiler.start_trace(trace_dir)
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=409)
+        return web.json_response({"status": "tracing", "dir": trace_dir})
+
+    async def profile_stop(self, request: web.Request) -> web.Response:
+        import jax
+
+        try:
+            jax.profiler.stop_trace()
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=409)
+        return web.json_response({"status": "stopped"})
 
     async def models(self, request: web.Request) -> web.Response:
         return web.json_response(
@@ -416,6 +449,8 @@ def build_app(async_engine: AsyncEngine, serving: ServingConfig, max_model_len: 
     app = web.Application()
     app.router.add_get("/health", s.health)
     app.router.add_get("/metrics", s.metrics)
+    app.router.add_post("/debug/profile/start", s.profile_start)
+    app.router.add_post("/debug/profile/stop", s.profile_stop)
     app.router.add_get("/v1/models", s.models)
     app.router.add_post("/v1/completions", s.completions)
     app.router.add_post("/v1/chat/completions", s.chat_completions)

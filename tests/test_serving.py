@@ -265,3 +265,16 @@ async def test_seed_reproducibility_http(client):
     t1 = (await (await client.post("/v1/completions", json=payload)).json())["choices"][0]["text"]
     t2 = (await (await client.post("/v1/completions", json=payload)).json())["choices"][0]["text"]
     assert t1 == t2
+
+
+async def test_metrics_prefix_cache_and_profile_endpoints(client):
+    r = await client.get("/metrics")
+    body = await r.json()
+    assert "kv_blocks_free" in body and "prefix_cached_tokens" in body
+    # profiler trace endpoints (SURVEY §5): start -> stop round-trip
+    r = await client.post("/debug/profile/start?dir=/tmp/test_trace_api")
+    if r.status == 200:
+        r2 = await client.post("/debug/profile/stop")
+        assert r2.status == 200
+    else:
+        assert r.status == 409  # profiler unavailable/already active
