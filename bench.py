@@ -35,7 +35,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 from gpt_oss_vllm_tpu.config import CacheConfig, ModelConfig, QuantConfig
 from gpt_oss_vllm_tpu.engine.kv_cache import KVCache
 from gpt_oss_vllm_tpu.engine.step import model_step
-from gpt_oss_vllm_tpu.models.params import random_params_on_device
+from gpt_oss_vllm_tpu.models.params import fuse_qkv, random_params_on_device
 
 BASELINE_TOK_S = 8.3  # reference USAGE.md:73
 
@@ -183,7 +183,7 @@ def main():
 
             c = dataclasses.replace(cfg, num_layers=layers)
             t0 = time.monotonic()
-            params = random_params_on_device(c, quant, seed=0, sync_every_layer=True)
+            params = fuse_qkv(random_params_on_device(c, quant, seed=0, sync_every_layer=True))
             time.sleep(2.0)  # let deferred frees drain
             log(f"params ready ({layers} layers) in {time.monotonic() - t0:.1f}s")
             cache_cfg = CacheConfig(block_size=16, num_blocks=160, max_blocks_per_seq=16)

@@ -87,6 +87,16 @@ class ModelConfig:
         return layer_idx % self.sliding_window_pattern == 0
 
     @staticmethod
+    def gpt_oss_120b(**overrides) -> "ModelConfig":
+        """GPT-OSS-120B: same width as 20B, deeper and wider-MoE (36 layers,
+        128 experts; ~117B total / ~5.1B active). The BASELINE.json stretch
+        config (v5p-16 multi-host expert parallel); num_experts=128 shards
+        evenly over ep in {2,4,8,16}."""
+        base = dict(name="gpt-oss-120b", num_layers=36, num_experts=128)
+        base.update(overrides)
+        return ModelConfig(**base)
+
+    @staticmethod
     def tiny(**overrides) -> "ModelConfig":
         """A structurally-complete tiny config for tests — the
         ``test_router_dtype.py:15-48`` fixture pattern, made real."""

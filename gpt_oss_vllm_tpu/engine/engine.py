@@ -68,6 +68,12 @@ class InferenceEngine:
             from jax.sharding import NamedSharding
 
             params = shard_params(params, mesh)
+        else:
+            from gpt_oss_vllm_tpu.models.params import fuse_qkv
+
+            # single-shard: one fat qkv matmul beats three MXU-underfilled
+            # skinny ones (decode is latency-bound on these reads)
+            params = fuse_qkv(params)
         self.params = params
         cfg, cc, sc = config.model, config.cache, config.scheduler
         self.cache = KVCache.create(cfg, cc)

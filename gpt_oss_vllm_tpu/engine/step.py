@@ -46,9 +46,16 @@ def _cached_attention(
     backend: str,
 ) -> Tuple[jax.Array, KVCache]:
     B, T, H = x.shape
-    q = dense_linear(x, p.wq, p.bq).reshape(B, T, cfg.num_heads, cfg.head_dim)
-    k = dense_linear(x, p.wk, p.bk).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
-    v = dense_linear(x, p.wv, p.bv).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    if p.wqkv is not None:
+        qkv = dense_linear(x, p.wqkv, p.bqkv)
+        q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], axis=-1)
+    else:
+        q = dense_linear(x, p.wq, p.bq)
+        k = dense_linear(x, p.wk, p.bk)
+        v = dense_linear(x, p.wv, p.bv)
+    q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
     safe_pos = jnp.maximum(positions, 0)
     cos, sin = yarn_rope_tables(cfg, safe_pos)
     q = apply_rope(q, cos, sin)

@@ -44,9 +44,16 @@ def attention_block(
     moe_strategy: str = "auto",
 ) -> jax.Array:
     B, T, H = x.shape
-    q = dense_linear(x, p.wq, p.bq).reshape(B, T, cfg.num_heads, cfg.head_dim)
-    k = dense_linear(x, p.wk, p.bk).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
-    v = dense_linear(x, p.wv, p.bv).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    if p.wqkv is not None:
+        qkv = dense_linear(x, p.wqkv, p.bqkv)
+        q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], axis=-1)
+    else:
+        q = dense_linear(x, p.wq, p.bq)
+        k = dense_linear(x, p.wk, p.bk)
+        v = dense_linear(x, p.wv, p.bv)
+    q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
     cos, sin = yarn_rope_tables(cfg, positions)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)

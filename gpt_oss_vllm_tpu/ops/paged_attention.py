@@ -32,7 +32,8 @@ def _decode_kernel(
     q_pos_ref,  # [B] int32 (query position; ctx_len - 1; -1 = inactive row)
     # inputs
     q_ref,  # [1, 1, G, D] VMEM (this seq, this kv head)
-    sink_ref,  # [1, G] f32 VMEM (this kv head's q-head group) or dummy
+    sink_ref,  # [KV, G] f32 VMEM (full array — a (1, G) block would violate
+    #            Mosaic's sublane-divisibility rule at KV=8, G=8; it is tiny)
     k_hbm,  # [NB, BS, KV*D] HBM (flat head-dim layout, see engine.kv_cache)
     v_hbm,  # [NB, BS, KV*D] HBM
     # output
@@ -115,7 +116,7 @@ def _decode_kernel(
         l0 = jnp.zeros((G, 1), jnp.float32)
         acc, m, l = jax.lax.fori_loop(first_page, n_pages, body, (acc0, m0, l0))
         if use_sink:
-            sink = sink_ref[0][:, None].astype(jnp.float32)  # [G, 1]
+            sink = sink_ref[h][:, None].astype(jnp.float32)  # [G, 1]
             m_new = jnp.maximum(m, sink)
             l = l * jnp.exp(m - m_new) + jnp.exp(sink - m_new)
             acc = acc * jnp.exp(m - m_new)
@@ -163,7 +164,7 @@ def paged_attention_decode(
         grid=(B, KV),
         in_specs=[
             pl.BlockSpec((1, 1, G, D), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G), lambda b, h, *_: (h, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KV, G), lambda b, h, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],

@@ -42,6 +42,11 @@ def layer_pspecs(l: LayerParams) -> LayerParams:
             )
         return P(*spec)
 
+    if l.wqkv is not None:
+        raise ValueError(
+            "cannot shard fused-qkv params over 'model' (mixed q/kv head rows); "
+            "fuse_qkv() is the single-shard fast path — load unfused for TP"
+        )
     return LayerParams(
         attn_norm=P(None),
         wq=P("model", None),

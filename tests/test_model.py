@@ -184,3 +184,39 @@ def test_moe_strategies_in_full_forward_agree(cfg, dense_params):
     la = forward(dense_params, cfg, tokens, moe_strategy="all")
     lg = forward(dense_params, cfg, tokens, moe_strategy="gather")
     np.testing.assert_allclose(np.asarray(la), np.asarray(lg), rtol=2e-3, atol=2e-3)
+
+
+def test_gpt_oss_120b_preset_structure():
+    """The 120B stretch config (BASELINE config 5): 36 layers, 128 experts,
+    same width — and a scaled-down-depth forward runs (same module graph)."""
+    from gpt_oss_vllm_tpu.config import ModelConfig, QuantConfig
+    from gpt_oss_vllm_tpu.models.gpt_oss import forward
+    from gpt_oss_vllm_tpu.models.params import random_params
+
+    big = ModelConfig.gpt_oss_120b()
+    assert (big.num_layers, big.num_experts) == (36, 128)
+    assert big.hidden_size == 2880 and big.experts_per_token == 4
+    # structurally identical tiny variant: 128 experts, 2 layers
+    small = ModelConfig.gpt_oss_120b(
+        num_layers=2, hidden_size=128, intermediate_size=128, vocab_size=512,
+        num_heads=4, num_kv_heads=2, head_dim=32, sliding_window=16,
+    )
+    params = random_params(small, QuantConfig(method="none"), seed=0)
+    toks = jnp.ones((1, 8), jnp.int32)
+    logits = forward(params, small, toks)
+    assert logits.shape[-1] == 512
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_fuse_qkv_parity(cfg, dense_params):
+    """Fused-qkv params produce identical logits (row-concat only changes
+    which matmul computes each output row, not the contraction)."""
+    from gpt_oss_vllm_tpu.models.gpt_oss import forward
+    from gpt_oss_vllm_tpu.models.params import fuse_qkv
+
+    toks = jnp.ones((1, 6), jnp.int32) * 3
+    ref = forward(dense_params, cfg, toks)
+    fused = fuse_qkv(dense_params)
+    assert fused.layers[0].wqkv is not None and fused.layers[0].wq is None
+    got = forward(fused, cfg, toks)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

@@ -74,3 +74,16 @@ def test_kernel_padded_weights_match_oracle(rng):
     np.testing.assert_allclose(
         np.asarray(wp.dequantize(jnp.float32)), np.asarray(w.dequantize(jnp.float32))
     )
+
+
+def test_lut_poly_matches_codebook_exactly():
+    """The piecewise-polynomial codebook evaluation is numerically identical
+    to the table (within f32 eps of the values) for all 16 indices."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gpt_oss_vllm_tpu.ops.nf4_matmul import _lut_nf4
+    from gpt_oss_vllm_tpu.quant.nf4 import NF4_CODE
+
+    got = np.asarray(_lut_nf4(jnp.arange(16, dtype=jnp.int32)))
+    np.testing.assert_allclose(got, np.asarray(NF4_CODE, np.float32), atol=1e-6)
