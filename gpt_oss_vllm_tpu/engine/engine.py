@@ -139,6 +139,21 @@ class InferenceEngine:
         self._prefill = jax.jit(step_fn, donate_argnames=("cache",))
         self._decode = jax.jit(step_fn, donate_argnames=("cache",))
         self._sample = jax.jit(sample_tokens_seeded)
+        # per-slot token-occurrence counts (prompt+output) for OpenAI
+        # presence/frequency and HF repetition penalties; rows are (re)seeded
+        # at admit and updated per decode step only while some running
+        # request asks for penalties
+        self.token_counts = jnp.zeros((self.num_slots, cfg.vocab_size), jnp.int32)
+        from gpt_oss_vllm_tpu.ops.sampling import apply_penalties
+
+        self._penalize = jax.jit(apply_penalties)
+        self._counts_seed = jax.jit(
+            lambda c, row, toks: c.at[row].set(0).at[row, toks].add(1),
+            donate_argnums=0,
+        )
+        self._counts_add = jax.jit(
+            lambda c, rows, toks: c.at[rows, toks].add(1), donate_argnums=0
+        )
         from gpt_oss_vllm_tpu.ops.sampling import sample_with_logprobs
 
         self._sample_lp = jax.jit(sample_with_logprobs, static_argnames=("num_logprobs",))
@@ -284,17 +299,37 @@ class InferenceEngine:
         self.metrics["prefill_tokens"] += n_prompt - n_shared_tok
         if self.prefix_caching:
             self._register_prefix_blocks(req, len(shared))
-        toks, lp = self._sample_row(out.logits, [req])
+        if req.sampling.has_penalties:
+            self.token_counts = self._counts_seed(
+                self.token_counts, slot, jnp.asarray(req.prompt_token_ids, jnp.int32)
+            )
+        toks, lp = self._sample_row(out.logits, [req], slots=[slot])
         token = toks[0]
+        if req.sampling.has_penalties:
+            self.token_counts = self._counts_add(
+                self.token_counts,
+                jnp.asarray([slot], jnp.int32),
+                jnp.asarray([int(token)], jnp.int32),
+            )
         req.first_token_time = time.time()
         self.block_tables[slot] = bt[0]
         self.seq_lens[slot] = n_prompt + 1
         self.last_token[slot] = token
         return [self._append_token(req, int(token), lp, 0)]
 
-    def _sample_row(self, logits: jax.Array, reqs: List[Request]):
+    def _sample_row(self, logits: jax.Array, reqs: List[Request], slots=None):
         """Sample one token per row; returns (tokens, per-req logprob info or
-        None). Logprob computation only compiles/runs when a request asks."""
+        None). Logprob/penalty computation only compiles/runs when a request
+        asks."""
+        if slots is not None and any(r.sampling.has_penalties for r in reqs):
+            pres = np.array([r.sampling.presence_penalty for r in reqs], np.float32)
+            freq = np.array([r.sampling.frequency_penalty for r in reqs], np.float32)
+            rep = np.array([r.sampling.repetition_penalty for r in reqs], np.float32)
+            logits = self._penalize(
+                logits,
+                self.token_counts[np.asarray(slots)],
+                jnp.asarray(pres), jnp.asarray(freq), jnp.asarray(rep),
+            )
         temp = np.array([r.sampling.temperature for r in reqs], dtype=np.float32)
         top_p = np.array([r.sampling.top_p for r in reqs], dtype=np.float32)
         top_k = np.array([r.sampling.top_k for r in reqs], dtype=np.int32)
@@ -376,7 +411,13 @@ class InferenceEngine:
         self.cache = out.cache
         reqs = [r for _, r in running]
         rows = [i for i, _ in running]
-        sampled, lp = self._sample_row(out.logits[np.array(rows)], reqs)
+        sampled, lp = self._sample_row(out.logits[np.array(rows)], reqs, slots=rows)
+        if any(r.sampling.has_penalties for r in reqs):
+            self.token_counts = self._counts_add(
+                self.token_counts,
+                jnp.asarray(rows, jnp.int32),
+                jnp.asarray(sampled, jnp.int32),
+            )
         outputs = []
         for ri, ((i, req), tok) in enumerate(zip(running, sampled)):
             self.metrics["decode_tokens"] += 1

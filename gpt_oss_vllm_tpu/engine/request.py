@@ -17,10 +17,21 @@ class SamplingParams:
     stop_token_ids: tuple = ()
     seed: Optional[int] = None
     logprobs: Optional[int] = None  # return top-N logprobs per token
+    presence_penalty: float = 0.0  # flat penalty on seen tokens (OpenAI)
+    frequency_penalty: float = 0.0  # count-proportional penalty (OpenAI)
+    repetition_penalty: float = 1.0  # HF-style multiplicative (1 = off)
 
     @property
     def greedy(self) -> bool:
         return self.temperature == 0.0
+
+    @property
+    def has_penalties(self) -> bool:
+        return (
+            self.presence_penalty != 0.0
+            or self.frequency_penalty != 0.0
+            or self.repetition_penalty != 1.0
+        )
 
 
 class RequestState(enum.Enum):

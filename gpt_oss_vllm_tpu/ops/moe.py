@@ -201,9 +201,13 @@ def moe_block(
     )
     if strategy == "auto":
         small = x.shape[0] * cfg.experts_per_token < cfg.num_experts
-        if backend == "pallas" and isinstance(w_gate_up, NF4Tensor) and x.shape[0] * cfg.experts_per_token <= 512:
-            # decode-sized token counts: the ragged gmm kernel reads only the
-            # activated experts' bytes straight from HBM (no gather copies)
+        # The gmm kernel holds the dispatched x rows resident in VMEM
+        # ([P_pad, Kp] even/odd planes + output tile): ~21 MB at 2048 pairs —
+        # comfortably under VMEM. Covers decode AND 512-token prefill chunks
+        # (vs the all-experts path's E/k-fold extra MXU flops).
+        if backend == "pallas" and isinstance(w_gate_up, NF4Tensor) and x.shape[0] * cfg.experts_per_token <= 2048:
+            # the ragged gmm kernel reads only the activated experts' bytes
+            # straight from HBM (no gather copies)
             strategy = "gmm"
         else:
             # gather wins while selected-expert reads < all-expert reads

@@ -109,3 +109,23 @@ def sample_with_logprobs(
     chosen = jnp.take_along_axis(logp, tokens[:, None], axis=1)[:, 0]
     top_vals, top_ids = jax.lax.top_k(logp, num_logprobs)
     return tokens, chosen, top_ids.astype(jnp.int32), top_vals
+
+
+def apply_penalties(
+    logits: jax.Array,  # [B, V] f32
+    counts: jax.Array,  # [B, V] int32 token occurrence counts (prompt+output)
+    presence: jax.Array,  # [B] f32; 0 = off
+    frequency: jax.Array,  # [B] f32; 0 = off
+    repetition: jax.Array,  # [B] f32; 1 = off
+) -> jax.Array:
+    """OpenAI presence/frequency penalties + HF-style repetition penalty.
+
+    presence subtracts a flat penalty from every token already seen;
+    frequency subtracts proportionally to its count; repetition divides
+    positive logits (multiplies negative) of seen tokens by the factor.
+    """
+    seen = counts > 0
+    out = logits - presence[:, None] * seen - frequency[:, None] * counts
+    rep = repetition[:, None]
+    rep_applied = jnp.where(out > 0, out / rep, out * rep)
+    return jnp.where(seen, rep_applied, out)

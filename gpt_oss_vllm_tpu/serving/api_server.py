@@ -138,6 +138,9 @@ def _sampling_from(req, tokenizer: Tokenizer, max_model_len: int) -> SamplingPar
         stop_token_ids=tuple(tokenizer.stop_ids),
         seed=req.seed,
         logprobs=lp,
+        presence_penalty=getattr(req, "presence_penalty", 0.0) or 0.0,
+        frequency_penalty=getattr(req, "frequency_penalty", 0.0) or 0.0,
+        repetition_penalty=getattr(req, "repetition_penalty", 1.0) or 1.0,
     )
 
 

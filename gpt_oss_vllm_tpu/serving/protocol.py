@@ -34,6 +34,9 @@ class CompletionRequest(BaseModel):
     seed: Optional[int] = None
     echo: bool = False
     logprobs: Optional[int] = None
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    repetition_penalty: float = 1.0
 
 
 class ChatMessage(BaseModel):
@@ -55,6 +58,9 @@ class ChatCompletionRequest(BaseModel):
     seed: Optional[int] = None
     logprobs: bool = False
     top_logprobs: Optional[int] = None
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    repetition_penalty: float = 1.0
 
 
 class LogProbs(BaseModel):

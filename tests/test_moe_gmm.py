@@ -106,3 +106,39 @@ def test_gmm_full_scales_branch(rng):
     for p_i in range(P):
         want = x[pos[p_i]] @ wd[sorted_ids[p_i]].T
         np.testing.assert_allclose(got[pos[p_i]], want, rtol=5e-3, atol=5e-3)
+
+
+def test_gmm_prefill_sized_pairs_interpret():
+    """Prefill-chunk-sized dispatch (hundreds of pairs, every expert active)
+    through the grouped kernel matches the dense oracle."""
+    import functools
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gpt_oss_vllm_tpu.config import ModelConfig, QuantConfig
+    from gpt_oss_vllm_tpu.models.params import random_params
+    from gpt_oss_vllm_tpu.ops.moe import expert_act, moe_block, route_topk
+    from gpt_oss_vllm_tpu.ops.moe_gmm import moe_gmm_block
+
+    cfg = ModelConfig.tiny()
+    l = random_params(cfg, QuantConfig(method="nf4"), seed=9).layers[0]
+    rng = np.random.default_rng(21)
+    T = 96  # T*k = 192 pairs over 8 experts - all experts active
+    x = jnp.asarray(rng.normal(size=(T, cfg.hidden_size)) * 0.1, jnp.float32).astype(
+        jnp.dtype(cfg.dtype)
+    )
+    routing = route_topk(x, l.router_w, l.router_b, cfg.experts_per_token)
+    got = moe_gmm_block(
+        x, routing.weights, routing.indices,
+        l.w_gate_up, l.b_gate_up, l.w_down, l.b_down,
+        act_fn=functools.partial(expert_act, cfg=cfg), interpret=True,
+    )
+    oracle = moe_block(
+        x, l.router_w, l.router_b, l.w_gate_up, l.b_gate_up, l.w_down, l.b_down,
+        cfg, strategy="all",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(oracle, np.float32),
+        rtol=3e-2, atol=3e-3,
+    )
