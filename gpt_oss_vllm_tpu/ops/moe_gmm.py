@@ -117,16 +117,17 @@ def _gmm_kernel(
 ):
     jn = pl.program_id(0)
     g = pl.program_id(1)
-    s = pl.program_id(2)
     size = size_ref[g]
-    chunk_rows = size - s * tm  # rows this chunk still owns
 
-    @pl.when(jnp.logical_and(g == 0, s == 0))
+    @pl.when(g == 0)
     def _init():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    @pl.when(chunk_rows > 0)
+    @pl.when(size > 0)
     def _work():
+        # dequant ONCE per (out-tile, group); the row-chunk walk happens
+        # in-kernel below (x is fully VMEM-resident), so big dispatches
+        # (prefill chunks) don't re-decode the same expert tile per chunk
         q_buf = q_ref[0]  # [TN, Kp]
         q = q_buf[:].astype(jnp.int32)
         low = q & 0x0F
@@ -159,25 +160,32 @@ def _gmm_kernel(
             )  # [TN, Kp]
         we = (_lut_nf4(low) * scales).astype(xe_ref.dtype)
         wo = (_lut_nf4(high) * scales).astype(xe_ref.dtype)
-        # group starts are 8-aligned by construction (build_grouping) and tm
-        # is a multiple of 8 — assert it for Mosaic's dynamic-offset proof
-        row0 = pl.multiple_of(start_ref[g] + s * tm, ROW_ALIGN)
-        xe = xe_ref[pl.ds(row0, tm), :]
-        xo = xo_ref[pl.ds(row0, tm), :]
-        acc = jax.lax.dot_general(
-            xe, we, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        acc += jax.lax.dot_general(
-            xo, wo, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0)
-        valid = rows < chunk_rows
-        if full_scales:
-            cur = o_ref[0, pl.ds(row0, tm), :]
-            o_ref[0, pl.ds(row0, tm), :] = jnp.where(valid, acc, cur)
-        else:
-            cur = o_ref[pl.ds(row0, tm), :]
-            o_ref[pl.ds(row0, tm), :] = jnp.where(valid, acc, cur)
+
+        def chunk(s, _):
+            chunk_rows = size - s * tm
+            # group starts are 8-aligned by construction (build_grouping) and
+            # tm is a multiple of 8 — assert it for Mosaic's offset proof
+            row0 = pl.multiple_of(start_ref[g] + s * tm, ROW_ALIGN)
+            xe = xe_ref[pl.ds(row0, tm), :]
+            xo = xo_ref[pl.ds(row0, tm), :]
+            acc = jax.lax.dot_general(
+                xe, we, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            acc += jax.lax.dot_general(
+                xo, wo, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            rows = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0)
+            valid = rows < chunk_rows
+            if full_scales:
+                cur = o_ref[0, pl.ds(row0, tm), :]
+                o_ref[0, pl.ds(row0, tm), :] = jnp.where(valid, acc, cur)
+            else:
+                cur = o_ref[pl.ds(row0, tm), :]
+                o_ref[pl.ds(row0, tm), :] = jnp.where(valid, acc, cur)
+            return 0
+
+        # dynamic trip count: only the chunks this group actually owns run
+        jax.lax.fori_loop(0, pl.cdiv(size, tm), chunk, 0)
 
 
 def _check_tm(tm: int) -> int:
@@ -218,9 +226,7 @@ def moe_gmm_nf4(
         if tn is None:
             raise ValueError(f"no valid out tile for N={N}")
     NQ = N // tn
-    # chunks cover the worst-case group (all pairs on one expert)
-    n_chunks = max(1, -(-num_pairs // tm))
-    grid = (NQ, G, n_chunks)
+    grid = (NQ, G)
     kernel = functools.partial(
         _gmm_kernel, tn=tn, kp=Kp, nb=nb, block_j=Kp // nb, tm=tm,
         full_scales=full_scales, n_total=N,
@@ -230,20 +236,20 @@ def moe_gmm_nf4(
     load_expert = grouping.group_expert.astype(jnp.int32)
     if full_scales:
         s_spec = pl.BlockSpec(
-            (1, nb, N), lambda j, g, s, e_ref, *_: (e_ref[g], 0, 0),
+            (1, nb, N), lambda j, g, e_ref, *_: (e_ref[g], 0, 0),
             memory_space=pltpu.VMEM,
         )
         out_spec = pl.BlockSpec(
-            (1, P_pad, tn), lambda j, g, s, *_: (j, 0, 0), memory_space=pltpu.VMEM
+            (1, P_pad, tn), lambda j, g, *_: (j, 0, 0), memory_space=pltpu.VMEM
         )
         out_shape = jax.ShapeDtypeStruct((NQ, P_pad, tn), jnp.float32)
     else:
         s_spec = pl.BlockSpec(
-            (1, nb, tn), lambda j, g, s, e_ref, *_: (e_ref[g], 0, j),
+            (1, nb, tn), lambda j, g, e_ref, *_: (e_ref[g], 0, j),
             memory_space=pltpu.VMEM,
         )
         out_spec = pl.BlockSpec(
-            (P_pad, tn), lambda j, g, s, *_: (0, j), memory_space=pltpu.VMEM
+            (P_pad, tn), lambda j, g, *_: (0, j), memory_space=pltpu.VMEM
         )
         out_shape = jax.ShapeDtypeStruct((P_pad, N), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -254,7 +260,7 @@ def moe_gmm_nf4(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, tn, Kp),
-                lambda j, g, s, e_ref, *_: (e_ref[g], j, 0),
+                lambda j, g, e_ref, *_: (e_ref[g], j, 0),
                 memory_space=pltpu.VMEM,
             ),
             s_spec,
@@ -300,7 +306,7 @@ def moe_gmm_block(
     w_down: NF4Tensor,  # [E, H, FF]
     b_down: Optional[jax.Array],
     act_fn,
-    tm: int = 16,
+    tm: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Full MoE block through the gmm kernel: dispatch -> gate_up -> act ->
@@ -309,6 +315,9 @@ def moe_gmm_block(
     k = routing_indices.shape[1]
     E = w_gate_up.qdata.shape[0]
     P = T * k
+    if tm is None:
+        # decode: one MXU pass per group; prefill chunks: wide 128-row chunks
+        tm = min(128, ((P + 7) // 8) * 8)
     tm = _check_tm(max(ROW_ALIGN, min(tm, ((P + 7) // 8) * 8)))
     flat_ids = routing_indices.reshape(-1)
     grouping = build_grouping(flat_ids, E)
