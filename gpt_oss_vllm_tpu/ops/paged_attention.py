@@ -1,13 +1,23 @@
 """Pallas paged-attention decode kernel (sinks + sliding window native).
 
 TPU-native replacement for vLLM's paged-attention CUDA kernels (SURVEY.md
-§2.3): K/V pages stay in HBM; each grid program (one sequence x one kv head)
-walks its block table with double-buffered DMAs and an online-softmax
+§2.3): K/V pages stay in HBM; each grid program (one sequence x one kv-head
+GROUP) walks its block table with double-buffered DMAs and an online-softmax
 accumulator. Attention sinks enter as a denominator correction
 (exp(sink - m) — see ``ops.attention``), and sliding-window layers skip
 whole pages below the window start, so windowed layers read O(window) KV
 regardless of context length — the feature the reference had to disable on
 its hardware (``patch_3_disable_sinks.py``).
+
+Head pairing: the cache is stored FLAT over (head, dim) — [NB, BS, KV*D] —
+because a trailing D=64 would lane-pad 2x in HBM (see engine.kv_cache).
+Mosaic requires HBM DMA slices lane-aligned to 128, so a single D=64 head
+cannot be sliced out. Each program therefore owns HP = 128//D heads (an
+aligned 128-lane band) and computes them in ONE matmul via block-diagonal
+queries: q2[i*G + g, i*D:(i+1)*D] = q[head i, g]; zero padding kills the
+cross-head terms in q2 @ k2^T. The p2 @ v2 product fills all HP bands per
+row; the caller extracts each row-block's own band (cheap XLA gather).
+MXU cost is identical — sub-128-lane matmuls pad to 128 anyway.
 
 The XLA gather path in ``engine.step`` is the semantics oracle; this kernel
 must match it on overlapping inputs (see tests/test_paged_attention.py).
@@ -31,28 +41,25 @@ def _decode_kernel(
     block_tables_ref,  # [B, MB] int32
     q_pos_ref,  # [B] int32 (query position; ctx_len - 1; -1 = inactive row)
     # inputs
-    q_ref,  # [1, 1, G, D] VMEM (this seq, this kv head)
-    sink_ref,  # [KV, G] f32 VMEM (full array — a (1, G) block would violate
-    #            Mosaic's sublane-divisibility rule at KV=8, G=8; it is tiny)
+    q_ref,  # [1, 1, HP*G, HP*D] VMEM (block-diagonal over the head pair)
+    sink_ref,  # [KVH, HP*G] f32 VMEM (full array; tiny)
     k_hbm,  # [NB, BS, KV*D] HBM (flat head-dim layout, see engine.kv_cache)
     v_hbm,  # [NB, BS, KV*D] HBM
     # output
-    o_ref,  # [1, 1, G, D] VMEM
+    o_ref,  # [1, 1, HP*G, HP*D] VMEM
     # scratch
-    k_buf,  # [2, BS, D]
-    v_buf,  # [2, BS, D]
+    k_buf,  # [2, BS, HP*D]
+    v_buf,  # [2, BS, HP*D]
     sem,  # DMA semaphores [2, 2]
     *,
     bs: int,
-    max_blocks: int,
     window: Optional[int],
     sm_scale: float,
     use_sink: bool,
-    head_dim: int,
+    band: int,  # HP*D — the aligned lane band DMA'd per program
 ):
-    D = head_dim
     b = pl.program_id(0)
-    h = pl.program_id(1)
+    h = pl.program_id(1)  # kv-head-group index
     q_pos = q_pos_ref[b]
     ctx_len = q_pos + 1
     n_pages = jnp.where(ctx_len > 0, pl.cdiv(ctx_len, bs), 0)
@@ -61,17 +68,17 @@ def _decode_kernel(
     else:
         first_page = jnp.int32(0)
 
-    q = q_ref[0, 0].astype(jnp.float32) * sm_scale  # [G, D]
-    G = q.shape[0]
+    q = q_ref[0, 0].astype(jnp.float32) * sm_scale  # [HP*G, HP*D]
+    R = q.shape[0]
 
     def page_dma(slot, page_idx):
         blk = block_tables_ref[b, page_idx]
-        hd = pl.multiple_of(h * D, D)
+        hd = pl.multiple_of(h * band, band)
         kd = pltpu.make_async_copy(
-            k_hbm.at[blk, :, pl.ds(hd, D)], k_buf.at[slot], sem.at[slot, 0]
+            k_hbm.at[blk, :, pl.ds(hd, band)], k_buf.at[slot], sem.at[slot, 0]
         )
         vd = pltpu.make_async_copy(
-            v_hbm.at[blk, :, pl.ds(hd, D)], v_buf.at[slot], sem.at[slot, 1]
+            v_hbm.at[blk, :, pl.ds(hd, band)], v_buf.at[slot], sem.at[slot, 1]
         )
         return kd, vd
 
@@ -81,7 +88,7 @@ def _decode_kernel(
             d.start()
 
         def body(p, carry):
-            acc, m, l = carry  # [G, D], [G, 1], [G, 1]
+            acc, m, l = carry  # [R, HP*D], [R, 1], [R, 1]
             slot = jax.lax.rem(p - first_page, 2)
             nxt = jax.lax.rem(p - first_page + 1, 2)
 
@@ -92,12 +99,14 @@ def _decode_kernel(
 
             for d in page_dma(slot, p):
                 d.wait()
-            k = k_buf[slot].astype(jnp.float32)  # [BS, D]
+            k = k_buf[slot].astype(jnp.float32)  # [BS, HP*D]
             v = v_buf[slot].astype(jnp.float32)
+            # block-diagonal q zeros the cross-head lane bands, so this one
+            # matmul scores all HP heads at once
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )  # [G, BS]
-            k_pos = p * bs + jax.lax.broadcasted_iota(jnp.int32, (G, bs), 1)
+            )  # [R, BS]
+            k_pos = p * bs + jax.lax.broadcasted_iota(jnp.int32, (R, bs), 1)
             valid = k_pos <= q_pos
             if window is not None:
                 valid &= q_pos - k_pos < window
@@ -111,12 +120,13 @@ def _decode_kernel(
             )
             return acc_new, m_new, l_new
 
-        acc0 = jnp.zeros((G, D), jnp.float32)
-        m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((G, 1), jnp.float32)
+        D2 = q.shape[1]
+        acc0 = jnp.zeros((R, D2), jnp.float32)
+        m0 = jnp.full((R, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((R, 1), jnp.float32)
         acc, m, l = jax.lax.fori_loop(first_page, n_pages, body, (acc0, m0, l0))
         if use_sink:
-            sink = sink_ref[h][:, None].astype(jnp.float32)  # [G, 1]
+            sink = sink_ref[h][:, None].astype(jnp.float32)  # [R, 1]
             m_new = jnp.maximum(m, sink)
             l = l * jnp.exp(m - m_new) + jnp.exp(sink - m_new)
             acc = acc * jnp.exp(m - m_new)
@@ -146,50 +156,77 @@ def paged_attention_decode(
     B, n_q, D = q.shape
     NB, BS, KVD = k_cache.shape
     KV = KVD // D
-    MB = block_tables.shape[1]
     G = n_q // KV
     if sm_scale is None:
         sm_scale = D**-0.5
     use_sink = use_sink and sinks is not None
-    qg = q.reshape(B, KV, G, D)
+    # heads per program: an aligned 128-lane band of the flat cache
+    HP = max(1, 128 // D)
+    if 128 % D != 0 or KV % HP != 0:
+        HP = KV  # single group covering the whole flat page width
+    KVH = KV // HP
+    R = HP * G
+    band = HP * D
+    # Mosaic DMA slices of the HBM cache must be 128-lane tile-aligned. A
+    # band below/off 128 (tiny/test shape classes only — production GPT-OSS
+    # pages are KV*D = 512) gets zero-padded lanes; the pad contributes 0 to
+    # q2 @ k2^T and is sliced off the output. Only the single-group fallback
+    # can be unaligned, so offsets (h * band_phys) stay trivially aligned.
+    lane_pad = (-band) % 128
+    band_phys = band + lane_pad
+    if lane_pad:
+        assert KVH == 1, (KV, HP, D)
+        pad_w = ((0, 0), (0, 0), (0, lane_pad))
+        k_cache = jnp.pad(k_cache, pad_w)
+        v_cache = jnp.pad(v_cache, pad_w)
+
+    # block-diagonal queries: q2[b, hh, i*G + g, i*D:(i+1)*D] = q[head, g]
+    q4 = q.reshape(B, KVH, HP, G, D)
+    eye = jnp.eye(HP, dtype=q.dtype)  # [i, j]
+    q2 = jnp.einsum("bhigd,ij->bhigjd", q4, eye).reshape(B, KVH, R, band)
+    if lane_pad:
+        q2 = jnp.pad(q2, ((0, 0), (0, 0), (0, 0), (0, lane_pad)))
+
     if sinks is None:
-        sinks_g = jnp.zeros((KV, G), jnp.float32)
+        sinks_g = jnp.zeros((KVH, R), jnp.float32)
     else:
-        sinks_g = sinks.reshape(KV, G).astype(jnp.float32)
+        sinks_g = sinks.reshape(KVH, R).astype(jnp.float32)
     # clamp negative table entries to 0 (inactive rows produce zeros anyway)
     bt = jnp.maximum(block_tables, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, KV),
+        grid=(B, KVH),
         in_specs=[
-            pl.BlockSpec((1, 1, G, D), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((KV, G), lambda b, h, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, R, band_phys), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KVH, R), lambda b, h, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, G, D), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, R, band_phys), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, BS, D), jnp.float32 if k_cache.dtype == jnp.float32 else k_cache.dtype),
-            pltpu.VMEM((2, BS, D), jnp.float32 if v_cache.dtype == jnp.float32 else v_cache.dtype),
+            pltpu.VMEM((2, BS, band_phys), k_cache.dtype),
+            pltpu.VMEM((2, BS, band_phys), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     kernel = functools.partial(
         _decode_kernel,
         bs=BS,
-        max_blocks=MB,
         window=window,
         sm_scale=sm_scale,
         use_sink=use_sink,
-        head_dim=D,
+        band=band_phys,
     )
-    out = pl.pallas_call(
+    out2 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, KV, G, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, KVH, R, band_phys), q.dtype),
         interpret=interpret,
-    )(bt, q_positions, qg, sinks_g, k_cache, v_cache)
+    )(bt, q_positions, q2, sinks_g, k_cache, v_cache)
+    # each row-block i keeps only its own lane band i
+    out4 = out2[..., :band].reshape(B, KVH, HP, G, HP, D)
+    out = jnp.einsum("bhigjd,ij->bhigd", out4, eye.astype(out4.dtype))
     return out.reshape(B, n_q, D)

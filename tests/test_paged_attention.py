@@ -93,3 +93,41 @@ def test_decode_kernel_window_skips_pages(rng):
     assert np.isfinite(got).all()
     want = _oracle(q, np.nan_to_num(kc), vc, bt, q_pos, None, window)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_paged_decode_head_pairing_path():
+    """D=64, KV=4: HP=2 heads share a 128-lane program (the GPT-OSS shape
+    class) — block-diagonal scoring must match the oracle per head."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gpt_oss_vllm_tpu.ops.attention import mha_reference
+    from gpt_oss_vllm_tpu.ops.paged_attention import paged_attention_decode
+
+    rng = np.random.default_rng(3)
+    D, KV, G, BS, NB = 64, 4, 2, 8, 6
+    n_q = KV * G
+    ctx = 3 * BS + 5
+    k_cache = jnp.asarray(rng.normal(size=(NB, BS, KV * D)) * 0.3, jnp.float32)
+    v_cache = jnp.asarray(rng.normal(size=(NB, BS, KV * D)) * 0.3, jnp.float32)
+    bt = jnp.asarray([[1, 4, 2, 5, -1, -1]], jnp.int32)
+    q = jnp.asarray(rng.normal(size=(1, n_q, D)) * 0.3, jnp.float32)
+    qpos = jnp.asarray([ctx - 1], jnp.int32)
+    sinks = jnp.asarray(rng.normal(size=(n_q,)), jnp.float32)
+
+    got = paged_attention_decode(
+        q, k_cache, v_cache, bt, qpos, sinks=sinks, window=None, interpret=True
+    )
+    # oracle: gather logical context, grouped MHA
+    pages = jnp.take(k_cache, jnp.maximum(bt[0], 0), axis=0)  # [MB, BS, KV*D]
+    kc = pages.reshape(1, -1, KV, D)
+    vc = jnp.take(v_cache, jnp.maximum(bt[0], 0), axis=0).reshape(1, -1, KV, D)
+    S = kc.shape[1]
+    mask = (jnp.arange(S)[None, None, :] <= qpos[:, None, None])
+    # q arranged [B, T=1, n_q, D]; heads grouped per kv head (G per kv)
+    ref = mha_reference(q[:, None], kc, vc, sinks, mask)[:, 0]
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32).reshape(-1),
+        np.asarray(ref, np.float32).reshape(-1),
+        rtol=2e-2, atol=2e-3,
+    )
