@@ -51,7 +51,7 @@ class InferenceEngine:
         self,
         config: EngineConfig,
         params: ModelParams,
-        attn_backend: str = "xla",
+        attn_backend: str = "auto",
         mesh=None,
     ):
         """mesh: optional jax Mesh ('data','expert','model'). When given,
@@ -129,6 +129,13 @@ class InferenceEngine:
         qb = config.quant.backend if config.quant.enabled else "xla"
         if qb == "pallas" and jax.default_backend() != "tpu":
             qb = "xla"  # compiled Pallas kernels are TPU-only; CPU uses the XLA path
+        if attn_backend == "auto":
+            # Pallas paged decode on real TPU (windowed layers read O(window)
+            # KV; parity-proven vs the XLA gather oracle); gather path on CPU
+            # and under a mesh (pallas_call is not GSPMD-partitionable — the
+            # sharded cache would be gathered to every shard)
+            on_tpu = jax.default_backend() == "tpu"
+            attn_backend = "pallas" if (on_tpu and mesh is None) else "xla"
         step_fn = partial(
             model_step,
             cfg=cfg,

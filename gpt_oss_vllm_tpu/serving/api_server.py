@@ -511,10 +511,13 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--checkpoint", default=None, help="native TensorStore dir")
     ap.add_argument("--tiny", action="store_true", help="tiny random model (smoke)")
-    ap.add_argument("--quant", default="nf4", choices=["nf4", "none"])
+    ap.add_argument("--quant", default="nf4", choices=["nf4", "mxfp4", "none"])
     ap.add_argument("--tokenizer", default="o200k_harmony")
     ap.add_argument("--max-model-len", type=int, default=None)
-    ap.add_argument("--attn-backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument(
+        "--attn-backend", default="auto", choices=["auto", "xla", "pallas"],
+        help="auto = Pallas paged decode on TPU, XLA gather elsewhere",
+    )
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
