@@ -145,6 +145,12 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--tiny", action="store_true", help="use the tiny test config")
     ap.add_argument("--nibble-order", default="low_first", choices=["low_first", "high_first"])
     ap.add_argument("--scale-dtype", default="float32", choices=["float32", "bfloat16", "float16"])
+    ap.add_argument(
+        "--format", default="unsloth", choices=["unsloth", "gpt-oss-mxfp4"],
+        help="source checkpoint schema: Unsloth NF4 (the reference's artifact) "
+             "or the official GPT-OSS MXFP4 release",
+    )
+    ap.add_argument("--gate-up-layout", default="interleaved", choices=["interleaved", "stacked"])
     args = ap.parse_args(argv)
 
     if args.config:
@@ -154,6 +160,18 @@ def main(argv: Optional[list] = None):
         cfg = ModelConfig.tiny()
     else:
         cfg = ModelConfig()
+    if args.format == "gpt-oss-mxfp4":
+        from gpt_oss_vllm_tpu.checkpoint.gpt_oss_mxfp4 import (
+            GptOssMxfp4Reader,
+            convert_mxfp4_to_native,
+        )
+
+        mreader = GptOssMxfp4Reader(
+            args.inp, nibble_order=args.nibble_order, gate_up_layout=args.gate_up_layout
+        )
+        print(f"checkpoint structure: {mreader.scan_structure()}")
+        convert_mxfp4_to_native(mreader, cfg, args.out, scale_dtype=args.scale_dtype)
+        return
     reader = UnslothCheckpointReader(args.inp, nibble_order=args.nibble_order)
     structure = reader.scan_structure()
     print(f"checkpoint structure: {structure}")

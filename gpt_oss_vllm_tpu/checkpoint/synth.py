@@ -22,6 +22,7 @@ def main(argv=None):
     ap.add_argument("--files", type=int, default=2)
     ap.add_argument("--nibble-order", default="low_first", choices=["low_first", "high_first"])
     ap.add_argument("--offset", action="store_true", help="include double-quant offset keys")
+    ap.add_argument("--format", default="unsloth", choices=["unsloth", "gpt-oss-mxfp4"])
     args = ap.parse_args(argv)
 
     cfg = ModelConfig.tiny() if args.tiny else ModelConfig()
@@ -29,14 +30,22 @@ def main(argv=None):
         import dataclasses
 
         cfg = dataclasses.replace(cfg, num_layers=args.layers)
-    paths = write_synthetic_unsloth_checkpoint(
-        args.out,
-        cfg,
-        seed=args.seed,
-        num_files=args.files,
-        nibble_order=args.nibble_order,
-        use_offset=args.offset,
-    )
+    if args.format == "gpt-oss-mxfp4":
+        from gpt_oss_vllm_tpu.checkpoint.gpt_oss_mxfp4 import write_synthetic_gpt_oss_mxfp4
+
+        paths = write_synthetic_gpt_oss_mxfp4(
+            args.out, cfg, seed=args.seed, num_files=args.files,
+            nibble_order=args.nibble_order,
+        )
+    else:
+        paths = write_synthetic_unsloth_checkpoint(
+            args.out,
+            cfg,
+            seed=args.seed,
+            num_files=args.files,
+            nibble_order=args.nibble_order,
+            use_offset=args.offset,
+        )
     print(f"wrote {len(paths)} safetensors files to {args.out}")
 
 

@@ -129,9 +129,12 @@ class QuantConfig:
     lm_head stay in full (bf16) precision.
     """
 
-    method: str = "nf4"  # "nf4" | "none"
-    blocksize: int = 64  # reference ``unsloth_direct_loader.py:129``
-    double_quant: bool = True  # absmax itself 8-bit quantized
+    # "nf4" (the reference's BnB format) | "mxfp4" (GPT-OSS's native OCP FP4
+    # checkpoint format, which the reference had to override away —
+    # ``patch_4_override_quant.py:26-41``) | "none" (dense bf16)
+    method: str = "nf4"
+    blocksize: int = 0  # 0 = format default (nf4: 64, mxfp4: 32)
+    double_quant: bool = True  # absmax itself 8-bit quantized (nf4 only)
     nested_blocksize: int = 256
     scale_dtype: str = "float32"
     # compute path for the quantized matmuls: "pallas" fused dequant-matmul
@@ -141,6 +144,12 @@ class QuantConfig:
     @property
     def enabled(self) -> bool:
         return self.method != "none"
+
+    @property
+    def effective_blocksize(self) -> int:
+        if self.blocksize:
+            return self.blocksize
+        return 32 if self.method == "mxfp4" else 64
 
 
 @dataclass(frozen=True)

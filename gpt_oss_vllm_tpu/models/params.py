@@ -21,7 +21,7 @@ import numpy as np
 
 from gpt_oss_vllm_tpu.config import ModelConfig, QuantConfig
 from gpt_oss_vllm_tpu.checkpoint.store import TensorStore
-from gpt_oss_vllm_tpu.quant.tensor import NF4Tensor, nf4_tensor_from_dense
+from gpt_oss_vllm_tpu.quant.tensor import NF4Tensor, q4_tensor_from_dense
 
 ExpertWeight = Union[NF4Tensor, jax.Array]
 
@@ -110,12 +110,14 @@ def load_params_from_store(
 
         qdata = store.read(f"layers.{li}.moe.{proj}.qdata")
         scales = store.read(f"layers.{li}.moe.{proj}.scales")
+        qmeta = store.metadata.get("quant", {})
         t = NF4Tensor(
             qdata=jnp.asarray(qdata),
             scales=jnp.asarray(np.asarray(scales)).astype(jnp.dtype(quant.scale_dtype)),
             out_features=out_f,
             in_features=in_f,
-            blocksize=store.metadata.get("quant", {}).get("blocksize", 64),
+            blocksize=qmeta.get("blocksize", 64),
+            codebook=qmeta.get("codebook", "nf4"),
         )
         if quant.enabled:
             return ensure_kernel_padded(t)
@@ -191,8 +193,9 @@ def random_params_on_device(
         # grouped kernel handles non-128 out dims natively).
         rows = out_f
         kp = -(-(in_f // 2) // 128) * 128
-        nbp = kp * 2 // quant.blocksize
-        nb = in_f // quant.blocksize
+        bs = quant.effective_blocksize
+        nbp = kp * 2 // bs
+        nb = in_f // bs
         # uint32 bits + bitcast: peak transient == final size (requesting
         # uint8 bits directly can materialize a 4x 32-bit intermediate —
         # ~1.1 GB per gate_up tensor, the difference between the 24-layer
@@ -212,7 +215,8 @@ def random_params_on_device(
             scales=scales,
             out_features=out_f,
             in_features=in_f,
-            blocksize=quant.blocksize,
+            blocksize=bs,
+            codebook=quant.method,
         )
 
     layers = []
@@ -271,7 +275,9 @@ def random_params(
     def expert(out_f, in_f) -> ExpertWeight:
         w = rng.normal(0, scale, size=(E, out_f, in_f)).astype(np.float32)
         if quant.enabled:
-            return nf4_tensor_from_dense(w, blocksize=quant.blocksize)
+            return q4_tensor_from_dense(
+                w, blocksize=quant.effective_blocksize, codebook=quant.method
+            )
         return jnp.asarray(w, dtype=dt)
 
     layers = []

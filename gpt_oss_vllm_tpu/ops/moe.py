@@ -90,12 +90,10 @@ def _take_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
 def _expert_tensors(w: ExpertWeight, idx: jax.Array) -> ExpertWeight:
     """Gather experts along the leading dim of a (possibly packed) weight."""
     if isinstance(w, NF4Tensor):
-        return NF4Tensor(
-            qdata=_take_rows(w.qdata, idx),
-            scales=_take_rows(w.scales, idx),
-            out_features=w.out_features,
-            in_features=w.in_features,
-            blocksize=w.blocksize,
+        import dataclasses
+
+        return dataclasses.replace(
+            w, qdata=_take_rows(w.qdata, idx), scales=_take_rows(w.scales, idx)
         )
     return _take_rows(w, idx)
 

@@ -185,6 +185,7 @@ def moe_block_ep(
                 out_features=w.out_features,
                 in_features=w.in_features,
                 blocksize=w.blocksize,
+                codebook=w.codebook,
             )
         return P(axis, None, None)
 

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gpt_oss_vllm_tpu.ops.nf4_matmul import _lut_nf4
+from gpt_oss_vllm_tpu.ops.nf4_matmul import _lut
 from gpt_oss_vllm_tpu.quant.tensor import NF4Tensor
 
 
@@ -114,6 +114,7 @@ def _gmm_kernel(
     tm: int,
     full_scales: bool = False,
     n_total: int = 0,
+    codebook: str = "nf4",
 ):
     jn = pl.program_id(0)
     g = pl.program_id(1)
@@ -158,8 +159,8 @@ def _gmm_kernel(
                 s_buf[:].astype(jnp.float32), expand, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [TN, Kp]
-        we = (_lut_nf4(low) * scales).astype(xe_ref.dtype)
-        wo = (_lut_nf4(high) * scales).astype(xe_ref.dtype)
+        we = (_lut(low, codebook) * scales).astype(xe_ref.dtype)
+        wo = (_lut(high, codebook) * scales).astype(xe_ref.dtype)
 
         def chunk(s, _):
             chunk_rows = size - s * tm
@@ -229,7 +230,7 @@ def moe_gmm_nf4(
     grid = (NQ, G)
     kernel = functools.partial(
         _gmm_kernel, tn=tn, kp=Kp, nb=nb, block_j=Kp // nb, tm=tm,
-        full_scales=full_scales, n_total=N,
+        full_scales=full_scales, n_total=N, codebook=w.codebook,
     )
     # group_expert already repeats ids across unused compact slots, so their
     # unchanged block indices elide the pipeline DMAs

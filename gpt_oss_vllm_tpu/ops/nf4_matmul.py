@@ -66,7 +66,37 @@ def _lut_nf4(idx: jax.Array) -> jax.Array:
     return jnp.where(idx >= 8, horner(_NF4_POLY_POS), horner(_NF4_POLY_NEG))
 
 
-def _nf4_matmul_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, *, block_j: int):
+# Degree-7 interpolant of the E2M1 magnitude table [0,.5,1,1.5,2,3,4,6] at
+# t = (idx&7) - 3.5 — exact through the 8 points, and the sign-magnitude
+# structure of FP4 means ONE Horner chain + a sign flip replaces NF4's two
+# chains + select: the cheaper decode is the perf half of supporting
+# GPT-OSS's native MXFP4 checkpoints (quant/mxfp4.py).
+_FP4_MAG_POLY = (
+    0.0011904762359336019, 0.0013888889225199819, -0.02291666716337204,
+    -0.0225694440305233, 0.13385416567325592, 0.17352430522441864,
+    0.46795013546943665, 1.7080078125,
+)
+
+
+def _lut_fp4(idx: jax.Array) -> jax.Array:
+    """E2M1 value of a 4-bit sign|magnitude code; idx int32 in [0, 16)."""
+    t = (idx & 7).astype(jnp.float32) - 3.5
+    acc = jnp.full(t.shape, _FP4_MAG_POLY[0], jnp.float32)
+    for c in _FP4_MAG_POLY[1:]:
+        acc = acc * t + jnp.float32(c)
+    return jnp.where(idx >= 8, -acc, acc)
+
+
+def _lut(idx: jax.Array, codebook: str) -> jax.Array:
+    if codebook == "nf4":
+        return _lut_nf4(idx)
+    if codebook == "mxfp4":
+        return _lut_fp4(idx)
+    raise ValueError(f"unknown codebook: {codebook}")
+
+
+def _nf4_matmul_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, *, block_j: int,
+                       codebook: str = "nf4"):
     # xe/xo: [M, Kp] ; q: [TN, Kp] u8 ; s: [nb, TN] (transposed) ; o: [M, TN]
     # int32 first: Mosaic cannot legalize shifts on 8-bit vectors (arith.shrui)
     q = q_ref[:].astype(jnp.int32)
@@ -85,8 +115,8 @@ def _nf4_matmul_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, *, block_j: int):
         s_ref[:].astype(jnp.float32), expand,
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )  # [TN, Kp]
-    we = (_lut_nf4(low) * scales).astype(xe_ref.dtype)
-    wo = (_lut_nf4(high) * scales).astype(xe_ref.dtype)
+    we = (_lut(low, codebook) * scales).astype(xe_ref.dtype)
+    wo = (_lut(high, codebook) * scales).astype(xe_ref.dtype)
     acc = jax.lax.dot_general(
         xe_ref[:], we, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -106,13 +136,14 @@ def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret", "codebook"))
 def _nf4_matmul_2d(
     x: jax.Array,  # [M, K]
     qdata: jax.Array,  # [N, K//2] uint8
     scales: jax.Array,  # [K//64, N] (transposed layout)
     block_n: int = 256,
     interpret: bool = False,
+    codebook: str = "nf4",
 ) -> jax.Array:
     M, K = x.shape
     N = qdata.shape[0]
@@ -135,7 +166,7 @@ def _nf4_matmul_2d(
     nb = scales.shape[0]
     grid = (Np // bn,)
     out = pl.pallas_call(
-        functools.partial(_nf4_matmul_kernel, block_j=block_j),
+        functools.partial(_nf4_matmul_kernel, block_j=block_j, codebook=codebook),
         grid=grid,
         in_specs=[
             pl.BlockSpec((Mp, Kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -182,11 +213,13 @@ def nf4_matmul(
     if w.qdata.ndim == 2:
         lead = x.shape[:-1]
         x2 = x.reshape(-1, w.in_features)
-        y = _nf4_matmul_2d(x2, w.qdata, w.scales, block_n=block_n, interpret=interpret)
+        y = _nf4_matmul_2d(x2, w.qdata, w.scales, block_n=block_n, interpret=interpret,
+                           codebook=w.codebook)
         y = y[:, : w.out_features].reshape(*lead, w.out_features)
     elif w.qdata.ndim == 3 and x.ndim == 3 and x.shape[0] == w.qdata.shape[0]:
         # batched experts: vmap over the expert dim
-        f = functools.partial(_nf4_matmul_2d, block_n=block_n, interpret=interpret)
+        f = functools.partial(_nf4_matmul_2d, block_n=block_n, interpret=interpret,
+                              codebook=w.codebook)
         y = jax.vmap(f)(x, w.qdata, w.scales)[..., : w.out_features]
     else:
         raise ValueError(f"nf4_matmul: incompatible shapes x={x.shape} w={w.shape}")

@@ -38,7 +38,8 @@ def layer_pspecs(l: LayerParams) -> LayerParams:
         if isinstance(w, NF4Tensor):
             return NF4Tensor(
                 qdata=P(*spec), scales=P(spec[0], spec[2], spec[1]),
-                out_features=w.out_features, in_features=w.in_features, blocksize=w.blocksize,
+                out_features=w.out_features, in_features=w.in_features,
+                blocksize=w.blocksize, codebook=w.codebook,
             )
         return P(*spec)
 

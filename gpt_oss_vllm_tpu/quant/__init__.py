@@ -7,12 +7,17 @@ from gpt_oss_vllm_tpu.quant.nf4 import (
     quantize_absmax_double,
     unpack_nibbles,
 )
-from gpt_oss_vllm_tpu.quant.tensor import NF4Tensor, nf4_tensor_from_dense
+from gpt_oss_vllm_tpu.quant.tensor import (
+    NF4Tensor,
+    nf4_tensor_from_dense,
+    q4_tensor_from_dense,
+)
 
 __all__ = [
     "NF4_CODE",
     "NF4Tensor",
     "nf4_tensor_from_dense",
+    "q4_tensor_from_dense",
     "nf4_quantize",
     "nf4_dequantize",
     "pack_nibbles",

@@ -38,10 +38,21 @@ import numpy as np
 from gpt_oss_vllm_tpu.quant.nf4 import NF4_CODE, nf4_quantize
 
 
+def codebook_table(codebook: str) -> np.ndarray:
+    """The 16-entry dequant table for a codebook name."""
+    if codebook == "nf4":
+        return NF4_CODE
+    if codebook == "mxfp4":
+        from gpt_oss_vllm_tpu.quant.mxfp4 import FP4_CODE
+
+        return FP4_CODE
+    raise ValueError(f"unknown codebook: {codebook}")
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["qdata", "scales"],
-    meta_fields=["out_features", "in_features", "blocksize"],
+    meta_fields=["out_features", "in_features", "blocksize", "codebook"],
 )
 @dataclass
 class NF4Tensor:
@@ -50,6 +61,12 @@ class NF4Tensor:
     out_features: int
     in_features: int
     blocksize: int = 64
+    # "nf4" (bitsandbytes NormalFloat-4, the reference's format) or "mxfp4"
+    # (OCP FP4-E2M1 + power-of-2 block scales, GPT-OSS's NATIVE checkpoint
+    # format — the one the reference had to override away,
+    # patch_4_override_quant.py:26-41). Scales here are always float (E8M0
+    # bytes are decoded to float at load; the kernels never see them).
+    codebook: str = "nf4"
 
     @property
     def batch_shape(self):
@@ -80,7 +97,7 @@ class NF4Tensor:
 
     def dequantize(self, dtype=jnp.bfloat16) -> jax.Array:
         """In-graph XLA dequantization to a dense matrix (correctness path)."""
-        code = jnp.asarray(NF4_CODE, dtype=jnp.float32)
+        code = jnp.asarray(codebook_table(self.codebook), dtype=jnp.float32)
         q = self.qdata
         kp_logical = self.in_features // 2
         if self.out_rows != self.out_features:
@@ -134,12 +151,8 @@ def ensure_kernel_padded(t: NF4Tensor, cap: int = 640) -> NF4Tensor:
         pad_blocks = pad_k * 2 // t.blocksize
         widths_s = [(0, 0)] * t.scales.ndim
         widths_s[-2] = (0, pad_blocks)
-        t = NF4Tensor(
-            qdata=jnp.pad(t.qdata, widths_q),
-            scales=jnp.pad(t.scales, widths_s),
-            out_features=t.out_features,
-            in_features=t.in_features,
-            blocksize=t.blocksize,
+        t = dataclasses.replace(
+            t, qdata=jnp.pad(t.qdata, widths_q), scales=jnp.pad(t.scales, widths_s)
         )
     return t
 
@@ -157,23 +170,19 @@ def pad_out_rows(t: NF4Tensor, multiple: int = 512) -> NF4Tensor:
     widths_q[-2] = (0, pad)
     widths_s = [(0, 0)] * t.scales.ndim
     widths_s[-1] = (0, pad)  # scales are [..., nb, out]
-    return NF4Tensor(
-        qdata=jnp.pad(t.qdata, widths_q),
-        scales=jnp.pad(t.scales, widths_s),
-        out_features=t.out_features,
-        in_features=t.in_features,
-        blocksize=t.blocksize,
+    return dataclasses.replace(
+        t, qdata=jnp.pad(t.qdata, widths_q), scales=jnp.pad(t.scales, widths_s)
     )
 
 
-def nf4_tensor_from_dense(
-    w: np.ndarray, blocksize: int = 64, scale_dtype=jnp.float32
+def q4_tensor_from_dense(
+    w: np.ndarray, blocksize: int = 64, scale_dtype=jnp.float32, codebook: str = "nf4"
 ) -> NF4Tensor:
-    """Quantize a dense (..., out, in) array into an :class:`NF4Tensor`.
+    """Quantize a dense (..., out, in) array into a packed 4-bit tensor.
 
     Used for synthetic checkpoints / random-init benchmarking; the production
     path goes through ``checkpoint.convert`` which streams straight from the
-    Unsloth safetensors without materializing dense weights.
+    source safetensors without materializing dense weights.
     """
     w = np.asarray(w, dtype=np.float32)
     *batch, out_f, in_f = w.shape
@@ -182,7 +191,15 @@ def nf4_tensor_from_dense(
     flat = w.reshape(-1, out_f * in_f)
     qdatas, scaless = [], []
     for row in flat:
-        packed, absmax = nf4_quantize(row, blocksize=blocksize)
+        if codebook == "nf4":
+            packed, absmax = nf4_quantize(row, blocksize=blocksize)
+        elif codebook == "mxfp4":
+            from gpt_oss_vllm_tpu.quant.mxfp4 import e8m0_decode, mxfp4_quantize
+
+            packed, scales_u8 = mxfp4_quantize(row, blocksize=blocksize)
+            absmax = e8m0_decode(scales_u8)  # kernels take float scales
+        else:
+            raise ValueError(f"unknown codebook: {codebook}")
         qdatas.append(packed.reshape(out_f, in_f // 2))
         scaless.append(absmax.reshape(out_f, in_f // blocksize).T)
     qdata = np.stack(qdatas).reshape(*batch, out_f, in_f // 2)
@@ -193,4 +210,11 @@ def nf4_tensor_from_dense(
         out_features=out_f,
         in_features=in_f,
         blocksize=blocksize,
+        codebook=codebook,
     )
+
+
+def nf4_tensor_from_dense(
+    w: np.ndarray, blocksize: int = 64, scale_dtype=jnp.float32
+) -> NF4Tensor:
+    return q4_tensor_from_dense(w, blocksize, scale_dtype, codebook="nf4")
