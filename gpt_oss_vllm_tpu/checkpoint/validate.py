@@ -38,6 +38,8 @@ def validate_native_checkpoint(store: TensorStore, cfg: ModelConfig, verbose: bo
             return None
         return store.shape(name)
 
+    qmeta = store.metadata.get("quant", {})
+    bs = qmeta.get("blocksize", 64)
     meta_cfg = store.metadata.get("model_config", {})
     for field, expect in (
         ("hidden_size", H),
@@ -59,7 +61,7 @@ def validate_native_checkpoint(store: TensorStore, cfg: ModelConfig, verbose: bo
         check(store.shape(gu_q) == (E, 2 * FF, H // 2), f"{gu_q} shape {store.shape(gu_q)}")
         check(store.shape(dn_q) == (E, H, FF // 2), f"{dn_q} shape {store.shape(dn_q)}")
         check(
-            shape_of(f"layers.{li}.moe.gate_up.scales") == (E, H // 64, 2 * FF),
+            shape_of(f"layers.{li}.moe.gate_up.scales") == (E, H // bs, 2 * FF),
             f"gate_up scales shape layer {li}",
         )
         check(store.manifest[gu_q]["dtype"] == "uint8", f"{gu_q} dtype")
