@@ -201,11 +201,15 @@ def main():
             cache_cfg = CacheConfig(block_size=16, num_blocks=160, max_blocks_per_seq=16)
             tok_s_b1, step_lat = time_decode(c, params, cache_cfg, quant_backend, 1, DECODE_STEPS)
             log(f"batch=1 decode: {tok_s_b1:.2f} tok/s ({step_lat * 1e3:.1f} ms/step)")
-            try:
-                tok_s_b8, _ = time_decode(c, params, cache_cfg, quant_backend, 8, DECODE_STEPS)
-                log(f"batch=8 decode: {tok_s_b8:.2f} tok/s total")
-            except Exception as e:
-                log(f"batch=8 decode failed: {type(e).__name__}: {str(e)[:200]}")
+            for bb in (8, 32):
+                try:
+                    cc_b = CacheConfig(
+                        block_size=16, num_blocks=12 * bb + 16, max_blocks_per_seq=16
+                    )
+                    tok_s_bb, _ = time_decode(c, params, cc_b, quant_backend, bb, DECODE_STEPS)
+                    log(f"batch={bb} decode: {tok_s_bb:.2f} tok/s total")
+                except Exception as e:
+                    log(f"batch={bb} decode failed: {type(e).__name__}: {str(e)[:200]}")
             try:
                 ttft = time_prefill(c, params, cache_cfg, quant_backend)
                 log(f"prefill {PREFILL_LEN} tokens: {ttft * 1e3:.1f} ms (TTFT)")

@@ -88,6 +88,7 @@ def main(argv=None):
     ap.add_argument("--tokenizer", default="o200k_harmony")
     ap.add_argument("--compare-dense", action="store_true",
                     help="also score with dequantized-bf16 weights and report the PPL delta")
+    ap.add_argument("--quant", default="nf4", choices=["nf4", "mxfp4"])
     args = ap.parse_args(argv)
 
     from gpt_oss_vllm_tpu.config import ModelConfig, QuantConfig
@@ -96,7 +97,7 @@ def main(argv=None):
         cfg = ModelConfig.tiny()
         from gpt_oss_vllm_tpu.models.params import random_params
 
-        qp = random_params(cfg, QuantConfig(method="nf4"), seed=0)
+        qp = random_params(cfg, QuantConfig(method=args.quant), seed=0)
         dp = random_params(cfg, QuantConfig(method="none"), seed=0)
     else:
         from gpt_oss_vllm_tpu.checkpoint.store import TensorStore
@@ -104,7 +105,7 @@ def main(argv=None):
 
         store = TensorStore(args.checkpoint)
         cfg = ModelConfig(**store.metadata["model_config"])
-        qp = load_params_from_store(store, cfg, QuantConfig(method="nf4"))
+        qp = load_params_from_store(store, cfg, QuantConfig(method=args.quant))
         dp = (
             load_params_from_store(store, cfg, QuantConfig(method="none"))
             if args.compare_dense
