@@ -201,7 +201,7 @@ def main():
             cache_cfg = CacheConfig(block_size=16, num_blocks=160, max_blocks_per_seq=16)
             tok_s_b1, step_lat = time_decode(c, params, cache_cfg, quant_backend, 1, DECODE_STEPS)
             log(f"batch=1 decode: {tok_s_b1:.2f} tok/s ({step_lat * 1e3:.1f} ms/step)")
-            for bb in (8, 32):
+            for bb in (8, 64):
                 try:
                     cc_b = CacheConfig(
                         block_size=16, num_blocks=12 * bb + 16, max_blocks_per_seq=16
