@@ -193,6 +193,11 @@ class SchedulerConfig:
     #                            (reference ``gpt_oss_server.py:17``)
     prefill_chunk: int = 512  # chunked-prefill token budget per step
     max_queue: int = 1024
+    # prompt-lookup speculative decoding (engine/spec.py): max draft tokens
+    # verified per step (0 = off). Applies to greedy requests without
+    # logprobs/penalties; others decode normally in the same batch.
+    spec_tokens: int = 0
+    spec_min_match: int = 2
 
 
 @dataclass(frozen=True)

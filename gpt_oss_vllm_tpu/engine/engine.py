@@ -145,6 +145,20 @@ class InferenceEngine:
         )
         self._prefill = jax.jit(step_fn, donate_argnames=("cache",))
         self._decode = jax.jit(step_fn, donate_argnames=("cache",))
+        self.spec_tokens = sc.spec_tokens
+        if self.spec_tokens > 0:
+            spec_fn = partial(
+                model_step,
+                cfg=cfg,
+                moe_strategy="auto",
+                attn_backend=attn_backend,
+                quant_backend=qb,
+                all_logits=True,
+            )
+            self._decode_spec = jax.jit(spec_fn, donate_argnames=("cache",))
+            self._argmax_all = jax.jit(lambda l: jnp.argmax(l, axis=-1).astype(jnp.int32))
+            self.metrics["spec_proposed"] = 0
+            self.metrics["spec_accepted"] = 0
         self._sample = jax.jit(sample_tokens_seeded)
         # per-slot token-occurrence counts (prompt+output) for OpenAI
         # presence/frequency and HF repetition penalties; rows are (re)seeded
@@ -402,9 +416,9 @@ class InferenceEngine:
         self.waiting.appendleft(req)
         self.metrics["preemptions"] = self.metrics.get("preemptions", 0) + 1
 
-    def _grow_blocks(self, req: Request) -> bool:
-        """Ensure block capacity for one more token."""
-        need = self._blocks_for(self.seq_lens[req.slot] + 1)
+    def _grow_blocks(self, req: Request, new_tokens: int = 1) -> bool:
+        """Ensure block capacity for ``new_tokens`` more tokens."""
+        need = self._blocks_for(self.seq_lens[req.slot] + new_tokens)
         while len(req.blocks) < need:
             if not self.allocator.can_allocate(1):
                 return False
@@ -428,7 +442,8 @@ class InferenceEngine:
             running = [(i, r) for i, r in enumerate(self.slots) if r is not None]
             if not running:
                 return truncated
-            if all(self._grow_blocks(r) for _, r in running):
+            window = 1 + (self.spec_tokens if self.spec_tokens > 0 else 0)
+            if all(self._grow_blocks(r, window) for _, r in running):
                 break
             victim = max(running, key=lambda t: t[1].arrival_time)[1]
             never_fits = self._blocks_for(victim.num_tokens + 1) > self.allocator.num_blocks
@@ -440,6 +455,25 @@ class InferenceEngine:
                 ))
             else:
                 self._preempt(victim)
+        # prompt-lookup drafts (greedy, no logprobs/penalties rows only)
+        drafts: Dict[int, list] = {}
+        if self.spec_tokens > 0:
+            from gpt_oss_vllm_tpu.engine.spec import propose_ngram
+
+            mm = self.config.scheduler.spec_min_match
+            for i, req in running:
+                sp = req.sampling
+                if not sp.greedy or sp.logprobs is not None or sp.has_penalties:
+                    continue
+                budget = self.config.scheduler.max_model_len - req.num_tokens - 1
+                k = min(self.spec_tokens, max(0, budget))
+                d = propose_ngram(
+                    req.prompt_token_ids + req.output_token_ids, k, min_match=mm
+                )
+                if d:
+                    drafts[i] = d
+        if drafts:
+            return truncated + self._decode_spec_step(running, drafts)
         B = self.num_slots
         tokens = np.zeros((B, 1), dtype=np.int32)
         positions = np.full((B, 1), -1, dtype=np.int32)
@@ -473,6 +507,75 @@ class InferenceEngine:
                 self.seq_lens[slot] += 1
                 self.last_token[slot] = tok
             outputs.append(step_out)
+        return outputs
+
+    def _decode_spec_step(self, running, drafts: Dict[int, list]) -> List[StepOutput]:
+        """One widened decode step: feed [last_token, draft...] per drafted
+        row, verify against the model's own greedy predictions, emit the
+        accepted prefix + bonus token (engine/spec.py). Non-drafted rows ride
+        along at window position 0 and emit exactly one token as usual."""
+        from gpt_oss_vllm_tpu.engine.spec import accept_greedy
+
+        B = self.num_slots
+        # constant window width: one jitted program regardless of this
+        # step's actual draft lengths (pads are dropped writes + masked)
+        W = 1 + self.spec_tokens
+        tokens = np.zeros((B, W), dtype=np.int32)
+        positions = np.full((B, W), -1, dtype=np.int32)
+        for i, req in running:
+            p = self.seq_lens[i] - 1
+            tokens[i, 0] = self.last_token[i]
+            positions[i, 0] = p
+            d = drafts.get(i, [])
+            if d:
+                tokens[i, 1 : 1 + len(d)] = d
+                positions[i, 1 : 1 + len(d)] = p + 1 + np.arange(len(d))
+        out = self._decode_spec(
+            self.params,
+            cache=self.cache,
+            tokens=jnp.asarray(tokens),
+            positions=jnp.asarray(positions),
+            block_tables=jnp.asarray(self.block_tables),
+            last_idx=jnp.zeros(B, dtype=jnp.int32),
+        )
+        self.cache = out.cache
+        greedy_all = np.asarray(self._argmax_all(out.logits))  # [B, W]
+        # non-drafted rows sample from window position 0 (real sampler: they
+        # may be temperature/top-p/logprobs/penalty requests)
+        plain = [(i, r) for i, r in running if i not in drafts]
+        lp = None
+        if plain:
+            p_rows = [i for i, _ in plain]
+            p_reqs = [r for _, r in plain]
+            sampled, lp = self._sample_row(
+                out.logits[np.asarray(p_rows), 0], p_reqs, slots=p_rows
+            )
+            if any(r.sampling.has_penalties for r in p_reqs):
+                self.token_counts = self._counts_add(
+                    self.token_counts,
+                    jnp.asarray(p_rows, jnp.int32),
+                    jnp.asarray(sampled, jnp.int32),
+                )
+        outputs: List[StepOutput] = []
+        plain_pos = {i: ri for ri, (i, _) in enumerate(plain)}
+        for i, req in running:
+            slot = req.slot
+            if i in drafts:
+                emitted = accept_greedy(drafts[i], greedy_all[i])
+                self.metrics["spec_proposed"] += len(drafts[i])
+                self.metrics["spec_accepted"] += len(emitted) - 1
+            else:
+                emitted = [int(sampled[plain_pos[i]])]
+            for tok in emitted:
+                self.metrics["decode_tokens"] += 1
+                step_out = self._append_token(
+                    req, int(tok), lp if i in plain_pos else None, plain_pos.get(i, 0)
+                )
+                outputs.append(step_out)
+                if step_out.finished:
+                    break
+                self.seq_lens[slot] += 1
+                self.last_token[slot] = tok
         return outputs
 
     def step(self) -> List[StepOutput]:

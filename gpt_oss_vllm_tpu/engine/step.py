@@ -32,6 +32,7 @@ from gpt_oss_vllm_tpu.ops.rope import apply_rope, yarn_rope_tables
 
 class StepOut(NamedTuple):
     logits: jax.Array  # [B, V] f32 at each row's last valid position
+    #        (or [B, T, V] when all_logits — the speculative-verify path)
     cache: KVCache
 
 
@@ -103,6 +104,7 @@ def model_step(
     moe_strategy: str = "auto",
     attn_backend: str = "xla",
     quant_backend: str = "xla",
+    all_logits: bool = False,
 ) -> StepOut:
     B, T = tokens.shape
     x = jnp.take(params.embedding, jnp.maximum(tokens, 0), axis=0)
@@ -133,9 +135,17 @@ def model_step(
         )
         x = x + moe.reshape(B, T, -1)
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
+    head = params.embedding if params.lm_head is None else params.lm_head
+    if all_logits:
+        # speculative verify: logits at EVERY fed position (T is the small
+        # draft window, never a prefill chunk — [B, T, V] stays tens of MB)
+        h = x.reshape(B * T, -1)
+        logits = jax.lax.dot_general(
+            head, h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ).T.reshape(B, T, -1)
+        return StepOut(logits=logits.astype(jnp.float32), cache=cache)
     # only the last valid position's hidden state reaches the LM head
     h_last = jnp.take_along_axis(x, last_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
-    head = params.embedding if params.lm_head is None else params.lm_head
     # contract over the head table's MINOR dim (head @ h^T) — the x @ W^T form
     # makes XLA:TPU relayout the 1.1 GB vocab table into a transposed copy
     logits = jax.lax.dot_general(

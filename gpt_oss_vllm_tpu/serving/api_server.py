@@ -480,7 +480,8 @@ def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
             model=model_cfg,
             quant=quant,
             cache=CacheConfig(block_size=8, num_blocks=256, max_blocks_per_seq=32),
-            scheduler=SchedulerConfig(max_num_seqs=8, max_model_len=args.max_model_len or 256),
+            scheduler=SchedulerConfig(max_num_seqs=8, max_model_len=args.max_model_len or 256,
+                                      spec_tokens=args.spec_tokens),
             serving=ServingConfig(served_model_name="gpt-oss-tiny", port=args.port),
         )
         from gpt_oss_vllm_tpu.models.params import random_params
@@ -497,7 +498,8 @@ def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
         config = EngineConfig(
             model=model_cfg,
             quant=quant,
-            scheduler=SchedulerConfig(max_model_len=args.max_model_len or 4096),
+            scheduler=SchedulerConfig(max_model_len=args.max_model_len or 4096,
+                                      spec_tokens=args.spec_tokens),
             serving=ServingConfig(served_model_name=model_cfg.name, port=args.port),
         )
         params = load_params_from_store(store, model_cfg, quant)
@@ -516,6 +518,11 @@ def main(argv=None):
     ap.add_argument("--quant", default="nf4", choices=["nf4", "mxfp4", "none"])
     ap.add_argument("--tokenizer", default="o200k_harmony")
     ap.add_argument("--max-model-len", type=int, default=None)
+    ap.add_argument(
+        "--spec-tokens", type=int, default=0,
+        help="prompt-lookup speculative decoding: max draft tokens verified "
+             "per step for greedy requests (0 = off)",
+    )
     ap.add_argument(
         "--attn-backend", default="auto", choices=["auto", "xla", "pallas"],
         help="auto = Pallas paged decode on TPU, XLA gather elsewhere",
