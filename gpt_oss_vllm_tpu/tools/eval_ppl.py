@@ -124,11 +124,11 @@ def main(argv=None):
         raise SystemExit("need --text or --synthetic-tokens")
 
     nll_q, n = nll_of_tokens(qp, cfg, ids, window=args.window)
-    print(f"nf4:   nll {nll_q:.4f} nats/tok  ppl {math.exp(nll_q):.3f}  ({n} tokens)")
+    print(f"{args.quant}: nll {nll_q:.4f} nats/tok  ppl {math.exp(nll_q):.3f}  ({n} tokens)")
     if args.compare_dense or args.tiny:
         nll_d, _ = nll_of_tokens(dp, cfg, ids, window=args.window)
         print(f"dense: nll {nll_d:.4f} nats/tok  ppl {math.exp(nll_d):.3f}")
-        print(f"ppl delta (nf4 - dense): {math.exp(nll_q) - math.exp(nll_d):+.4f}")
+        print(f"ppl delta (quantized - dense): {math.exp(nll_q) - math.exp(nll_d):+.4f}")
 
 
 if __name__ == "__main__":
