@@ -333,11 +333,14 @@ class Server:
                 usage=usage,
             )
         else:
+            # OpenAI `echo`: prepend the prompt text to each choice
+            prefix = self.ae.tokenizer.decode(prompt_ids) if getattr(req, "echo", False) else ""
             resp = proto.CompletionResponse(
                 model=req.model,
                 choices=[
                     proto.CompletionChoice(
-                        index=i, text=text, finish_reason=finish_reason or "stop", logprobs=lp
+                        index=i, text=prefix + text,
+                        finish_reason=finish_reason or "stop", logprobs=lp
                     )
                     for i, (text, finish_reason, _, lp) in enumerate(results)
                 ],

@@ -278,3 +278,13 @@ async def test_metrics_prefix_cache_and_profile_endpoints(client):
         assert r2.status == 200
     else:
         assert r.status == 409  # profiler unavailable/already active
+
+
+async def test_completions_echo(client):
+    """OpenAI `echo`: the prompt text is prepended to the completion."""
+    base = {"model": "m", "prompt": "abc", "max_tokens": 2, "temperature": 0.0}
+    plain = (await (await client.post("/v1/completions", json=base)).json())["choices"][0]["text"]
+    body = await (await client.post("/v1/completions", json={**base, "echo": True})).json()
+    echoed = body["choices"][0]["text"]
+    assert echoed.startswith("abc")
+    assert echoed == "abc" + plain
