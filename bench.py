@@ -175,6 +175,11 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=None)
+    ap.add_argument(
+        "--quant", default="nf4", choices=["nf4", "mxfp4"],
+        help="nf4 = the reference's format (headline, baseline-comparable); "
+             "mxfp4 = GPT-OSS's native format (cheaper in-kernel decode)",
+    )
     args = ap.parse_args()
     log(f"devices: {jax.devices()}  backend: {jax.default_backend()}")
     on_tpu = jax.default_backend() == "tpu"
@@ -185,9 +190,11 @@ def main():
     # this chip's 15.75 GB HBM. bf16 scales likewise (+0.4% scale rounding,
     # far below NF4's own step).
     cfg = dataclasses_replace_tied(ModelConfig())
-    quant = QuantConfig(method="nf4", scale_dtype="bfloat16")
+    quant = QuantConfig(method=args.quant, scale_dtype="bfloat16")
     layers = args.layers or cfg.num_layers
     scale_note = "" if layers == cfg.num_layers else f"_layers{layers}"
+    if args.quant != "nf4":
+        scale_note = f"_{args.quant}{scale_note}"
 
     while True:
         try:
@@ -229,7 +236,7 @@ def main():
                 if layers < 3:
                     raise
                 r = subprocess.run(
-                    [_sys.executable, __file__, "--layers", str(layers)],
+                    [_sys.executable, __file__, "--layers", str(layers), "--quant", args.quant],
                     stdout=subprocess.PIPE,
                 )
                 _sys.stdout.buffer.write(r.stdout)
@@ -238,6 +245,7 @@ def main():
                 raise
 
     metric = f"decode_tok_s_b1_gpt_oss_20b_nf4{scale_note}"
+    metric = metric.replace("_nf4_mxfp4", "_mxfp4")
     print(
         json.dumps(
             {

@@ -48,65 +48,86 @@ def _decode_kernel(
     # output
     o_ref,  # [1, 1, HP*G, HP*D] VMEM
     # scratch
-    k_buf,  # [2, BS, HP*D]
-    v_buf,  # [2, BS, HP*D]
-    sem,  # DMA semaphores [2, 2]
+    k_buf,  # [NBUF, PP*BS, HP*D]
+    v_buf,  # [NBUF, PP*BS, HP*D]
+    sem,  # DMA semaphores [NBUF, 2, PP]
     *,
     bs: int,
     window: Optional[int],
     sm_scale: float,
     use_sink: bool,
     band: int,  # HP*D — the aligned lane band DMA'd per program
+    nbuf: int,  # DMA ring depth (chunks in flight)
+    pp: int,  # pages per chunk: a single page is a ~4 KB transfer and a
+    #           [R, BS] score tile — far too little work per loop iteration
+    #           (the walk becomes per-op-overhead-bound at long context).
+    #           Chunking PP pages amortizes both; their token positions are
+    #           contiguous, so masking stays a single iota window.
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)  # kv-head-group index
+    MB = block_tables_ref.shape[1]
     q_pos = q_pos_ref[b]
     ctx_len = q_pos + 1
     n_pages = jnp.where(ctx_len > 0, pl.cdiv(ctx_len, bs), 0)
     if window is not None:
-        first_page = jnp.maximum(q_pos - (window - 1), 0) // bs
+        first_chunk = (jnp.maximum(q_pos - (window - 1), 0) // bs) // pp
     else:
-        first_page = jnp.int32(0)
+        first_chunk = jnp.int32(0)
+    n_chunks = pl.cdiv(n_pages, pp)
 
     q = q_ref[0, 0].astype(jnp.float32) * sm_scale  # [HP*G, HP*D]
     R = q.shape[0]
 
-    def page_dma(slot, page_idx):
-        blk = block_tables_ref[b, page_idx]
+    def chunk_dma(slot, chunk_idx):
         hd = pl.multiple_of(h * band, band)
-        kd = pltpu.make_async_copy(
-            k_hbm.at[blk, :, pl.ds(hd, band)], k_buf.at[slot], sem.at[slot, 0]
-        )
-        vd = pltpu.make_async_copy(
-            v_hbm.at[blk, :, pl.ds(hd, band)], v_buf.at[slot], sem.at[slot, 1]
-        )
-        return kd, vd
+        copies = []
+        for j in range(pp):
+            # pages past the end re-read a clamped block; the causal mask
+            # (k_pos <= q_pos) kills their scores
+            page = jnp.minimum(chunk_idx * pp + j, MB - 1)
+            blk = block_tables_ref[b, page]
+            row0 = pl.multiple_of(j * bs, bs)
+            copies.append(pltpu.make_async_copy(
+                k_hbm.at[blk, :, pl.ds(hd, band)],
+                k_buf.at[slot, pl.ds(row0, bs)], sem.at[slot, 0, j],
+            ))
+            copies.append(pltpu.make_async_copy(
+                v_hbm.at[blk, :, pl.ds(hd, band)],
+                v_buf.at[slot, pl.ds(row0, bs)], sem.at[slot, 1, j],
+            ))
+        return copies
 
-    @pl.when(n_pages > first_page)
+    @pl.when(n_chunks > first_chunk)
     def _run():
-        for d in page_dma(0, first_page):
-            d.start()
-
-        def body(p, carry):
-            acc, m, l = carry  # [R, HP*D], [R, 1], [R, 1]
-            slot = jax.lax.rem(p - first_page, 2)
-            nxt = jax.lax.rem(p - first_page + 1, 2)
-
-            @pl.when(p + 1 < n_pages)
-            def _():
-                for d in page_dma(nxt, p + 1):
+        # prologue: fill the ring
+        for j in range(nbuf - 1):
+            @pl.when(first_chunk + j < n_chunks)
+            def _(j=j):
+                for d in chunk_dma(j, first_chunk + j):
                     d.start()
 
-            for d in page_dma(slot, p):
+        def body(c, carry):
+            acc, m, l = carry  # [R, HP*D], [R, 1], [R, 1]
+            slot = jax.lax.rem(c - first_chunk, nbuf)
+            nxt = jax.lax.rem(c - first_chunk + nbuf - 1, nbuf)
+
+            @pl.when(c + nbuf - 1 < n_chunks)
+            def _():
+                for d in chunk_dma(nxt, c + nbuf - 1):
+                    d.start()
+
+            for d in chunk_dma(slot, c):
                 d.wait()
-            k = k_buf[slot].astype(jnp.float32)  # [BS, HP*D]
+            k = k_buf[slot].astype(jnp.float32)  # [PP*BS, HP*D]
             v = v_buf[slot].astype(jnp.float32)
             # block-diagonal q zeros the cross-head lane bands, so this one
             # matmul scores all HP heads at once
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )  # [R, BS]
-            k_pos = p * bs + jax.lax.broadcasted_iota(jnp.int32, (R, bs), 1)
+            )  # [R, PP*BS]
+            W = pp * bs
+            k_pos = c * W + jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
             valid = k_pos <= q_pos
             if window is not None:
                 valid &= q_pos - k_pos < window
@@ -124,7 +145,7 @@ def _decode_kernel(
         acc0 = jnp.zeros((R, D2), jnp.float32)
         m0 = jnp.full((R, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((R, 1), jnp.float32)
-        acc, m, l = jax.lax.fori_loop(first_page, n_pages, body, (acc0, m0, l0))
+        acc, m, l = jax.lax.fori_loop(first_chunk, n_chunks, body, (acc0, m0, l0))
         if use_sink:
             sink = sink_ref[h][:, None].astype(jnp.float32)  # [R, 1]
             m_new = jnp.maximum(m, sink)
@@ -132,7 +153,7 @@ def _decode_kernel(
             acc = acc * jnp.exp(m - m_new)
         o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
 
-    @pl.when(jnp.logical_not(n_pages > first_page))
+    @pl.when(jnp.logical_not(n_chunks > first_chunk))
     def _empty():
         o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
 
@@ -155,6 +176,8 @@ def paged_attention_decode(
 ) -> jax.Array:
     B, n_q, D = q.shape
     NB, BS, KVD = k_cache.shape
+    NBUF = 4  # DMA ring depth in chunks (see _decode_kernel)
+    PP = 4  # pages per chunk
     KV = KVD // D
     G = n_q // KV
     if sm_scale is None:
@@ -207,9 +230,9 @@ def paged_attention_decode(
             (1, 1, R, band_phys), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, BS, band_phys), k_cache.dtype),
-            pltpu.VMEM((2, BS, band_phys), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((NBUF, PP * BS, band_phys), k_cache.dtype),
+            pltpu.VMEM((NBUF, PP * BS, band_phys), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((NBUF, 2, PP)),
         ],
     )
     kernel = functools.partial(
@@ -219,6 +242,8 @@ def paged_attention_decode(
         sm_scale=sm_scale,
         use_sink=use_sink,
         band=band_phys,
+        nbuf=NBUF,
+        pp=PP,
     )
     out2 = pl.pallas_call(
         kernel,

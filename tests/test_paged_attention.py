@@ -131,3 +131,25 @@ def test_paged_decode_head_pairing_path():
         np.asarray(ref, np.float32).reshape(-1),
         rtol=2e-2, atol=2e-3,
     )
+
+
+@pytest.mark.parametrize("window", [None, 24])
+def test_decode_kernel_multi_chunk_walk(rng, window):
+    """Contexts spanning several PP-page chunks (incl. a partial tail chunk
+    and clamped out-of-range page reads) must still match the oracle."""
+    B, n_q, kv, D, BS, NB, MB = 2, 4, 2, 32, 8, 24, 12
+    q = rng.normal(size=(B, n_q, D)).astype(np.float32)
+    k_cache = rng.normal(size=(NB, BS, kv * D)).astype(np.float32)
+    v_cache = rng.normal(size=(NB, BS, kv * D)).astype(np.float32)
+    bt = rng.permutation(NB)[: B * MB].reshape(B, MB).astype(np.int32)
+    q_pos = np.array([11 * BS + 3, 5 * BS + 1], dtype=np.int32)  # 12 / 6 pages
+    sinks = rng.normal(size=(n_q,)).astype(np.float32)
+    got = np.asarray(
+        paged_attention_decode(
+            jnp.asarray(q), jnp.asarray(k_cache), jnp.asarray(v_cache),
+            jnp.asarray(bt), jnp.asarray(q_pos), sinks=jnp.asarray(sinks),
+            window=window, interpret=True,
+        )
+    )
+    want = _oracle(q, k_cache, v_cache, bt, q_pos, sinks, window)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
