@@ -190,7 +190,10 @@ def main():
     # this chip's 15.75 GB HBM. bf16 scales likewise (+0.4% scale rounding,
     # far below NF4's own step).
     cfg = dataclasses_replace_tied(ModelConfig())
-    quant = QuantConfig(method=args.quant, scale_dtype="bfloat16")
+    # mxfp4 stores E8M0 exponent bytes (1 B/block, decoded in-kernel) — at
+    # blocksize 32 that halving is what fits the 24-layer model in HBM
+    sdt = "e8m0" if args.quant == "mxfp4" else "bfloat16"
+    quant = QuantConfig(method=args.quant, scale_dtype=sdt)
     layers = args.layers or cfg.num_layers
     scale_note = "" if layers == cfg.num_layers else f"_layers{layers}"
     if args.quant != "nf4":

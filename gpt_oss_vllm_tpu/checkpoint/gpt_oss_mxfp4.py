@@ -86,10 +86,12 @@ class GptOssMxfp4Reader:
         return f"model.layers.{layer}.mlp.experts.{proj}_proj"
 
     def read_expert_quantized(
-        self, layer: int, expert: int, proj: str, out_f: int, in_f: int
+        self, layer: int, expert: int, proj: str, out_f: int, in_f: int,
+        raw_scales: bool = False,
     ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-        """One expert's (packed u8 [out, in/2], float scales [out*in/32])
-        normalized to low-first nibbles and (for gate_up) stacked rows."""
+        """One expert's (packed u8 [out, in/2], scales [out*in/32]) normalized
+        to low-first nibbles and (for gate_up) stacked rows. ``raw_scales``
+        returns the E8M0 exponent bytes; otherwise decoded f32."""
         pre = self.expert_prefix(layer, proj)
         if f"{pre}_blocks" not in self:
             return None
@@ -101,7 +103,7 @@ class GptOssMxfp4Reader:
         packed = blocks.reshape(out_f, in_f // 2)
         if self.nibble_order == "high_first":
             packed = _swap_nibbles(packed)
-        scales = e8m0_decode(scales_u8).astype(np.float32)  # [out, nb]
+        scales = scales_u8 if raw_scales else e8m0_decode(scales_u8).astype(np.float32)
         if proj == "gate_up" and self.gate_up_layout == "interleaved":
             perm = np.concatenate([np.arange(0, out_f, 2), np.arange(1, out_f, 2)])
             packed = packed[perm]
@@ -136,7 +138,7 @@ def convert_mxfp4_to_native(
     reader: GptOssMxfp4Reader,
     cfg: ModelConfig,
     out_dir: str,
-    scale_dtype: str = "float32",
+    scale_dtype: str = "e8m0",
     progress: bool = True,
 ):
     """GPT-OSS MXFP4 checkpoint -> native TensorStore, bits repacked losslessly
@@ -146,7 +148,10 @@ def convert_mxfp4_to_native(
     from gpt_oss_vllm_tpu.checkpoint.store import TensorStore, TensorStoreWriter
 
     H, FF, E = cfg.hidden_size, cfg.intermediate_size, cfg.num_experts
-    sdt = {"float32": np.float32, "bfloat16": BF16, "float16": np.float16}[scale_dtype]
+    # "e8m0" keeps the raw exponent bytes (1 B/block, decoded in-kernel) —
+    # the storage-faithful default; float dtypes decode at conversion
+    sdt = {"float32": np.float32, "bfloat16": BF16, "float16": np.float16,
+           "e8m0": np.uint8}[scale_dtype]
     t0 = time.time()
 
     def bf16(x):
@@ -181,12 +186,13 @@ def convert_mxfp4_to_native(
                 w.add(f"layers.{L}.router_b", reader.read(f"{p}.mlp.router.bias").astype(np.float32))
             for proj, out_f, in_f in (("gate_up", 2 * FF, H), ("down", H, FF)):
                 nb = in_f // BLOCK
+                raw = scale_dtype == "e8m0"
                 qdata = np.zeros((E, out_f, in_f // 2), dtype=np.uint8)
-                scales = np.zeros((E, nb, out_f), dtype=np.float32)
+                scales = np.zeros((E, nb, out_f), dtype=np.uint8 if raw else np.float32)
                 biases = np.zeros((E, out_f), dtype=np.float32)
                 have_bias = False
                 for e in range(E):
-                    r = reader.read_expert_quantized(L, e, proj, out_f, in_f)
+                    r = reader.read_expert_quantized(L, e, proj, out_f, in_f, raw_scales=raw)
                     if r is None:
                         continue
                     eq, escales = r

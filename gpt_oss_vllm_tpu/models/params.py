@@ -111,9 +111,14 @@ def load_params_from_store(
         qdata = store.read(f"layers.{li}.moe.{proj}.qdata")
         scales = store.read(f"layers.{li}.moe.{proj}.scales")
         qmeta = store.metadata.get("quant", {})
+        scales = jnp.asarray(np.asarray(scales))
+        if scales.dtype != jnp.uint8:
+            # float scales honor the requested compute dtype; uint8 scales
+            # are E8M0 exponent bytes and stay raw (decoded in-kernel)
+            scales = scales.astype(jnp.dtype(quant.scale_dtype))
         t = NF4Tensor(
             qdata=jnp.asarray(qdata),
-            scales=jnp.asarray(np.asarray(scales)).astype(jnp.dtype(quant.scale_dtype)),
+            scales=scales,
             out_features=out_f,
             in_features=in_f,
             blocksize=qmeta.get("blocksize", 64),
@@ -203,13 +208,20 @@ def random_params_on_device(
         assert kp % 4 == 0
         words = jax.random.bits(nxt(), (E, rows, kp // 4), dtype=jnp.uint32)
         bits = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(E, rows, kp)
-        sdt = jnp.dtype(quant.scale_dtype)
-        scales = jnp.abs(
-            jax.random.normal(nxt(), (E, nbp, rows), dtype=sdt)
-        ) * jnp.asarray(scale, sdt) + jnp.asarray(scale * 0.5, sdt)
         block_ok = (jnp.arange(nbp) < nb)[None, :, None]
         row_ok = (jnp.arange(rows) < out_f)[None, None, :]
-        scales = jnp.where(block_ok & row_ok, scales, jnp.zeros((), sdt))
+        if quant.scale_dtype == "e8m0":
+            # E8M0 exponent bytes around 2^-6 (plausible absmax/6 for 0.02-
+            # scale weights); 0 = pad block (decodes to exact 0 in-kernel)
+            sdt = jnp.uint8
+            expo = jax.random.randint(nxt(), (E, nbp, rows), 119, 123, jnp.int32)
+            scales = jnp.where(block_ok & row_ok, expo, 0).astype(jnp.uint8)
+        else:
+            sdt = jnp.dtype(quant.scale_dtype)
+            scales = jnp.abs(
+                jax.random.normal(nxt(), (E, nbp, rows), dtype=sdt)
+            ) * jnp.asarray(scale, sdt) + jnp.asarray(scale * 0.5, sdt)
+            scales = jnp.where(block_ok & row_ok, scales, jnp.zeros((), sdt))
         return NF4Tensor(
             qdata=bits,
             scales=scales,
@@ -276,7 +288,8 @@ def random_params(
         w = rng.normal(0, scale, size=(E, out_f, in_f)).astype(np.float32)
         if quant.enabled:
             return q4_tensor_from_dense(
-                w, blocksize=quant.effective_blocksize, codebook=quant.method
+                w, blocksize=quant.effective_blocksize, codebook=quant.method,
+                scale_dtype="e8m0" if quant.scale_dtype == "e8m0" else jnp.float32,
             )
         return jnp.asarray(w, dtype=dt)
 

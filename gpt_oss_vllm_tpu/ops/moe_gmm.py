@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gpt_oss_vllm_tpu.ops.nf4_matmul import _lut
+from gpt_oss_vllm_tpu.ops.nf4_matmul import _lut, _scales_f32
 from gpt_oss_vllm_tpu.quant.tensor import NF4Tensor
 
 
@@ -141,7 +141,7 @@ def _gmm_kernel(
             # scales [nb, N] are resident; select this tile's columns with a
             # one-hot matmul (lane slicing at non-128 offsets is illegal, the
             # MXU is not)
-            s_full = s_ref[0].astype(jnp.float32)  # [nb, N]
+            s_full = _scales_f32(s_ref[0])  # [nb, N]
             col = jax.lax.broadcasted_iota(jnp.int32, (tn, n_total), 1)
             want = jn * tn + jax.lax.broadcasted_iota(jnp.int32, (tn, n_total), 0)
             sel = (col == want).astype(jnp.float32)  # [tn, N]
@@ -154,9 +154,8 @@ def _gmm_kernel(
                 preferred_element_type=jnp.float32,
             )  # [TN, Kp]
         else:
-            s_buf = s_ref[0]  # [nb, TN]
             scales = jax.lax.dot_general(
-                s_buf[:].astype(jnp.float32), expand, (((0,), (0,)), ((), ())),
+                _scales_f32(s_ref[0]), expand, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [TN, Kp]
         we = (_lut(low, codebook) * scales).astype(xe_ref.dtype)

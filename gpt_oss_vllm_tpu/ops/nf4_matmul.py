@@ -87,6 +87,14 @@ def _lut_fp4(idx: jax.Array) -> jax.Array:
     return jnp.where(idx >= 8, -acc, acc)
 
 
+def _scales_f32(s: jax.Array) -> jax.Array:
+    """Scale tile as f32; uint8 tiles are E8M0 exponent bytes decoded with a
+    shift+bitcast (exact 2^(u-127); u=0 pad blocks decode to exact 0)."""
+    if s.dtype == jnp.uint8:
+        return jax.lax.bitcast_convert_type(s.astype(jnp.int32) << 23, jnp.float32)
+    return s.astype(jnp.float32)
+
+
 def _lut(idx: jax.Array, codebook: str) -> jax.Array:
     if codebook == "nf4":
         return _lut_nf4(idx)
@@ -112,7 +120,7 @@ def _nf4_matmul_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, *, block_j: int,
     row_block = jax.lax.broadcasted_iota(jnp.int32, (nb, Kp), 0)
     expand = (col_block == row_block).astype(jnp.float32)
     scales = jax.lax.dot_general(
-        s_ref[:].astype(jnp.float32), expand,
+        _scales_f32(s_ref[:]), expand,
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )  # [TN, Kp]
     we = (_lut(low, codebook) * scales).astype(xe_ref.dtype)

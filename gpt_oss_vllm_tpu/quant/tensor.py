@@ -15,7 +15,11 @@ expert/stack dims):
   elements ``2k`` (low nibble) and ``2k+1`` (high nibble), i.e. the
   reference's decode order (``streaming_unsloth_bnb.py:179-190``). The
   converter normalizes any source nibble order into this one.
-- ``scales`` : float  ``(..., in // blocksize, out)`` — first-level absmax,
+- ``scales`` : float ``(..., in // blocksize, out)`` — first-level absmax —
+  or uint8 E8M0 exponent bytes for MXFP4 (decoded in-graph/in-register as
+  ``bitcast_f32(u << 23)``: exact 2^(u-127) for u>=1 and exact 0.0 for the
+  u=0 pad blocks, at half the scale-memory of bf16 — the margin that fits
+  the 24-layer MXFP4 model on one chip). First-level absmax notes:
   already double-dequantized at conversion time (the nested level never
   reaches the device; SURVEY.md §5 "checkpoint/resume" design consequence).
   Stored TRANSPOSED (block dim before out dim) so the minor dimension is the
@@ -47,6 +51,14 @@ def codebook_table(codebook: str) -> np.ndarray:
 
         return FP4_CODE
     raise ValueError(f"unknown codebook: {codebook}")
+
+
+def decode_e8m0(u: jax.Array) -> jax.Array:
+    """E8M0 byte -> f32 scale: bitcast(u << 23) — the exponent field is the
+    byte itself, so u>=1 decodes to exactly 2^(u-127) and u=0 (pad blocks)
+    to exactly 0.0. Pure int ops: legal inside Mosaic kernels too."""
+    bits = u.astype(jnp.int32) << 23
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
 @partial(
@@ -95,6 +107,13 @@ class NF4Tensor:
     def nb_phys(self) -> int:
         return self.scales.shape[-2]
 
+    @property
+    def scales_f32(self) -> jax.Array:
+        """Scales as f32, decoding E8M0 bytes when stored that way."""
+        if self.scales.dtype == jnp.uint8:
+            return decode_e8m0(self.scales)
+        return self.scales.astype(jnp.float32)
+
     def dequantize(self, dtype=jnp.bfloat16) -> jax.Array:
         """In-graph XLA dequantization to a dense matrix (correctness path)."""
         code = jnp.asarray(codebook_table(self.codebook), dtype=jnp.float32)
@@ -111,7 +130,7 @@ class NF4Tensor:
         vals = jnp.take(code, idx, axis=0)
         nblk = self.in_features // self.blocksize
         vals = vals.reshape(*q.shape[:-1], nblk, self.blocksize)
-        scales_ob = jnp.swapaxes(self.scales, -1, -2)  # (..., out_rows, nb_phys)
+        scales_ob = jnp.swapaxes(self.scales_f32, -1, -2)  # (..., out_rows, nb_phys)
         if self.out_rows != self.out_features:
             scales_ob = scales_ob[..., : self.out_features, :]
         if self.nb_phys != nblk:
@@ -178,6 +197,7 @@ def pad_out_rows(t: NF4Tensor, multiple: int = 512) -> NF4Tensor:
 def q4_tensor_from_dense(
     w: np.ndarray, blocksize: int = 64, scale_dtype=jnp.float32, codebook: str = "nf4"
 ) -> NF4Tensor:
+    # scale_dtype "e8m0" (mxfp4 only): store the raw exponent bytes
     """Quantize a dense (..., out, in) array into a packed 4-bit tensor.
 
     Used for synthetic checkpoints / random-init benchmarking; the production
@@ -197,13 +217,15 @@ def q4_tensor_from_dense(
             from gpt_oss_vllm_tpu.quant.mxfp4 import e8m0_decode, mxfp4_quantize
 
             packed, scales_u8 = mxfp4_quantize(row, blocksize=blocksize)
-            absmax = e8m0_decode(scales_u8)  # kernels take float scales
+            absmax = scales_u8 if scale_dtype == "e8m0" else e8m0_decode(scales_u8)
         else:
             raise ValueError(f"unknown codebook: {codebook}")
         qdatas.append(packed.reshape(out_f, in_f // 2))
         scaless.append(absmax.reshape(out_f, in_f // blocksize).T)
     qdata = np.stack(qdatas).reshape(*batch, out_f, in_f // 2)
     scales = np.stack(scaless).reshape(*batch, in_f // blocksize, out_f)
+    if scale_dtype == "e8m0":
+        scale_dtype = jnp.uint8
     return NF4Tensor(
         qdata=jnp.asarray(qdata),
         scales=jnp.asarray(scales, dtype=scale_dtype),

@@ -251,3 +251,55 @@ def test_mxfp4_engine_from_converted_checkpoint(tmp_path):
         if len(toks) >= 6:
             break
     assert len(toks) == 6
+
+
+def test_e8m0_device_scales_match_float_scales():
+    """uint8 E8M0 scale storage must dequantize and matmul identically to
+    the float-decoded form (in-kernel decode is bitcast(u << 23))."""
+    from gpt_oss_vllm_tpu.ops.nf4_matmul import nf4_matmul
+
+    rng = np.random.default_rng(9)
+    w = rng.normal(0, 0.05, size=(64, 128)).astype(np.float32)
+    t_f = q4_tensor_from_dense(w, blocksize=32, codebook="mxfp4")
+    t_u = q4_tensor_from_dense(w, blocksize=32, codebook="mxfp4", scale_dtype="e8m0")
+    assert t_u.scales.dtype == jnp.uint8
+    np.testing.assert_array_equal(
+        np.asarray(t_f.dequantize(jnp.float32)), np.asarray(t_u.dequantize(jnp.float32))
+    )
+    x = jnp.asarray(rng.normal(0, 1, size=(4, 128)).astype(np.float32))
+    yf = np.asarray(nf4_matmul(x, t_f, interpret=True))
+    yu = np.asarray(nf4_matmul(x, t_u, interpret=True))
+    np.testing.assert_allclose(yu, yf, rtol=1e-6, atol=1e-6)
+
+
+def test_e8m0_checkpoint_roundtrip(tmp_path):
+    """Converter default keeps raw E8M0 bytes; engine loads and decodes."""
+    from gpt_oss_vllm_tpu.config import EngineConfig, QuantConfig
+    from gpt_oss_vllm_tpu.checkpoint.gpt_oss_mxfp4 import (
+        GptOssMxfp4Reader,
+        convert_mxfp4_to_native,
+        write_synthetic_gpt_oss_mxfp4,
+    )
+    from gpt_oss_vllm_tpu.checkpoint.store import TensorStore
+    from gpt_oss_vllm_tpu.engine.engine import InferenceEngine
+    from gpt_oss_vllm_tpu.engine.request import SamplingParams
+    from gpt_oss_vllm_tpu.models.params import load_params_from_store
+
+    cfg = EngineConfig.tiny()
+    src, dst = str(tmp_path / "s"), str(tmp_path / "n")
+    write_synthetic_gpt_oss_mxfp4(src, cfg.model, seed=10)
+    convert_mxfp4_to_native(GptOssMxfp4Reader(src), cfg.model, dst, progress=False)
+    store = TensorStore(dst)
+    assert store.metadata["quant"]["scale_dtype"] == "e8m0"
+    assert store.manifest["layers.0.moe.gate_up.scales"]["dtype"] == "uint8"
+    params = load_params_from_store(store, cfg.model, QuantConfig(method="mxfp4"))
+    assert params.layers[0].w_gate_up.scales.dtype == jnp.uint8
+    eng = InferenceEngine(cfg, params)
+    eng.add_request("r", [2, 9, 4], SamplingParams(max_tokens=4, temperature=0.0))
+    toks = []
+    for _ in range(30):
+        for out in eng.step():
+            toks.append(out.token_id)
+        if len(toks) >= 4:
+            break
+    assert len(toks) == 4
