@@ -20,6 +20,7 @@ Secondary metrics (stderr): prefill TTFT, batched decode throughput.
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -31,6 +32,16 @@ import numpy as np
 # the remote-compile helper; caching makes reruns start in seconds.
 jax.config.update("jax_compilation_cache_dir", "/tmp/gpt_oss_tpu_jit_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from gpt_oss_vllm_tpu.utils.platform import ensure_platform
+
+if ensure_platform() == "cpu" and not os.environ.get("BENCH_ALLOW_CPU"):
+    print(
+        "bench.py: no TPU backend available (refusing a silent CPU "
+        "measurement; set BENCH_ALLOW_CPU=1 to override)",
+        file=sys.stderr,
+    )
+    raise SystemExit(2)
 
 from gpt_oss_vllm_tpu.config import CacheConfig, ModelConfig, QuantConfig
 from gpt_oss_vllm_tpu.engine.kv_cache import KVCache

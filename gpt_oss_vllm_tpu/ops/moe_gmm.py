@@ -297,6 +297,67 @@ def _deinterleave(x: jax.Array, kp_phys: int):
     return xe, xo
 
 
+def _moe_gmm_block_t1(
+    x: jax.Array,  # [1, H]
+    routing_weights: jax.Array,  # [1, k] f32
+    routing_indices: jax.Array,  # [1, k] int32
+    w_gate_up: NF4Tensor,
+    b_gate_up: Optional[jax.Array],
+    w_down: NF4Tensor,
+    b_down: Optional[jax.Array],
+    act_fn,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-token decode fast path: the grouping is STATIC.
+
+    ``top_k`` indices are distinct by construction, so one token always
+    dispatches to exactly k singleton groups. Group order is irrelevant for
+    correctness (the kernel accumulates disjoint row windows), so the whole
+    sort/cumsum/scatter dispatch chain of the general path collapses into
+    fixed 8-aligned row offsets — ~15 fewer small XLA ops per layer on the
+    decode critical path (T=1 glue is op-overhead-bound, not FLOP-bound)."""
+    from gpt_oss_vllm_tpu.quant.tensor import ensure_kernel_padded
+
+    k = routing_indices.shape[1]
+    H = x.shape[1]
+    flat_ids = routing_indices[0].astype(jnp.int32)  # [k] distinct
+    starts = jnp.arange(k, dtype=jnp.int32) * ROW_ALIGN
+    grouping = Grouping(
+        sorted_pair_to_row=jnp.arange(k, dtype=jnp.int32),
+        pair_position=starts,
+        group_expert=flat_ids,
+        group_start=starts,
+        group_size=jnp.ones(k, jnp.int32),
+    )
+    P_pad = k * ROW_ALIGN
+    w_gate_up = ensure_kernel_padded(w_gate_up)
+    w_down = ensure_kernel_padded(w_down)
+
+    # every padded row is the same token: a broadcast, not a scatter
+    x_padded = jnp.broadcast_to(x[0], (P_pad, H))
+    xe, xo = _deinterleave(x_padded, w_gate_up.kp_phys)
+    h = moe_gmm_nf4(xe, xo, w_gate_up, grouping, ROW_ALIGN, k, interpret=interpret)
+    # each singleton group's result lives at row 8*i (strided slice, no gather)
+    h = h.reshape(k, ROW_ALIGN, -1)[:, 0]  # [k, 2FF] f32
+    if b_gate_up is not None:
+        h = h + jnp.take(b_gate_up, flat_ids, axis=0)
+    a = act_fn(h).astype(x.dtype)  # [k, FF]
+    a_padded = jnp.broadcast_to(a[:, None, :], (k, ROW_ALIGN, a.shape[-1])).reshape(P_pad, -1)
+    ae, ao = _deinterleave(a_padded, w_down.kp_phys)
+    y = moe_gmm_nf4(ae, ao, w_down, grouping, ROW_ALIGN, k, interpret=interpret)
+    y = y.reshape(k, ROW_ALIGN, -1)[:, 0]  # [k, H] f32
+    if b_down is not None:
+        y = y + jnp.take(b_down, flat_ids, axis=0)
+    # weighted combine as one [1,k] x [k,H] matmul
+    out = jax.lax.dot_general(
+        routing_weights.astype(jnp.float32),
+        y,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(x.dtype)
+
+
 def moe_gmm_block(
     x: jax.Array,  # [T, H]
     routing_weights: jax.Array,  # [T, k] f32
@@ -312,6 +373,18 @@ def moe_gmm_block(
     """Full MoE block through the gmm kernel: dispatch -> gate_up -> act ->
     down -> weighted combine, all in-graph."""
     T, H = x.shape
+    if T == 1 and tm is None:
+        return _moe_gmm_block_t1(
+            x,
+            routing_weights,
+            routing_indices,
+            w_gate_up,
+            b_gate_up,
+            w_down,
+            b_down,
+            act_fn,
+            interpret=interpret,
+        )
     k = routing_indices.shape[1]
     E = w_gate_up.qdata.shape[0]
     P = T * k

@@ -513,6 +513,9 @@ def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
 
 
 def main(argv=None):
+    from gpt_oss_vllm_tpu.utils.platform import ensure_platform
+
+    ensure_platform()
     ap = argparse.ArgumentParser(description="gpt_oss_vllm_tpu OpenAI-compatible server")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)

@@ -1,0 +1,143 @@
+"""Decode-step component decomposition on the attached chip.
+
+Times the same N-layer decode program with individual per-layer components
+replaced by zeros (monkeypatched before jit), all within one process so the
+param generation and chip variance are shared. The difference (full -
+variant) is that component's per-step cost — the measurement behind the
+per-layer cost model in docs/STATUS.md.
+
+Variants:
+  full        the production step
+  noattn      attention block -> zeros (residual stream untouched)
+  attnproj    qkv + rope + kv write + o-proj kept; context read + softmax
+              attention skipped (isolates the projections from the KV math)
+  nomoe       MoE block -> zeros
+  routeronly  router+top-k kept, expert compute skipped
+
+Usage: python -m gpt_oss_vllm_tpu.tools.decomp_bench --layers 4 \
+           --variants full,noattn [--quant nf4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/gpt_oss_tpu_jit_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from gpt_oss_vllm_tpu.utils.platform import ensure_platform
+
+ensure_platform()
+
+import gpt_oss_vllm_tpu.engine.step as step_mod
+from gpt_oss_vllm_tpu.config import CacheConfig, ModelConfig, QuantConfig
+from gpt_oss_vllm_tpu.models.params import fuse_qkv, random_params_on_device
+
+
+def _attn_proj_only(p, cfg, layer_idx, x, positions, cache, block_tables, backend):
+    """qkv+rope+write+o without the context read / attention math."""
+    from gpt_oss_vllm_tpu.engine.kv_cache import slot_mapping, write_kv
+    from gpt_oss_vllm_tpu.ops.linear import dense_linear
+    from gpt_oss_vllm_tpu.ops.rope import apply_rope, yarn_rope_tables
+
+    B, T, H = x.shape
+    qkv = dense_linear(x, p.wqkv, p.bqkv)
+    q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], axis=-1)
+    q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    safe_pos = jnp.maximum(positions, 0)
+    cos, sin = yarn_rope_tables(cfg, safe_pos)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    slots = slot_mapping(block_tables, positions, cache.block_size)
+    cache = write_kv(cache, layer_idx, k, v, slots)
+    out = q.reshape(B, T, cfg.q_size)
+    return dense_linear(out, p.wo, p.bo), cache
+
+
+def apply_variant(name: str):
+    if name == "full":
+        return
+    if name == "noattn":
+        def fake_attn(p, cfg, li, x, positions, cache, bt, backend):
+            return jnp.zeros_like(x), cache
+
+        step_mod._cached_attention = fake_attn
+    elif name == "attnproj":
+        step_mod._cached_attention = _attn_proj_only
+    elif name == "nomoe":
+        def fake_moe(x, rw, rb, *a, **k):
+            return jnp.zeros_like(x)
+
+        step_mod.moe_block = fake_moe
+    elif name == "routeronly":
+        from gpt_oss_vllm_tpu.ops.moe import route_topk
+
+        def router_moe(x, rw, rb, wgu, bgu, wdn, bdn, cfg, **k):
+            r = route_topk(x, rw, rb, cfg.experts_per_token)
+            # keep a data dependency so the router isn't dead-code-eliminated
+            return jnp.zeros_like(x) + r.weights.sum().astype(x.dtype) * 0
+        step_mod.moe_block = router_moe
+    elif name == "cheaplut":
+        # replace the 4-bit codebook polynomial with a raw int->f32 cast:
+        # (full - cheaplut) isolates the in-kernel dequant VPU chain
+        import gpt_oss_vllm_tpu.ops.moe_gmm as gm
+
+        gm._lut = lambda idx, codebook="nf4": idx.astype(jnp.float32)
+    else:
+        raise SystemExit(f"unknown variant {name}")
+
+
+def main():
+    import bench  # repo-root bench.py: reuses its slope-timing machinery
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--quant", default="nf4", choices=["nf4", "mxfp4"])
+    ap.add_argument("--variants", default="full,noattn")
+    ap.add_argument("--batch", type=int, default=1)
+    args = ap.parse_args()
+    print(f"backend: {jax.default_backend()}", flush=True)
+
+    cfg = dataclasses.replace(
+        bench.dataclasses_replace_tied(ModelConfig()), num_layers=args.layers
+    )
+    sdt = "e8m0" if args.quant == "mxfp4" else "bfloat16"
+    quant = QuantConfig(method=args.quant, scale_dtype=sdt)
+    t0 = time.monotonic()
+    params = fuse_qkv(random_params_on_device(cfg, quant, seed=0, sync_every_layer=True))
+    time.sleep(2.0)
+    print(f"params ready ({args.layers}L) in {time.monotonic() - t0:.1f}s", flush=True)
+    cache_cfg = CacheConfig(block_size=16, num_blocks=160, max_blocks_per_seq=16)
+
+    import gpt_oss_vllm_tpu.ops.moe_gmm as gm
+
+    orig_attn = step_mod._cached_attention
+    orig_moe = step_mod.moe_block
+    orig_lut = gm._lut
+    results = {}
+    for v in args.variants.split(","):
+        step_mod._cached_attention = orig_attn
+        step_mod.moe_block = orig_moe
+        gm._lut = orig_lut
+        apply_variant(v)
+        tok_s, lat = bench.time_decode(
+            cfg, params, cache_cfg, "pallas", args.batch, 24
+        )
+        results[v] = lat
+        print(f"variant={v}: {lat * 1e3:.3f} ms/step ({tok_s:.1f} tok/s)", flush=True)
+    if "full" in results:
+        for v, lat in results.items():
+            if v != "full":
+                d = (results["full"] - lat) * 1e3 / args.layers
+                print(f"component cost ({v} removed): {d:.4f} ms/layer", flush=True)
+
+
+if __name__ == "__main__":
+    main()

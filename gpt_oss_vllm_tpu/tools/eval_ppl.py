@@ -79,6 +79,9 @@ def _logsumexp(x: np.ndarray) -> np.ndarray:
 
 
 def main(argv=None):
+    from gpt_oss_vllm_tpu.utils.platform import ensure_platform
+
+    ensure_platform()
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--tiny", action="store_true")

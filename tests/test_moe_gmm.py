@@ -61,6 +61,39 @@ def test_gmm_block_matches_gather(rng, cfg, T):
     np.testing.assert_allclose(np.asarray(got), np.asarray(oracle), rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.parametrize("codebook", ["nf4", "mxfp4"])
+def test_gmm_t1_static_fast_path(rng, cfg, codebook):
+    """T=1 takes the static-grouping fast path (no sort/scatter dispatch);
+    must match the gather oracle, with and without biases."""
+    from gpt_oss_vllm_tpu.quant.tensor import q4_tensor_from_dense
+
+    E, H, FF = cfg.num_experts, cfg.hidden_size, cfg.intermediate_size
+    kw = dict(blocksize=32, codebook="mxfp4") if codebook == "mxfp4" else {}
+    wgu = q4_tensor_from_dense(
+        rng.normal(0, 0.05, size=(E, 2 * FF, H)).astype(np.float32), **kw
+    )
+    wdn = q4_tensor_from_dense(
+        rng.normal(0, 0.05, size=(E, H, FF)).astype(np.float32), **kw
+    )
+    bgu = jnp.asarray(rng.normal(size=(E, 2 * FF)) * 0.01, dtype=jnp.float32)
+    bdn = jnp.asarray(rng.normal(size=(E, H)) * 0.01, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, H)) * 0.3, dtype=jnp.float32)
+    rw = jnp.asarray(rng.normal(size=(E, H)), dtype=jnp.float32)
+    routing = route_topk(x, rw, None, cfg.experts_per_token)
+    act = functools.partial(expert_act, cfg=cfg)
+    for b1, b2 in [(bgu, bdn), (None, None)]:
+        oracle = moe_gather(
+            x, routing, wgu, b1, wdn, b2, cfg, backend="xla"
+        )
+        got = moe_gmm_block(
+            x, routing.weights, routing.indices, wgu, b1, wdn, b2,
+            act_fn=act, interpret=True,  # tm=None -> static T=1 path
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(oracle), rtol=5e-3, atol=5e-3
+        )
+
+
 def test_gmm_skewed_routing_all_one_expert(rng, cfg):
     """All pairs land on one expert: exercises multi-chunk groups."""
     E, H, FF = cfg.num_experts, cfg.hidden_size, cfg.intermediate_size
