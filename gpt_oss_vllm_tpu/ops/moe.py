@@ -194,9 +194,19 @@ def moe_block(
     strategy: str = "auto",
     backend: str = "xla",
 ) -> jax.Array:
-    routing = route_topk(
-        x, router_w, router_b, cfg.experts_per_token, fp32_logits=cfg.router_logits_fp32
-    )
+    if backend == "pallas" and x.shape[0] <= 64 and cfg.num_experts <= 128:
+        # fused logits+top-k+softmax kernel: the XLA chain is 3 tiny ops
+        # whose fixed overhead dominates decode (~0.10 ms/layer measured)
+        from gpt_oss_vllm_tpu.ops.router import router_topk_pallas
+
+        weights, indices = router_topk_pallas(
+            x, router_w, router_b, cfg.experts_per_token
+        )
+        routing = RouterOut(weights=weights, indices=indices)
+    else:
+        routing = route_topk(
+            x, router_w, router_b, cfg.experts_per_token, fp32_logits=cfg.router_logits_fp32
+        )
     if strategy == "auto":
         small = x.shape[0] * cfg.experts_per_token < cfg.num_experts
         # The gmm kernel holds the dispatched x rows resident in VMEM

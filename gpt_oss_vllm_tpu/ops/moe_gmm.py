@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gpt_oss_vllm_tpu.ops.nf4_matmul import _lut, _scales_f32
+from gpt_oss_vllm_tpu.ops.nf4_matmul import _lut, _scales_f32, _scales_mm_dtype
 from gpt_oss_vllm_tpu.quant.tensor import NF4Tensor
 
 
@@ -133,29 +133,33 @@ def _gmm_kernel(
         q = q_buf[:].astype(jnp.int32)
         low = q & 0x0F
         high = (q >> 4) & 0x0F
+        # 0/1 expansion matrices have one nonzero per output column, so the
+        # scale matmuls are exact in bf16 when scales are bf16/E8M0-stored —
+        # 4x the f32 MXU rate (see ops.nf4_matmul._scales_mm_dtype)
+        mmdt = _scales_mm_dtype(s_ref.dtype)
         col_block = jax.lax.broadcasted_iota(jnp.int32, (nb, kp), 1) // block_j
         row_block = jax.lax.broadcasted_iota(jnp.int32, (nb, kp), 0)
-        expand = (col_block == row_block).astype(jnp.float32)
+        expand = (col_block == row_block).astype(mmdt)
         if full_scales:
             # TN is not lane-tileable (e.g. 720 of N=2880): the whole expert's
             # scales [nb, N] are resident; select this tile's columns with a
             # one-hot matmul (lane slicing at non-128 offsets is illegal, the
             # MXU is not)
-            s_full = _scales_f32(s_ref[0])  # [nb, N]
+            s_full = _scales_f32(s_ref[0]).astype(mmdt)  # [nb, N]
             col = jax.lax.broadcasted_iota(jnp.int32, (tn, n_total), 1)
             want = jn * tn + jax.lax.broadcasted_iota(jnp.int32, (tn, n_total), 0)
-            sel = (col == want).astype(jnp.float32)  # [tn, N]
+            sel = (col == want).astype(mmdt)  # [tn, N]
             s_sel = jax.lax.dot_general(
                 sel, s_full, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [tn, nb]
+            )  # [tn, nb] — exact: one nonzero per row of sel
             scales = jax.lax.dot_general(
-                s_sel, expand, (((1,), (0,)), ((), ())),
+                s_sel.astype(mmdt), expand, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [TN, Kp]
         else:
             scales = jax.lax.dot_general(
-                _scales_f32(s_ref[0]), expand, (((0,), (0,)), ((), ())),
+                _scales_f32(s_ref[0]).astype(mmdt), expand, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [TN, Kp]
         we = (_lut(low, codebook) * scales).astype(xe_ref.dtype)

@@ -95,6 +95,20 @@ def _scales_f32(s: jax.Array) -> jax.Array:
     return s.astype(jnp.float32)
 
 
+def _scales_mm_dtype(s_dtype) -> jnp.dtype:
+    """MXU dtype for the scale-expansion matmul.
+
+    The expansion matrix is 0/1 with exactly one nonzero per output column,
+    so each product has a single term — no accumulation rounding. When the
+    stored scales are bf16 (NF4 default) or E8M0 exponent bytes (exact
+    powers of two, bf16-representable), a bf16 matmul is therefore
+    BIT-EXACT and runs at 4x the f32 MXU rate. f32-stored scales keep f32.
+    """
+    if s_dtype in (jnp.bfloat16, jnp.uint8):
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def _lut(idx: jax.Array, codebook: str) -> jax.Array:
     if codebook == "nf4":
         return _lut_nf4(idx)
@@ -116,11 +130,12 @@ def _nf4_matmul_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, *, block_j: int,
     # in the memory-bound regime.
     nb = s_ref.shape[0]
     Kp = q.shape[1]
+    mmdt = _scales_mm_dtype(s_ref.dtype)
     col_block = jax.lax.broadcasted_iota(jnp.int32, (nb, Kp), 1) // block_j
     row_block = jax.lax.broadcasted_iota(jnp.int32, (nb, Kp), 0)
-    expand = (col_block == row_block).astype(jnp.float32)
+    expand = (col_block == row_block).astype(mmdt)
     scales = jax.lax.dot_general(
-        _scales_f32(s_ref[:]), expand,
+        _scales_f32(s_ref[:]).astype(mmdt), expand,
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )  # [TN, Kp]
     we = (_lut(low, codebook) * scales).astype(xe_ref.dtype)

@@ -62,7 +62,7 @@ def _attn_proj_only(p, cfg, layer_idx, x, positions, cache, block_tables, backen
 
 
 def apply_variant(name: str):
-    if name == "full":
+    if name.startswith("full"):  # fullN repeats gauge run-to-run variance
         return
     if name == "noattn":
         def fake_attn(p, cfg, li, x, positions, cache, bt, backend):
@@ -84,6 +84,16 @@ def apply_variant(name: str):
             # keep a data dependency so the router isn't dead-code-eliminated
             return jnp.zeros_like(x) + r.weights.sum().astype(x.dtype) * 0
         step_mod.moe_block = router_moe
+    elif name == "xlarouter":
+        # swap the fused router kernel back to the XLA top_k chain
+        import gpt_oss_vllm_tpu.ops.router as rt
+        from gpt_oss_vllm_tpu.ops.moe import route_topk
+
+        def _fallback(x, w, b, k, interpret=False):
+            r = route_topk(x, w, b, k)
+            return r.weights, r.indices
+
+        rt.router_topk_pallas = _fallback
     elif name == "cheaplut":
         # replace the 4-bit codebook polynomial with a raw int->f32 cast:
         # (full - cheaplut) isolates the in-kernel dequant VPU chain
@@ -117,15 +127,18 @@ def main():
     cache_cfg = CacheConfig(block_size=16, num_blocks=160, max_blocks_per_seq=16)
 
     import gpt_oss_vllm_tpu.ops.moe_gmm as gm
+    import gpt_oss_vllm_tpu.ops.router as rt
 
     orig_attn = step_mod._cached_attention
     orig_moe = step_mod.moe_block
     orig_lut = gm._lut
+    orig_router = rt.router_topk_pallas
     results = {}
     for v in args.variants.split(","):
         step_mod._cached_attention = orig_attn
         step_mod.moe_block = orig_moe
         gm._lut = orig_lut
+        rt.router_topk_pallas = orig_router
         apply_variant(v)
         tok_s, lat = bench.time_decode(
             cfg, params, cache_cfg, "pallas", args.batch, 24
