@@ -112,6 +112,7 @@ def main():
     ap.add_argument("--quant", default="nf4", choices=["nf4", "mxfp4"])
     ap.add_argument("--variants", default="full,noattn")
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--prefill", action="store_true", help="time prefill TTFT instead of decode")
     args = ap.parse_args()
     print(f"backend: {jax.default_backend()}", flush=True)
 
@@ -140,11 +141,15 @@ def main():
         gm._lut = orig_lut
         rt.router_topk_pallas = orig_router
         apply_variant(v)
-        tok_s, lat = bench.time_decode(
-            cfg, params, cache_cfg, "pallas", args.batch, 24
-        )
+        if args.prefill:
+            lat = bench.time_prefill(cfg, params, cache_cfg, "pallas")
+            print(f"variant={v}: prefill {lat * 1e3:.3f} ms", flush=True)
+        else:
+            tok_s, lat = bench.time_decode(
+                cfg, params, cache_cfg, "pallas", args.batch, 24
+            )
+            print(f"variant={v}: {lat * 1e3:.3f} ms/step ({tok_s:.1f} tok/s)", flush=True)
         results[v] = lat
-        print(f"variant={v}: {lat * 1e3:.3f} ms/step ({tok_s:.1f} tok/s)", flush=True)
     if "full" in results:
         for v, lat in results.items():
             if v != "full":
