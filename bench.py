@@ -217,6 +217,10 @@ def main():
             c = dataclasses.replace(cfg, num_layers=layers)
             t0 = time.monotonic()
             params = fuse_qkv(random_params_on_device(c, quant, seed=0, sync_every_layer=True))
+            if quant_backend == "pallas":
+                from gpt_oss_vllm_tpu.models.params import section_glu_experts
+
+                params = section_glu_experts(params)
             time.sleep(2.0)  # let deferred frees drain
             log(f"params ready ({layers} layers) in {time.monotonic() - t0:.1f}s")
             cache_cfg = CacheConfig(block_size=16, num_blocks=160, max_blocks_per_seq=16)

@@ -69,11 +69,19 @@ class InferenceEngine:
 
             params = shard_params(params, mesh)
         else:
-            from gpt_oss_vllm_tpu.models.params import fuse_qkv
+            from gpt_oss_vllm_tpu.models.params import fuse_qkv, section_glu_experts
 
             # single-shard: one fat qkv matmul beats three MXU-underfilled
             # skinny ones (decode is latency-bound on these reads)
             params = fuse_qkv(params)
+            if (
+                config.quant.enabled
+                and config.quant.backend == "pallas"
+                and jax.default_backend() == "tpu"
+            ):
+                # glu4 expert layout: one fused FFN kernel per MoE block at
+                # decode (ops.moe_ffn_fused); bit-lossless row repack
+                params = section_glu_experts(params)
         self.params = params
         cfg, cc, sc = config.model, config.cache, config.scheduler
         self.cache = KVCache.create(cfg, cc)

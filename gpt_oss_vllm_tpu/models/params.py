@@ -325,6 +325,34 @@ def random_params(
     )
 
 
+def section_glu_experts(params: ModelParams) -> ModelParams:
+    """Re-store packed gate_up projections (and their biases) in the glu4
+    serving layout (quant.tensor.section_glu4) — the storage order that lets
+    the whole MoE FFN run as one Pallas kernel at decode (ops.moe_ffn_fused)
+    and drops the activation interleave round trip from the batched path.
+    One-time at load, bit-lossless, single-shard Pallas engines only (the
+    XLA and sharded paths keep checkpoint row order)."""
+    import dataclasses as _dc
+
+    from gpt_oss_vllm_tpu.quant.tensor import section_glu4, section_glu4_bias
+
+    # Replace layers IN PLACE so at most one layer's gate_up is duplicated at
+    # a time (a rebuilt list keeps every old tensor alive until the caller
+    # rebinds — ~+7 GB transient on GPT-OSS-20B, enough to OOM the chip).
+    for i, l in enumerate(params.layers):
+        if not isinstance(l.w_gate_up, NF4Tensor) or l.w_gate_up.row_layout != "flat":
+            continue
+        out_f = l.w_gate_up.out_features
+        params.layers[i] = _dc.replace(
+            l,
+            w_gate_up=section_glu4(l.w_gate_up),
+            b_gate_up=None
+            if l.b_gate_up is None
+            else section_glu4_bias(l.b_gate_up, out_f),
+        )
+    return params
+
+
 def fuse_qkv(params: ModelParams) -> ModelParams:
     """Concatenate per-layer q/k/v projections into one fused weight (and
     bias) for single-shard serving: one MXU-efficient matmul instead of

@@ -60,14 +60,9 @@ def route_topk(
     return RouterOut(weights=weights, indices=top_idx.astype(jnp.int32))
 
 
-def expert_act(gate_up: jax.Array, cfg: ModelConfig) -> jax.Array:
-    """Split fused [.., 2FF] into gate/up and apply the configured GLU.
-
-    Split convention: gate = rows [0, FF), up = rows [FF, 2FF) of the fused
-    projection (reference ``streaming_unsloth_bnb.py:267-277``).
-    """
-    ff = gate_up.shape[-1] // 2
-    gate, up = gate_up[..., :ff], gate_up[..., ff:]
+def glu_pair(gate: jax.Array, up: jax.Array, cfg: ModelConfig) -> jax.Array:
+    """The configured GLU on an aligned (gate, up) pair. Maps (0, 0) -> 0 in
+    both variants, which is what makes zero-scale pad rows inert."""
     if cfg.activation == "silu_glu":
         return jax.nn.silu(gate) * up
     # upstream GPT-OSS clamped swiglu
@@ -75,6 +70,28 @@ def expert_act(gate_up: jax.Array, cfg: ModelConfig) -> jax.Array:
     up = jnp.clip(up, min=-cfg.swiglu_limit, max=cfg.swiglu_limit)
     glu = gate * jax.nn.sigmoid(cfg.swiglu_alpha * gate)
     return (up + 1.0) * glu
+
+
+def expert_act(gate_up: jax.Array, cfg: ModelConfig) -> jax.Array:
+    """Split fused [.., 2FF] into gate/up and apply the configured GLU.
+
+    Split convention: gate = rows [0, FF), up = rows [FF, 2FF) of the fused
+    projection (reference ``streaming_unsloth_bnb.py:267-277``).
+    """
+    ff = gate_up.shape[-1] // 2
+    return glu_pair(gate_up[..., :ff], gate_up[..., ff:], cfg)
+
+
+def expert_act_glu4(h: jax.Array, cfg: ModelConfig):
+    """Activation for glu4-sectioned gate_up outputs (quant.tensor layout):
+    ``h`` is [.., 4*sec] = [gateEven | gateOdd | upEven | upOdd]. Returns
+    (a_even, a_odd), each [.., sec] — exactly the even/odd packed-column
+    subspaces the down projection kernels contract against (sec equals the
+    down weight's kernel-padded byte width; pad lanes are zero)."""
+    sec = h.shape[-1] // 4
+    ae = glu_pair(h[..., :sec], h[..., 2 * sec : 3 * sec], cfg)
+    ao = glu_pair(h[..., sec : 2 * sec], h[..., 3 * sec :], cfg)
+    return ae, ao
 
 
 def _take_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
@@ -207,6 +224,7 @@ def moe_block(
         routing = route_topk(
             x, router_w, router_b, cfg.experts_per_token, fp32_logits=cfg.router_logits_fp32
         )
+    glu4 = isinstance(w_gate_up, NF4Tensor) and w_gate_up.row_layout == "glu4"
     if strategy == "auto":
         small = x.shape[0] * cfg.experts_per_token < cfg.num_experts
         # The gmm kernel holds the dispatched x rows resident in VMEM
@@ -220,6 +238,14 @@ def moe_block(
         else:
             # gather wins while selected-expert reads < all-expert reads
             strategy = "gather" if small else "all"
+    if glu4 and strategy != "gmm":
+        # the glu4 serving layout exists for the Pallas kernels; the XLA
+        # strategies expect checkpoint row order (engines only section when
+        # every token batch fits the gmm/fused path)
+        raise ValueError(
+            f"glu4-sectioned experts reached strategy={strategy!r} "
+            f"(T={x.shape[0]}); keep token batches within the gmm bound"
+        )
     if strategy == "gmm":
         import functools
 
@@ -236,6 +262,7 @@ def moe_block(
             w_down,
             b_down,
             act_fn=functools.partial(expert_act, cfg=cfg),
+            act_pair_fn=functools.partial(glu_pair, cfg=cfg),
         )
     fn = moe_gather if strategy == "gather" else moe_all_experts
     return fn(x, routing, w_gate_up, b_gate_up, w_down, b_down, cfg, backend=backend)

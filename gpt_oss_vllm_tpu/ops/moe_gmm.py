@@ -287,6 +287,8 @@ def moe_gmm_nf4(
     )
     if full_scales:
         out = out.transpose(1, 0, 2).reshape(P_pad, N)
+    if w.row_layout == "glu4":
+        return out  # sectioned rows: interior pads, caller slices per section
     return out[:, : w.out_features]
 
 
@@ -366,18 +368,36 @@ def moe_gmm_block(
     x: jax.Array,  # [T, H]
     routing_weights: jax.Array,  # [T, k] f32
     routing_indices: jax.Array,  # [T, k] int32
-    w_gate_up: NF4Tensor,  # [E, 2FF, H]
+    w_gate_up: NF4Tensor,  # [E, 2FF, H] ("flat") or [E, 4*sec, H] ("glu4")
     b_gate_up: Optional[jax.Array],
     w_down: NF4Tensor,  # [E, H, FF]
     b_down: Optional[jax.Array],
     act_fn,
     tm: Optional[int] = None,
     interpret: bool = False,
+    act_pair_fn=None,  # (gate, up) -> act; required for glu4 layouts
 ) -> jax.Array:
     """Full MoE block through the gmm kernel: dispatch -> gate_up -> act ->
     down -> weighted combine, all in-graph."""
     T, H = x.shape
+    glu4 = w_gate_up.row_layout == "glu4"
+    if glu4 and act_pair_fn is None:
+        raise ValueError("glu4 layout needs act_pair_fn")
     if T == 1 and tm is None:
+        if glu4:
+            from gpt_oss_vllm_tpu.ops.moe_ffn_fused import moe_ffn_glu4_t1
+
+            return moe_ffn_glu4_t1(
+                x,
+                routing_weights,
+                routing_indices,
+                w_gate_up,
+                b_gate_up,
+                w_down,
+                b_down,
+                act_pair_fn,
+                interpret=interpret,
+            )
         return _moe_gmm_block_t1(
             x,
             routing_weights,
@@ -414,9 +434,19 @@ def moe_gmm_block(
     h = jnp.take(moe_gmm_nf4(xe, xo, w_gate_up, grouping, tm, P, interpret=interpret), pos, axis=0)
     if b_gate_up is not None:
         h = h + jnp.take(b_gate_up, sorted_experts, axis=0)
-    a = act_fn(h).astype(x.dtype)
-    a_padded = jnp.zeros((P_pad, a.shape[-1]), x.dtype).at[pos].set(a)
-    ae, ao = _deinterleave(a_padded, w_down.kp_phys)
+    if glu4:
+        # sectioned h [P, 4*sec]: the activation's even/odd planes fall out
+        # as aligned section pairs — no interleave/deinterleave round trip
+        sec = h.shape[-1] // 4
+        a_e = act_pair_fn(h[:, :sec], h[:, 2 * sec : 3 * sec]).astype(x.dtype)
+        a_o = act_pair_fn(h[:, sec : 2 * sec], h[:, 3 * sec :]).astype(x.dtype)
+        assert sec == w_down.kp_phys, (sec, w_down.kp_phys)
+        ae = jnp.zeros((P_pad, sec), x.dtype).at[pos].set(a_e)
+        ao = jnp.zeros((P_pad, sec), x.dtype).at[pos].set(a_o)
+    else:
+        a = act_fn(h).astype(x.dtype)
+        a_padded = jnp.zeros((P_pad, a.shape[-1]), x.dtype).at[pos].set(a)
+        ae, ao = _deinterleave(a_padded, w_down.kp_phys)
     y = jnp.take(moe_gmm_nf4(ae, ao, w_down, grouping, tm, P, interpret=interpret), pos, axis=0)
     if b_down is not None:
         y = y + jnp.take(b_down, sorted_experts, axis=0)

@@ -64,7 +64,7 @@ def decode_e8m0(u: jax.Array) -> jax.Array:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["qdata", "scales"],
-    meta_fields=["out_features", "in_features", "blocksize", "codebook"],
+    meta_fields=["out_features", "in_features", "blocksize", "codebook", "row_layout"],
 )
 @dataclass
 class NF4Tensor:
@@ -79,6 +79,16 @@ class NF4Tensor:
     # patch_4_override_quant.py:26-41). Scales here are always float (E8M0
     # bytes are decoded to float at load; the kernels never see them).
     codebook: str = "nf4"
+    # Row ordering of the stored out dim:
+    #   "flat" — checkpoint order (rows 0..out_features-1, pads at the end).
+    #   "glu4" — fused-GLU serving layout for gate_up projections: four
+    #   128-aligned sections [gateEven | gateOdd | upEven | upOdd], each
+    #   out_features//4 real rows zero-scale-padded to a 128 multiple. The
+    #   sectioning makes the activation pairing (gate_i, up_i) and the down
+    #   projection's even/odd packed-column split plain aligned lane slices,
+    #   which is what lets the whole MoE FFN run as ONE Pallas kernel at
+    #   decode (ops.moe_ffn_fused). Applied at load by section_glu4().
+    row_layout: str = "flat"
 
     @property
     def batch_shape(self):
@@ -108,6 +118,18 @@ class NF4Tensor:
         return self.scales.shape[-2]
 
     @property
+    def section_rows(self) -> int:
+        """Physical rows per section for the glu4 layout (128-aligned)."""
+        assert self.row_layout == "glu4"
+        return self.qdata.shape[-2] // 4
+
+    @property
+    def section_real(self) -> int:
+        """Real (non-pad) rows per glu4 section = out_features // 4."""
+        assert self.row_layout == "glu4"
+        return self.out_features // 4
+
+    @property
     def scales_f32(self) -> jax.Array:
         """Scales as f32, decoding E8M0 bytes when stored that way."""
         if self.scales.dtype == jnp.uint8:
@@ -115,7 +137,17 @@ class NF4Tensor:
         return self.scales.astype(jnp.float32)
 
     def dequantize(self, dtype=jnp.bfloat16) -> jax.Array:
-        """In-graph XLA dequantization to a dense matrix (correctness path)."""
+        """In-graph XLA dequantization to a dense matrix (correctness path).
+        Always returns LOGICAL checkpoint row order, un-permuting glu4."""
+        if self.row_layout == "glu4":
+            phys = _glu4_phys_of_logical(self.out_features, self.section_rows)
+            flat = dataclasses.replace(
+                self,
+                qdata=jnp.take(self.qdata, phys, axis=-2),
+                scales=jnp.take(self.scales, phys, axis=-1),
+                row_layout="flat",
+            )
+            return flat.dequantize(dtype)
         code = jnp.asarray(codebook_table(self.codebook), dtype=jnp.float32)
         q = self.qdata
         kp_logical = self.in_features // 2
@@ -240,3 +272,65 @@ def nf4_tensor_from_dense(
     w: np.ndarray, blocksize: int = 64, scale_dtype=jnp.float32
 ) -> NF4Tensor:
     return q4_tensor_from_dense(w, blocksize, scale_dtype, codebook="nf4")
+
+
+def _glu4_sections(out_features: int):
+    """(section_real, section_rows) for a fused [2FF] projection."""
+    if out_features % 4 != 0:
+        raise ValueError(f"glu4 needs out_features % 4 == 0, got {out_features}")
+    half = out_features // 4  # rows per section: even (or odd) half of FF
+    sec = -(-half // 128) * 128
+    return half, sec
+
+
+def _glu4_logical_of_phys(out_features: int, sec: int) -> np.ndarray:
+    """Static gather indices: physical (sectioned) row -> logical source row.
+    Pad rows point at row 0 (their scales are zeroed, so values are inert)."""
+    half, _ = _glu4_sections(out_features)
+    ff = out_features // 2
+    src = np.zeros(4 * sec, dtype=np.int32)
+    starts = [0, 1, ff, ff + 1]  # gateEven, gateOdd, upEven, upOdd
+    for s, first in enumerate(starts):
+        src[s * sec : s * sec + half] = first + 2 * np.arange(half)
+    return src
+
+def _glu4_phys_of_logical(out_features: int, sec: int) -> np.ndarray:
+    """Static gather indices: logical row -> physical (sectioned) row."""
+    half, _ = _glu4_sections(out_features)
+    ff = out_features // 2
+    r = np.arange(out_features)
+    is_up = (r >= ff).astype(np.int64)
+    i = r - is_up * ff
+    section = 2 * is_up + (i % 2)
+    return (section * sec + i // 2).astype(np.int32)
+
+
+def section_glu4(t: NF4Tensor) -> NF4Tensor:
+    """Re-store a fused gate_up projection in the glu4 serving layout (see
+    the ``row_layout`` doc on :class:`NF4Tensor`). One-time at load; a pure
+    row permutation of packed bytes + matching scale columns, bit-lossless.
+    Pad rows carry zero scales (decode to exact 0, so act(0,0)=0 lands the
+    zeros the down projection's kernel-padded columns expect)."""
+    if t.row_layout == "glu4":
+        return t
+    t = ensure_kernel_padded(t)
+    if t.out_rows != t.out_features:
+        raise ValueError("section_glu4 expects flat tensors without row pads")
+    half, sec = _glu4_sections(t.out_features)
+    src = _glu4_logical_of_phys(t.out_features, sec)
+    real = jnp.asarray(
+        (np.arange(4 * sec) % sec) < half, dtype=jnp.bool_
+    )
+    qdata = jnp.take(t.qdata, jnp.asarray(src), axis=-2)
+    scales = jnp.take(t.scales, jnp.asarray(src), axis=-1)
+    scales = jnp.where(real, scales, jnp.zeros((), scales.dtype))
+    return dataclasses.replace(t, qdata=qdata, scales=scales, row_layout="glu4")
+
+
+def section_glu4_bias(b: jax.Array, out_features: int) -> jax.Array:
+    """Section a [.., 2FF] expert bias to match a glu4 weight (pads = 0)."""
+    half, sec = _glu4_sections(out_features)
+    src = _glu4_logical_of_phys(out_features, sec)
+    real = (np.arange(4 * sec) % sec) < half
+    out = jnp.take(b, jnp.asarray(src), axis=-1)
+    return jnp.where(jnp.asarray(real), out, jnp.zeros((), out.dtype))

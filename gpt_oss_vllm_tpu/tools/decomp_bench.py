@@ -97,9 +97,32 @@ def apply_variant(name: str):
     elif name == "cheaplut":
         # replace the 4-bit codebook polynomial with a raw int->f32 cast:
         # (full - cheaplut) isolates the in-kernel dequant VPU chain
+        import gpt_oss_vllm_tpu.ops.moe_ffn_fused as ff
         import gpt_oss_vllm_tpu.ops.moe_gmm as gm
 
-        gm._lut = lambda idx, codebook="nf4": idx.astype(jnp.float32)
+        cheap = lambda idx, codebook="nf4": idx.astype(jnp.float32)
+        gm._lut = cheap
+        ff._lut = cheap
+    elif name == "bf16lut":
+        # NF4 polynomial evaluated in bf16 instead of f32 (timing probe for
+        # the VPU's bf16 rate; numerically ~1% off, NOT a production mode)
+        import gpt_oss_vllm_tpu.ops.moe_ffn_fused as ff
+        import gpt_oss_vllm_tpu.ops.moe_gmm as gm
+        from gpt_oss_vllm_tpu.ops.nf4_matmul import _NF4_POLY_NEG, _NF4_POLY_POS
+
+        def lut_bf16(idx, codebook="nf4"):
+            t = (idx & 7).astype(jnp.bfloat16) - jnp.bfloat16(3.5)
+
+            def horner(cs):
+                acc = jnp.full(t.shape, cs[0], jnp.bfloat16)
+                for c in cs[1:]:
+                    acc = acc * t + jnp.bfloat16(c)
+                return acc
+
+            return jnp.where(idx >= 8, horner(_NF4_POLY_POS), horner(_NF4_POLY_NEG))
+
+        gm._lut = lut_bf16
+        ff._lut = lut_bf16
     else:
         raise SystemExit(f"unknown variant {name}")
 
@@ -113,6 +136,11 @@ def main():
     ap.add_argument("--variants", default="full,noattn")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--prefill", action="store_true", help="time prefill TTFT instead of decode")
+    ap.add_argument(
+        "--layout", default="glu4", choices=["glu4", "flat"],
+        help="expert storage layout: glu4 = fused FFN kernel (serving "
+             "default), flat = two-kernel gmm path (A/B baseline)",
+    )
     args = ap.parse_args()
     print(f"backend: {jax.default_backend()}", flush=True)
 
@@ -123,10 +151,15 @@ def main():
     quant = QuantConfig(method=args.quant, scale_dtype=sdt)
     t0 = time.monotonic()
     params = fuse_qkv(random_params_on_device(cfg, quant, seed=0, sync_every_layer=True))
+    if args.layout == "glu4":
+        from gpt_oss_vllm_tpu.models.params import section_glu_experts
+
+        params = section_glu_experts(params)
     time.sleep(2.0)
-    print(f"params ready ({args.layers}L) in {time.monotonic() - t0:.1f}s", flush=True)
+    print(f"params ready ({args.layers}L, {args.layout}) in {time.monotonic() - t0:.1f}s", flush=True)
     cache_cfg = CacheConfig(block_size=16, num_blocks=160, max_blocks_per_seq=16)
 
+    import gpt_oss_vllm_tpu.ops.moe_ffn_fused as ff
     import gpt_oss_vllm_tpu.ops.moe_gmm as gm
     import gpt_oss_vllm_tpu.ops.router as rt
 
@@ -139,6 +172,7 @@ def main():
         step_mod._cached_attention = orig_attn
         step_mod.moe_block = orig_moe
         gm._lut = orig_lut
+        ff._lut = orig_lut
         rt.router_topk_pallas = orig_router
         apply_variant(v)
         if args.prefill:
