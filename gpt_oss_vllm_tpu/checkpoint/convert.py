@@ -122,7 +122,17 @@ def convert_unsloth_to_native(
                 if have_bias:
                     w.add(f"layers.{L}.moe.{proj}.bias", biases)
             if progress:
-                print(f"converted layer {L + 1}/{cfg.num_layers} ({time.time() - t0:.1f}s)")
+                # host-RSS counterpart of the reference's per-layer VRAM
+                # telemetry during streaming conversion (log_mem,
+                # streaming_unsloth_bnb.py:20-27) — this converter streams on
+                # the host, so RSS is the residency that matters
+                import resource
+
+                rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+                print(
+                    f"converted layer {L + 1}/{cfg.num_layers} "
+                    f"({time.time() - t0:.1f}s, peak RSS {rss_gb:.2f} GB)"
+                )
 
         w.add("final_norm", reader.read("model.norm.weight").astype(np.float32))
         if "lm_head.weight" in reader:

@@ -109,18 +109,23 @@ def _ffn_kernel(
                 s_sel.astype(mmdt), expand, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [tile, kp]
-        we = (_lut(low, codebook) * scales).astype(xe_ref.dtype)
-        wo = (_lut(high, codebook) * scales).astype(xe_ref.dtype)
+        # NO bf16 cast: at T=1 the matmuls are MXU-trivial, so the dequanted
+        # weights feed the MXU in f32 — saving the pack op per value on the
+        # VPU-bound dequant chain (x is upcast once, [8, kp] is nothing)
+        we = _lut(low, codebook) * scales
+        wo = _lut(high, codebook) * scales
         return we, wo
 
     @pl.when(j < nq1)
     def _phase1():
         we, wo = dequant(gu_q_ref, gu_s_ref, kp_h, nb_h, tn1, None)
+        xe = xe_ref[:].astype(jnp.float32)
+        xo = xo_ref[:].astype(jnp.float32)
         h = jax.lax.dot_general(
-            xe_ref[:], we, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            xe, we, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         h += jax.lax.dot_general(
-            xo_ref[:], wo, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            xo, wo, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         if b_gu_ref is not None:
             h += b_gu_ref[0].astype(jnp.float32)  # [1, tn1] broadcast
@@ -144,8 +149,8 @@ def _ffn_kernel(
         j2 = j - nq1
         sel = (j2, n_down) if full_scales else None
         we, wo = dequant(d_q_ref, d_s_ref, kp_f, nb_f, tn2, sel)
-        ae = a_scratch[0].astype(xe_ref.dtype)
-        ao = a_scratch[1].astype(xe_ref.dtype)
+        ae = a_scratch[0]  # f32 scratch feeds the f32 matmul directly
+        ao = a_scratch[1]
         acc = jax.lax.dot_general(
             ae, we, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )

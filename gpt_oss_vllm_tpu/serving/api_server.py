@@ -193,15 +193,16 @@ class Server:
         m["step_latency"] = self.ae.engine.timer.summary()
         if hasattr(self.ae.engine.allocator, "stats"):
             m["prefix_cache"] = self.ae.engine.allocator.stats()
-        from gpt_oss_vllm_tpu.utils.telemetry import device_memory_stats
+        from gpt_oss_vllm_tpu.utils.telemetry import memory_report
 
-        mem = device_memory_stats()
-        if mem:
-            m["device_memory"] = {
-                k: mem[k]
-                for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")
-                if k in mem
-            }
+        # backend HBM stats when the runtime exposes them, plus model-derived
+        # weight/KV accounting that works on every backend (reference parity:
+        # log_mem VRAM telemetry, streaming_unsloth_bnb.py:20-27)
+        m["memory"] = memory_report(
+            params=self.ae.engine.params, cache=self.ae.engine.cache
+        )
+        if "hbm" in m["memory"]:
+            m["device_memory"] = m["memory"]["hbm"]  # backward-compat alias
         return web.json_response(m)
 
     # -- profiling (SURVEY.md §5: jax.profiler trace endpoints replacing the

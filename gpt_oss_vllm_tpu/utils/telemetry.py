@@ -28,6 +28,39 @@ def device_memory_stats(device=None) -> Dict[str, int]:
         return {}
 
 
+def pytree_nbytes(tree) -> int:
+    """Device bytes of a pytree of arrays (packed 4-bit leaves count their
+    stored uint8 bytes). Model-derived accounting that stays available on
+    backends that hide allocator stats (the axon tunnel reports None) — the
+    operator-facing counterpart of the reference's CUDA ``log_mem``."""
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        size = getattr(leaf, "size", None)
+        dtype = getattr(leaf, "dtype", None)
+        if size is None or dtype is None:
+            continue
+        total += size * dtype.itemsize
+    return total
+
+
+def memory_report(params=None, cache=None, device=None) -> Dict[str, object]:
+    """Combined memory picture: backend allocator stats when exposed, plus
+    model-derived weight/KV byte accounting that always works."""
+    out: Dict[str, object] = {}
+    stats = device_memory_stats(device)
+    if stats:
+        out["hbm"] = {
+            k: stats[k]
+            for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")
+            if k in stats
+        }
+    if params is not None:
+        out["weights_bytes"] = pytree_nbytes(params)
+    if cache is not None:
+        out["kv_cache_bytes"] = pytree_nbytes((cache.k, cache.v))
+    return out
+
+
 def log_memory(tag: str, device=None) -> None:
     stats = device_memory_stats(device)
     if stats:
