@@ -107,7 +107,16 @@ def time_decode(cfg, params, cache_cfg, quant_backend, batch, n_steps, reps=3):
     assert blk <= cache_cfg.num_blocks, "cache too small for bench"
     bt = jnp.asarray(bt)
     step = build_decode_step(cfg, quant_backend)
-    tok0 = jnp.ones((batch,), jnp.int32)
+    # DIVERSE token ids per slot per step: identical tokens make every slot
+    # route to the same experts (with random weights, ~5 distinct experts per
+    # layer instead of up to 32), under-counting expert reads + dequants and
+    # inflating batched throughput ~2-3x vs real serving traffic. The fed
+    # token stream is pre-generated on device; feeding R[i] keeps the chain
+    # readback-free.
+    rtok = jax.random.randint(
+        jax.random.PRNGKey(7), (64, batch), 0, cfg.vocab_size, dtype=jnp.int32
+    )
+    tok0 = rtok[0]
     pos0 = jnp.full((batch,), PREFILL_LEN, jnp.int32)
 
     t0 = time.monotonic()
@@ -119,8 +128,8 @@ def time_decode(cfg, params, cache_cfg, quant_backend, batch, n_steps, reps=3):
         nonlocal cache
         t0 = time.monotonic()
         tok, pos = tok0, pos0
-        for _ in range(n):
-            cache, tok, pos = step(params, cache, bt, tok, pos)
+        for i in range(n):
+            cache, tok, pos = step(params, cache, bt, rtok[i % 64], pos)
         _ = np.asarray(tok)
         return time.monotonic() - t0
 
@@ -151,7 +160,11 @@ def time_prefill(cfg, params, cache_cfg, quant_backend):
         ),
         donate_argnames=("cache",),
     )
-    tokens = jnp.ones((1, PREFILL_LEN), jnp.int32)
+    # diverse prompt tokens — a constant prompt routes every position to the
+    # same few experts (see time_decode), under-counting prefill dequant work
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(11), (1, PREFILL_LEN), 0, cfg.vocab_size, dtype=jnp.int32
+    )
     positions = jnp.arange(PREFILL_LEN, dtype=jnp.int32)[None]
     last = jnp.asarray([PREFILL_LEN - 1], jnp.int32)
     btj = jnp.asarray(bt)
