@@ -36,6 +36,31 @@ class StepOut(NamedTuple):
     cache: KVCache
 
 
+def _embed(embedding: jax.Array, tokens: jax.Array) -> jax.Array:
+    """Token embedding lookup, layout-robust for prefill chunks.
+
+    The tied vocab table serves two consumers with opposing layout
+    preferences: the lm-head reduce fusion (which makes XLA pick a
+    column-major parameter layout) and this row gather. For multi-token
+    chunks XLA resolves the conflict by relayout-COPYING the whole 1.16 GB
+    table in front of the gather — ~3.6 ms per prefill chunk (profiler
+    trace, 8L/128-token step). A one-hot MXU gather instead reads the table
+    once in whatever layout it already has (~1.4 ms, memory-bound) and
+    writes only [T, H]. Decode (tiny T) lowers to dynamic-slice without the
+    copy, so the plain gather stays."""
+    B, T = tokens.shape
+    safe = jnp.maximum(tokens, 0)
+    if T < 32:
+        return jnp.take(embedding, safe, axis=0)
+    V, H = embedding.shape
+    oh = jax.nn.one_hot(safe.reshape(-1), V, dtype=embedding.dtype)
+    x = jax.lax.dot_general(
+        oh, embedding, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return x.astype(embedding.dtype).reshape(B, T, H)
+
+
 def _cached_attention(
     p: LayerParams,
     cfg: ModelConfig,
@@ -107,7 +132,7 @@ def model_step(
     all_logits: bool = False,
 ) -> StepOut:
     B, T = tokens.shape
-    x = jnp.take(params.embedding, jnp.maximum(tokens, 0), axis=0)
+    x = _embed(params.embedding, tokens)
     for li, layer in enumerate(params.layers):
         attn_out, cache = _cached_attention(
             layer,
