@@ -178,7 +178,18 @@ class CacheConfig:
     block_size: int = 16  # tokens per KV block
     num_blocks: int = 2048  # total blocks in the pool (per shard)
     max_blocks_per_seq: int = 512
+    # "bfloat16" (exact vs the no-cache oracle) or "fp8" (float8_e4m3fn):
+    # half the KV memory and half the paged-attention HBM traffic at long
+    # context, at ~2-decimal-digit K/V precision — the TPU-native analog of
+    # vLLM's --kv-cache-dtype fp8 (scalar scale 1.0; e4m3's +-448 range
+    # covers post-RoPE K and V magnitudes without per-token scaling)
     dtype: str = "bfloat16"
+
+    @property
+    def jax_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.dtype({"fp8": "float8_e4m3fn"}.get(self.dtype, self.dtype))
     # radix-style prompt-prefix KV reuse via the native C++ block manager
     # (falls back to the plain free-list allocator if the library is absent)
     enable_prefix_caching: bool = True

@@ -53,7 +53,7 @@ class KVCache:
             cache.block_size,
             cfg.num_kv_heads * cfg.head_dim,
         )
-        dt = jnp.dtype(cache.dtype)
+        dt = cache.jax_dtype
         return KVCache(
             k=jnp.zeros(shape, dt),
             v=jnp.zeros(shape, dt),

@@ -477,13 +477,15 @@ def build_app(async_engine: AsyncEngine, serving: ServingConfig, max_model_len: 
 
 def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
     quant = QuantConfig(method=args.quant)
+    kv_dtype = getattr(args, "kv_cache_dtype", "bfloat16")
     if args.tiny:
         tokenizer = get_tokenizer("byte")
         model_cfg = ModelConfig.tiny(vocab_size=max(512, tokenizer.vocab_size))
         config = EngineConfig(
             model=model_cfg,
             quant=quant,
-            cache=CacheConfig(block_size=8, num_blocks=256, max_blocks_per_seq=32),
+            cache=CacheConfig(block_size=8, num_blocks=256, max_blocks_per_seq=32,
+                              dtype=kv_dtype),
             scheduler=SchedulerConfig(max_num_seqs=8, max_model_len=args.max_model_len or 256,
                                       spec_tokens=args.spec_tokens),
             serving=ServingConfig(served_model_name="gpt-oss-tiny", port=args.port),
@@ -502,6 +504,7 @@ def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
         config = EngineConfig(
             model=model_cfg,
             quant=quant,
+            cache=CacheConfig(dtype=kv_dtype),
             scheduler=SchedulerConfig(max_model_len=args.max_model_len or 4096,
                                       spec_tokens=args.spec_tokens),
             serving=ServingConfig(served_model_name=model_cfg.name, port=args.port),
@@ -529,6 +532,11 @@ def main(argv=None):
         "--spec-tokens", type=int, default=0,
         help="prompt-lookup speculative decoding: max draft tokens verified "
              "per step for greedy requests (0 = off)",
+    )
+    ap.add_argument(
+        "--kv-cache-dtype", default="bfloat16", choices=["bfloat16", "fp8"],
+        help="fp8 (float8_e4m3fn) halves KV memory and paged-attention HBM "
+             "traffic (the vLLM --kv-cache-dtype analog)",
     )
     ap.add_argument(
         "--attn-backend", default="auto", choices=["auto", "xla", "pallas"],
