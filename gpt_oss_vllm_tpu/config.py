@@ -165,6 +165,11 @@ class ParallelConfig:
     dp: int = 1
     ep: int = 1
     tp: int = 1
+    # slices connected over DCN (multi-host): the data axis factors as
+    # dcn_dp x (dp // dcn_dp) with the DCN factor OUTERMOST, so ep/tp
+    # collectives (all-to-all, reduce-scatter) ride ICI within a slice and
+    # only gradient/replica traffic crosses hosts (SURVEY.md §2.3 NCCL row)
+    dcn_dp: int = 1
 
     @property
     def world_size(self) -> int:

@@ -123,6 +123,58 @@ def apply_variant(name: str):
 
         gm._lut = lut_bf16
         ff._lut = lut_bf16
+    elif name in ("fp4sign", "fp4twohalf"):
+        # alternative FP4 sign handling (timing probes for the in-kernel
+        # fp4-lut slowness): multiply-by-sign vs nf4-style two-half select
+        import gpt_oss_vllm_tpu.ops.moe_ffn_fused as ff
+        import gpt_oss_vllm_tpu.ops.moe_gmm as gm
+        from gpt_oss_vllm_tpu.ops.nf4_matmul import _FP4_MAG_POLY, _horner_eo, _lut_nf4
+
+        neg_coefs = tuple(-c for c in _FP4_MAG_POLY)
+
+        def lut_sign(idx, codebook="mxfp4"):
+            if codebook == "nf4":
+                return _lut_nf4(idx)
+            t = (idx & 7).astype(jnp.float32) - 3.5
+            acc = _horner_eo(_FP4_MAG_POLY, t, t * t)
+            sign = 1.0 - 2.0 * ((idx >> 3).astype(jnp.float32))
+            return acc * sign
+
+        def lut_twohalf(idx, codebook="mxfp4"):
+            if codebook == "nf4":
+                return _lut_nf4(idx)
+            t = (idx & 7).astype(jnp.float32) - 3.5
+            u = t * t
+            return jnp.where(
+                idx >= 8, _horner_eo(neg_coefs, t, u), _horner_eo(_FP4_MAG_POLY, t, u)
+            )
+
+        f = lut_sign if name == "fp4sign" else lut_twohalf
+        gm._lut = f
+        ff._lut = f
+    elif name == "fp4ilp4":
+        # 4-way odd/even split: four degree-1 chains in w = t^4 (max ILP)
+        import gpt_oss_vllm_tpu.ops.moe_ffn_fused as ff
+        import gpt_oss_vllm_tpu.ops.moe_gmm as gm
+        from gpt_oss_vllm_tpu.ops.nf4_matmul import _FP4_MAG_POLY, _lut_nf4
+
+        a = tuple(reversed(_FP4_MAG_POLY))  # a[k] multiplies t^k
+
+        def lut_ilp4(idx, codebook="mxfp4"):
+            if codebook == "nf4":
+                return _lut_nf4(idx)
+            t = (idx & 7).astype(jnp.float32) - 3.5
+            u = t * t
+            w = u * u
+            A = a[4] * w + a[0]
+            B = a[6] * w + a[2]
+            C = a[5] * w + a[1]
+            D = a[7] * w + a[3]
+            acc = (A + u * B) + t * (C + u * D)
+            return jnp.where(idx >= 8, -acc, acc)
+
+        gm._lut = lut_ilp4
+        ff._lut = lut_ilp4
     else:
         raise SystemExit(f"unknown variant {name}")
 
@@ -135,6 +187,10 @@ def main():
     ap.add_argument("--quant", default="nf4", choices=["nf4", "mxfp4"])
     ap.add_argument("--variants", default="full,noattn")
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--scale-dtype", default=None,
+                    help="override stored scale dtype (e8m0 | bfloat16 | float32)")
+    ap.add_argument("--blocksize", type=int, default=0,
+                    help="override quant blocksize (0 = format default)")
     ap.add_argument("--prefill", action="store_true", help="time prefill TTFT instead of decode")
     ap.add_argument(
         "--layout", default="glu4", choices=["glu4", "flat"],
@@ -147,8 +203,8 @@ def main():
     cfg = dataclasses.replace(
         bench.dataclasses_replace_tied(ModelConfig()), num_layers=args.layers
     )
-    sdt = "e8m0" if args.quant == "mxfp4" else "bfloat16"
-    quant = QuantConfig(method=args.quant, scale_dtype=sdt)
+    sdt = args.scale_dtype or ("e8m0" if args.quant == "mxfp4" else "bfloat16")
+    quant = QuantConfig(method=args.quant, scale_dtype=sdt, blocksize=args.blocksize)
     t0 = time.monotonic()
     params = fuse_qkv(random_params_on_device(cfg, quant, seed=0, sync_every_layer=True))
     if args.layout == "glu4":

@@ -95,6 +95,34 @@ def test_train_step_decreases_loss(cfg, params):
     assert int(state.step) == 3
 
 
+def test_hybrid_dcn_mesh(cfg):
+    """Multi-slice (DCN) mesh: data axis spans 2 'hosts' x 2 local replicas,
+    ep/tp inside each slice — same axis names, same program (SURVEY.md §7
+    'same program, bigger mesh'); train step runs and loss decreases."""
+    from gpt_oss_vllm_tpu.training.train_step import make_sharded_train_step
+
+    pc = ParallelConfig(dp=4, ep=2, tp=1, dcn_dp=2)
+    mesh = make_mesh(pc)
+    # fresh params: the train step donates them (the shared fixture may
+    # already have been consumed by the earlier train-step test)
+    params = random_params(cfg, QuantConfig(method="none"), seed=5)
+    assert mesh.shape == {"data": 4, "expert": 2, "model": 1}
+    # DCN factor outermost: slice 0 = first half of the device order
+    devs = mesh.devices.reshape(2, -1)
+    assert len({d.id for d in devs[0].ravel()} & {d.id for d in devs[1].ravel()}) == 0
+    with mesh:
+        step, state, _ = make_sharded_train_step(cfg, mesh, params, learning_rate=5e-3)
+        tokens = jnp.asarray(
+            np.random.default_rng(0).integers(0, cfg.vocab_size, size=(4, 12)),
+            dtype=jnp.int32,
+        )
+        losses = []
+        for _ in range(3):
+            state, loss = step(state, tokens)
+            losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
 def test_dryrun_multichip_contract():
     import __graft_entry__ as ge
 
