@@ -173,9 +173,10 @@ class InferenceEngine:
         # at admit and updated per decode step only while some running
         # request asks for penalties
         self.token_counts = jnp.zeros((self.num_slots, cfg.vocab_size), jnp.int32)
-        from gpt_oss_vllm_tpu.ops.sampling import apply_penalties
+        from gpt_oss_vllm_tpu.ops.sampling import apply_logit_bias, apply_penalties
 
         self._penalize = jax.jit(apply_penalties)
+        self._logit_bias = jax.jit(apply_logit_bias)
         self._counts_seed = jax.jit(
             lambda c, row, toks: c.at[row].set(0).at[row, toks].add(1),
             donate_argnums=0,
@@ -358,6 +359,14 @@ class InferenceEngine:
         """Sample one token per row; returns (tokens, per-req logprob info or
         None). Logprob/penalty computation only compiles/runs when a request
         asks."""
+        if any(r.sampling.logit_bias for r in reqs):
+            M = max(len(r.sampling.logit_bias or ()) for r in reqs)
+            ids = np.full((len(reqs), M), -1, np.int32)
+            vals = np.zeros((len(reqs), M), np.float32)
+            for i, r in enumerate(reqs):
+                for j, (t, b) in enumerate(r.sampling.logit_bias or ()):
+                    ids[i, j], vals[i, j] = t, b
+            logits = self._logit_bias(logits, jnp.asarray(ids), jnp.asarray(vals))
         if slots is not None and any(r.sampling.has_penalties for r in reqs):
             pres = np.array([r.sampling.presence_penalty for r in reqs], np.float32)
             freq = np.array([r.sampling.frequency_penalty for r in reqs], np.float32)

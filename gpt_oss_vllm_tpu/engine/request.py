@@ -20,6 +20,8 @@ class SamplingParams:
     presence_penalty: float = 0.0  # flat penalty on seen tokens (OpenAI)
     frequency_penalty: float = 0.0  # count-proportional penalty (OpenAI)
     repetition_penalty: float = 1.0  # HF-style multiplicative (1 = off)
+    # OpenAI logit_bias: ((token_id, bias), ...) added to logits pre-sampling
+    logit_bias: Optional[tuple] = None
 
     @property
     def greedy(self) -> bool:

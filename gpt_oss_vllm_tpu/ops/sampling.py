@@ -111,6 +111,21 @@ def sample_with_logprobs(
     return tokens, chosen, top_ids.astype(jnp.int32), top_vals
 
 
+def apply_logit_bias(
+    logits: jax.Array,  # [B, V] f32
+    bias_ids: jax.Array,  # [B, M] int32 token ids (-1 = unused slot)
+    bias_vals: jax.Array,  # [B, M] f32
+) -> jax.Array:
+    """OpenAI ``logit_bias``: per-request sparse additive biases, applied as
+    a padded scatter-add ([B, M] with -1 pads remapped out of bounds, the
+    same drop idiom as the KV write path)."""
+    B, V = logits.shape
+    ids = jnp.where(bias_ids < 0, V, bias_ids)
+    return logits.at[
+        jnp.arange(B, dtype=jnp.int32)[:, None], ids
+    ].add(bias_vals, mode="drop")
+
+
 def apply_penalties(
     logits: jax.Array,  # [B, V] f32
     counts: jax.Array,  # [B, V] int32 token occurrence counts (prompt+output)

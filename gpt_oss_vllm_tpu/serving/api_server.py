@@ -141,6 +141,9 @@ def _sampling_from(req, tokenizer: Tokenizer, max_model_len: int) -> SamplingPar
         presence_penalty=getattr(req, "presence_penalty", 0.0) or 0.0,
         frequency_penalty=getattr(req, "frequency_penalty", 0.0) or 0.0,
         repetition_penalty=getattr(req, "repetition_penalty", 1.0) or 1.0,
+        logit_bias=tuple(
+            (int(t), float(b)) for t, b in (getattr(req, "logit_bias", None) or {}).items()
+        ) or None,
     )
 
 

@@ -37,6 +37,7 @@ class CompletionRequest(BaseModel):
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     repetition_penalty: float = 1.0
+    logit_bias: Optional[Dict[str, float]] = None  # {token_id: bias}
 
 
 class ChatMessage(BaseModel):
@@ -61,6 +62,7 @@ class ChatCompletionRequest(BaseModel):
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     repetition_penalty: float = 1.0
+    logit_bias: Optional[Dict[str, float]] = None  # {token_id: bias}
 
 
 class LogProbs(BaseModel):

@@ -314,6 +314,34 @@ def test_apply_penalties_semantics():
     np.testing.assert_allclose(out, [1.0, -2.0, 0.5, 3.0], rtol=1e-6)
 
 
+def test_apply_logit_bias_semantics():
+    from gpt_oss_vllm_tpu.ops.sampling import apply_logit_bias
+
+    logits = jnp.asarray([[2.0, -1.0, 0.5, 3.0], [0.0, 0.0, 0.0, 0.0]], jnp.float32)
+    ids = jnp.asarray([[1, 3], [-1, -1]], jnp.int32)  # row 1: no bias (pads)
+    vals = jnp.asarray([[100.0, -100.0], [5.0, 5.0]], jnp.float32)
+    out = np.asarray(apply_logit_bias(logits, ids, vals))
+    np.testing.assert_allclose(out[0], [2.0, 99.0, 0.5, -97.0], rtol=1e-6)
+    np.testing.assert_allclose(out[1], [0.0, 0.0, 0.0, 0.0], rtol=1e-6)
+
+
+def test_logit_bias_forces_token(ecfg, params):
+    """OpenAI logit_bias: +100 on one token makes greedy sampling emit it."""
+    from gpt_oss_vllm_tpu.engine.engine import InferenceEngine
+    from gpt_oss_vllm_tpu.engine.request import SamplingParams
+
+    eng = InferenceEngine(ecfg, params)
+    want = 7
+    eng.add_request(
+        "r", [1, 2, 3],
+        SamplingParams(max_tokens=4, temperature=0.0, logit_bias=((want, 100.0),)),
+    )
+    toks = []
+    while eng.has_work():
+        toks += [o.token_id for o in eng.step()]
+    assert toks == [want] * 4
+
+
 def test_repetition_penalty_changes_greedy_stream(ecfg, params):
     """A strong repetition penalty forbids repeating tokens; without it the
     tiny random model often loops. The penalized stream must contain no

@@ -280,6 +280,18 @@ async def test_metrics_prefix_cache_and_profile_endpoints(client):
         assert r.status == 409  # profiler unavailable/already active
 
 
+async def test_completions_logit_bias(client):
+    """+100 bias on one byte token forces greedy output to repeat it."""
+    r = await client.post(
+        "/v1/completions",
+        json={"model": "m", "prompt": "xy", "max_tokens": 3, "temperature": 0.0,
+              "logit_bias": {"65": 100.0}},
+    )
+    assert r.status == 200
+    body = await r.json()
+    assert body["choices"][0]["text"] == "AAA"  # byte tokenizer: 65 = 'A'
+
+
 async def test_completions_echo(client):
     """OpenAI `echo`: the prompt text is prepended to the completion."""
     base = {"model": "m", "prompt": "abc", "max_tokens": 2, "temperature": 0.0}
