@@ -359,13 +359,26 @@ class InferenceEngine:
         """Sample one token per row; returns (tokens, per-req logprob info or
         None). Logprob/penalty computation only compiles/runs when a request
         asks."""
-        if any(r.sampling.logit_bias for r in reqs):
-            M = max(len(r.sampling.logit_bias or ()) for r in reqs)
+        # effective per-request logit biases: the user's logit_bias plus
+        # -inf masking of stop tokens while min_tokens is unmet (the vLLM
+        # min_tokens semantics — the stop id must not be *sampled*, not
+        # merely ignored, or it would appear in the output text)
+        def eff_bias(r: Request):
+            bias = list(r.sampling.logit_bias or ())
+            if len(r.output_token_ids) < r.sampling.min_tokens:
+                from gpt_oss_vllm_tpu.ops.sampling import NEG_INF
+
+                bias += [(t, NEG_INF) for t in r.sampling.stop_token_ids]
+            return bias
+
+        biases = [eff_bias(r) for r in reqs]
+        if any(biases):
+            M = max(len(b) for b in biases)
             ids = np.full((len(reqs), M), -1, np.int32)
             vals = np.zeros((len(reqs), M), np.float32)
-            for i, r in enumerate(reqs):
-                for j, (t, b) in enumerate(r.sampling.logit_bias or ()):
-                    ids[i, j], vals[i, j] = t, b
+            for i, b in enumerate(biases):
+                for j, (t, v) in enumerate(b):
+                    ids[i, j], vals[i, j] = t, v
             logits = self._logit_bias(logits, jnp.asarray(ids), jnp.asarray(vals))
         if slots is not None and any(r.sampling.has_penalties for r in reqs):
             pres = np.array([r.sampling.presence_penalty for r in reqs], np.float32)
@@ -379,6 +392,7 @@ class InferenceEngine:
         temp = np.array([r.sampling.temperature for r in reqs], dtype=np.float32)
         top_p = np.array([r.sampling.top_p for r in reqs], dtype=np.float32)
         top_k = np.array([r.sampling.top_k for r in reqs], dtype=np.int32)
+        min_p = np.array([r.sampling.min_p for r in reqs], dtype=np.float32)
         # per-request (seed, draw-counter) streams: reproducible whatever the
         # batch composition (the counter is the number of tokens emitted)
         seeds = np.array([r.seed_resolved for r in reqs], dtype=np.int32)
@@ -388,12 +402,14 @@ class InferenceEngine:
             toks = self._sample(
                 logits, jnp.asarray(seeds), jnp.asarray(ctrs),
                 jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(top_k),
+                jnp.asarray(min_p),
             )
             return np.asarray(toks), None
         n = min(max(want_lp, 1), 16)
         toks, chosen, ids, vals = self._sample_lp(
             logits, jnp.asarray(seeds), jnp.asarray(ctrs),
-            jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(top_k), n
+            jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(top_k), n,
+            min_p=jnp.asarray(min_p),
         )
         return np.asarray(toks), (np.asarray(chosen), np.asarray(ids), np.asarray(vals))
 
@@ -481,6 +497,11 @@ class InferenceEngine:
             for i, req in running:
                 sp = req.sampling
                 if not sp.greedy or sp.logprobs is not None or sp.has_penalties:
+                    continue
+                # spec verify is raw argmax: requests whose logits get biased
+                # (user logit_bias, or stop-masking while min_tokens is
+                # unmet) must go through the real sampler path
+                if sp.logit_bias or len(req.output_token_ids) < sp.min_tokens:
                     continue
                 budget = self.config.scheduler.max_model_len - req.num_tokens - 1
                 k = min(self.spec_tokens, max(0, budget))

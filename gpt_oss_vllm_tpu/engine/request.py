@@ -14,6 +14,8 @@ class SamplingParams:
     temperature: float = 1.0
     top_p: float = 1.0
     top_k: int = 0  # 0 = disabled
+    min_p: float = 0.0  # keep tokens with prob >= min_p * max_prob (0 = off)
+    min_tokens: int = 0  # suppress stop tokens until this many are emitted
     stop_token_ids: tuple = ()
     seed: Optional[int] = None
     logprobs: Optional[int] = None  # return top-N logprobs per token

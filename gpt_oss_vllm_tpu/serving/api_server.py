@@ -135,6 +135,8 @@ def _sampling_from(req, tokenizer: Tokenizer, max_model_len: int) -> SamplingPar
         temperature=req.temperature,
         top_p=req.top_p,
         top_k=req.top_k,
+        min_p=getattr(req, "min_p", 0.0) or 0.0,
+        min_tokens=getattr(req, "min_tokens", 0) or 0,
         stop_token_ids=tuple(tokenizer.stop_ids),
         seed=req.seed,
         logprobs=lp,
@@ -229,6 +231,44 @@ class Server:
         except Exception as e:
             return web.json_response({"error": str(e)}, status=409)
         return web.json_response({"status": "stopped"})
+
+    async def version(self, request: web.Request) -> web.Response:
+        from gpt_oss_vllm_tpu.version import __version__
+
+        return web.json_response({"version": __version__})
+
+    async def tokenize(self, request: web.Request) -> web.Response:
+        """vLLM-compatible /tokenize: encode a prompt or chat messages."""
+        try:
+            req = proto.TokenizeRequest(**await request.json())
+        except Exception as e:
+            return web.json_response(
+                proto.ErrorResponse.make(f"invalid request: {e}").model_dump(), status=400
+            )
+        if req.messages is not None:
+            ids = self.ae.tokenizer.render_chat([m.model_dump() for m in req.messages])
+        elif req.prompt is not None:
+            ids = self.ae.tokenizer.encode(req.prompt)
+        else:
+            return web.json_response(
+                proto.ErrorResponse.make("need prompt or messages").model_dump(), status=400
+            )
+        return web.json_response(
+            proto.TokenizeResponse(
+                tokens=list(ids), count=len(ids), max_model_len=self.max_model_len
+            ).model_dump()
+        )
+
+    async def detokenize(self, request: web.Request) -> web.Response:
+        try:
+            req = proto.DetokenizeRequest(**await request.json())
+        except Exception as e:
+            return web.json_response(
+                proto.ErrorResponse.make(f"invalid request: {e}").model_dump(), status=400
+            )
+        return web.json_response(
+            proto.DetokenizeResponse(prompt=self.ae.tokenizer.decode(req.tokens)).model_dump()
+        )
 
     async def models(self, request: web.Request) -> web.Response:
         return web.json_response(
@@ -394,10 +434,13 @@ class Server:
             detok = IncrementalDetokenizer(self.ae.tokenizer)
             emitted = ""
             stopped = False
+            n_tokens = 0
             try:
                 async for out in self.ae.stream_tokens(
                     prompt_ids, self._nth_sampling(sampling, i)
                 ):
+                    if out.token_id >= 0:
+                        n_tokens += 1
                     delta = ""
                     if out.token_id >= 0 and out.token_id not in self.ae.tokenizer.stop_ids:
                         delta = detok.push(out.token_id, final=out.finished)
@@ -414,15 +457,17 @@ class Server:
                     if stopped and not out.finished:
                         break  # generator cleanup aborts the engine request
             finally:
-                await queue.put((i, DONE, None))
+                await queue.put((i, DONE, n_tokens))
 
         tasks = [asyncio.create_task(pump(i)) for i in range(n)]
         done = 0
+        completion_tokens = 0
         try:
             while done < n:
                 i, delta, finish = await queue.get()
                 if delta is DONE:
                     done += 1
+                    completion_tokens += finish  # pump's final token count
                     continue
                 if chat:
                     await send(
@@ -451,6 +496,15 @@ class Server:
         finally:
             for t in tasks:
                 t.cancel()
+        opts = getattr(req, "stream_options", None)
+        if opts is not None and opts.include_usage:
+            usage = proto.Usage(
+                prompt_tokens=len(prompt_ids),
+                completion_tokens=completion_tokens,
+                total_tokens=len(prompt_ids) + completion_tokens,
+            )
+            cls = proto.ChatCompletionChunk if chat else proto.CompletionChunk
+            await send(cls(id=rid, model=req.model, choices=[], usage=usage))
         await resp.write(b"data: [DONE]\n\n")
         await resp.write_eof()
         return resp
@@ -463,6 +517,9 @@ def build_app(async_engine: AsyncEngine, serving: ServingConfig, max_model_len: 
     app.router.add_get("/metrics", s.metrics)
     app.router.add_post("/debug/profile/start", s.profile_start)
     app.router.add_post("/debug/profile/stop", s.profile_stop)
+    app.router.add_get("/version", s.version)
+    app.router.add_post("/tokenize", s.tokenize)
+    app.router.add_post("/detokenize", s.detokenize)
     app.router.add_get("/v1/models", s.models)
     app.router.add_post("/v1/completions", s.completions)
     app.router.add_post("/v1/chat/completions", s.chat_completions)

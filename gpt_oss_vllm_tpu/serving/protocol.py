@@ -21,6 +21,10 @@ def _id(prefix: str) -> str:
     return f"{prefix}-{uuid.uuid4().hex[:24]}"
 
 
+class StreamOptions(BaseModel):
+    include_usage: bool = False
+
+
 class CompletionRequest(BaseModel):
     model: str
     prompt: Union[str, List[str], List[int], List[List[int]]]
@@ -28,8 +32,11 @@ class CompletionRequest(BaseModel):
     temperature: float = 1.0
     top_p: float = 1.0
     top_k: int = 0
+    min_p: float = 0.0  # vLLM extension: prob >= min_p * max_prob
+    min_tokens: int = 0  # vLLM extension: suppress stop until N tokens
     n: int = 1
     stream: bool = False
+    stream_options: Optional[StreamOptions] = None
     stop: Optional[Union[str, List[str]]] = None
     seed: Optional[int] = None
     echo: bool = False
@@ -53,8 +60,11 @@ class ChatCompletionRequest(BaseModel):
     temperature: float = 1.0
     top_p: float = 1.0
     top_k: int = 0
+    min_p: float = 0.0  # vLLM extension: prob >= min_p * max_prob
+    min_tokens: int = 0  # vLLM extension: suppress stop until N tokens
     n: int = 1
     stream: bool = False
+    stream_options: Optional[StreamOptions] = None
     stop: Optional[Union[str, List[str]]] = None
     seed: Optional[int] = None
     logprobs: bool = False
@@ -131,6 +141,7 @@ class ChatCompletionChunk(BaseModel):
     created: int = Field(default_factory=lambda: int(time.time()))
     model: str = ""
     choices: List[ChatChunkChoice] = []
+    usage: Optional[Usage] = None  # final chunk when stream_options.include_usage
 
 
 class CompletionChunk(BaseModel):
@@ -139,6 +150,28 @@ class CompletionChunk(BaseModel):
     created: int = Field(default_factory=lambda: int(time.time()))
     model: str = ""
     choices: List[CompletionChoice] = []
+    usage: Optional[Usage] = None  # final chunk when stream_options.include_usage
+
+
+class TokenizeRequest(BaseModel):
+    prompt: Optional[str] = None
+    messages: Optional[List[ChatMessage]] = None
+    model: str = ""
+
+
+class TokenizeResponse(BaseModel):
+    tokens: List[int] = []
+    count: int = 0
+    max_model_len: int = 0
+
+
+class DetokenizeRequest(BaseModel):
+    tokens: List[int]
+    model: str = ""
+
+
+class DetokenizeResponse(BaseModel):
+    prompt: str = ""
 
 
 class ModelCard(BaseModel):

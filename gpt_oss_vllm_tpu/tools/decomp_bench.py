@@ -152,6 +152,27 @@ def apply_variant(name: str):
         f = lut_sign if name == "fp4sign" else lut_twohalf
         gm._lut = f
         ff._lut = f
+    elif name == "fp4bits":
+        # pure-integer bit-assembly E2M1 decode: ~10 int ops, no fma chain.
+        # E2M1 maps onto the f32 bit layout: for mag codes >= 2 the value is
+        # bitcast((mag + 252) << 22) (exponent rebias +126 lands exactly);
+        # codes 0/1 are 0 and 0.5 = (code&1) * 0x3F000000 as raw bits; sign
+        # is bit 3 shifted to bit 31. Verified exact vs FP4_CODE incl -0.0.
+        import gpt_oss_vllm_tpu.ops.moe_ffn_fused as ff
+        import gpt_oss_vllm_tpu.ops.moe_gmm as gm
+        from gpt_oss_vllm_tpu.ops.nf4_matmul import _lut_nf4
+
+        def lut_bits(idx, codebook="mxfp4"):
+            if codebook == "nf4":
+                return _lut_nf4(idx)
+            mag = idx & 7
+            normal = (mag + 252) << 22
+            small = (idx & 1) * 0x3F000000
+            bits = jnp.where(mag < 2, small, normal) | ((idx & 8) << 28)
+            return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+        gm._lut = lut_bits
+        ff._lut = lut_bits
     elif name == "fp4ilp4":
         # 4-way odd/even split: four degree-1 chains in w = t^4 (max ILP)
         import gpt_oss_vllm_tpu.ops.moe_ffn_fused as ff

@@ -168,6 +168,80 @@ def test_sampling_top_p_restricts_support():
     assert seen <= {0, 1}
 
 
+def test_sampling_min_p_restricts_support():
+    # probs ~ [0.64, 0.23, 0.086, 0.032, 0.012]
+    logits = jnp.asarray([[4.0, 3.0, 2.0, 1.0, 0.0]], dtype=jnp.float32)
+    seen = set()
+    for i in range(30):
+        # min_p=0.5: threshold 0.5*0.64 = 0.32 > 0.23 keeps only token 0
+        t = sample_tokens(
+            logits,
+            jax.random.PRNGKey(i),
+            jnp.ones(1),
+            jnp.ones(1),
+            jnp.zeros(1, dtype=jnp.int32),
+            min_p=jnp.asarray([0.5]),
+        )
+        seen.add(int(t[0]))
+    assert seen == {0}
+    # min_p=0.1: threshold 0.064 keeps tokens 0..2 (p2=0.086), drops 3, 4
+    seen = set()
+    for i in range(60):
+        t = sample_tokens(
+            logits, jax.random.PRNGKey(i), jnp.ones(1) * 1.0,
+            jnp.ones(1), jnp.zeros(1, dtype=jnp.int32), min_p=jnp.asarray([0.1]),
+        )
+        seen.add(int(t[0]))
+    assert seen <= {0, 1, 2}
+
+
+def test_sampling_min_p_seeded_matches_argmax_at_one():
+    from gpt_oss_vllm_tpu.ops.sampling import sample_tokens_seeded
+
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(4, 64)), dtype=jnp.float32)
+    toks = sample_tokens_seeded(
+        logits,
+        jnp.asarray([1, 2, 3, 4]),
+        jnp.zeros(4, jnp.int32),
+        jnp.ones(4) * 5.0,  # hot temperature
+        jnp.ones(4),
+        jnp.zeros(4, jnp.int32),
+        min_p=jnp.ones(4),  # keep only the max-prob token
+    )
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(jnp.argmax(logits, -1)))
+
+
+def test_min_tokens_suppresses_stop(ecfg, params):
+    """A +100 logit bias on a stop id would finish greedy decode at step 1;
+    min_tokens masks the stop id until the floor is reached (vLLM
+    semantics — the stop token must not be *sampled* early)."""
+    from gpt_oss_vllm_tpu.engine.engine import InferenceEngine
+    from gpt_oss_vllm_tpu.engine.request import SamplingParams
+
+    stop_id = 261
+    engine = InferenceEngine(ecfg, params)
+    common = dict(
+        temperature=0.0, stop_token_ids=(stop_id,), logit_bias=((stop_id, 100.0),)
+    )
+    engine.add_request("no_floor", [1, 2, 3], SamplingParams(max_tokens=6, **common))
+    engine.add_request(
+        "floor3", [1, 2, 3], SamplingParams(max_tokens=6, min_tokens=3, **common)
+    )
+    outs = {"no_floor": [], "floor3": []}
+    while engine.has_work():
+        for o in engine.step():
+            outs[o.request_id].append(o)
+    # without the floor the biased stop id wins immediately
+    assert len(outs["no_floor"]) == 1
+    assert outs["no_floor"][-1].finish_reason == "stop"
+    # with min_tokens=3 the stop id is masked until 3 tokens are out, then
+    # fires on the 4th draw (3 real tokens + the stop token)
+    assert len(outs["floor3"]) == 4
+    assert outs["floor3"][-1].finish_reason == "stop"
+    assert all(o.token_id != stop_id for o in outs["floor3"][:-1])
+
+
 def test_kv_cache_write_drop_semantics(ecfg):
     from gpt_oss_vllm_tpu.engine.kv_cache import write_kv
 

@@ -292,6 +292,63 @@ async def test_completions_logit_bias(client):
     assert body["choices"][0]["text"] == "AAA"  # byte tokenizer: 65 = 'A'
 
 
+async def test_version_tokenize_detokenize(client):
+    r = await client.get("/version")
+    assert r.status == 200
+    assert "version" in await r.json()
+    # /tokenize on a raw prompt (byte tokenizer: utf-8 bytes)
+    r = await client.post("/tokenize", json={"prompt": "abc"})
+    body = await r.json()
+    assert body["tokens"] == [97, 98, 99]
+    assert body["count"] == 3 and body["max_model_len"] > 0
+    # /tokenize on chat messages applies the chat template
+    r = await client.post(
+        "/tokenize", json={"messages": [{"role": "user", "content": "hi"}]}
+    )
+    assert (await r.json())["count"] > 2
+    # /detokenize round-trips
+    r = await client.post("/detokenize", json={"tokens": [104, 105]})
+    assert (await r.json())["prompt"] == "hi"
+    # neither prompt nor messages -> 400
+    r = await client.post("/tokenize", json={})
+    assert r.status == 400
+
+
+async def test_stream_options_include_usage(client):
+    r = await client.post(
+        "/v1/completions",
+        json={
+            "model": "m", "prompt": "xyz", "max_tokens": 3, "temperature": 0.0,
+            "stream": True, "stream_options": {"include_usage": True},
+        },
+    )
+    raw = (await r.read()).decode()
+    lines = [l for l in raw.split("\n") if l.startswith("data: ")]
+    assert lines[-1] == "data: [DONE]"
+    final = json.loads(lines[-2][6:])
+    assert final["choices"] == []
+    assert final["usage"]["prompt_tokens"] == 3
+    assert final["usage"]["completion_tokens"] >= 1
+    assert final["usage"]["total_tokens"] == (
+        final["usage"]["prompt_tokens"] + final["usage"]["completion_tokens"]
+    )
+
+
+async def test_min_p_parses_and_completes(client):
+    r = await client.post(
+        "/v1/completions",
+        json={"model": "m", "prompt": "ab", "max_tokens": 2, "temperature": 1.5,
+              "min_p": 1.0, "seed": 5},
+    )
+    assert r.status == 200
+    # min_p=1.0 keeps only the argmax token: equals the greedy completion
+    greedy = await client.post(
+        "/v1/completions",
+        json={"model": "m", "prompt": "ab", "max_tokens": 2, "temperature": 0.0},
+    )
+    assert (await r.json())["choices"][0]["text"] == (await greedy.json())["choices"][0]["text"]
+
+
 async def test_completions_echo(client):
     """OpenAI `echo`: the prompt text is prepended to the completion."""
     base = {"model": "m", "prompt": "abc", "max_tokens": 2, "temperature": 0.0}
