@@ -152,6 +152,20 @@ def apply_variant(name: str):
         f = lut_sign if name == "fp4sign" else lut_twohalf
         gm._lut = f
         ff._lut = f
+    elif name == "nf4poly":
+        # the superseded degree-7 two-half Horner NF4 decode (production is
+        # now the int select tree, ops.nf4_matmul._lut_nf4) — A/B baseline
+        import gpt_oss_vllm_tpu.ops.moe_ffn_fused as ff
+        import gpt_oss_vllm_tpu.ops.moe_gmm as gm
+        from gpt_oss_vllm_tpu.ops.nf4_matmul import _lut_fp4, _lut_nf4_poly
+
+        def lut_poly(idx, codebook="nf4"):
+            if codebook == "mxfp4":
+                return _lut_fp4(idx)
+            return _lut_nf4_poly(idx)
+
+        gm._lut = lut_poly
+        ff._lut = lut_poly
     elif name == "fp4bits":
         # pure-integer bit-assembly E2M1 decode: ~10 int ops, no fma chain.
         # E2M1 maps onto the f32 bit layout: for mag codes >= 2 the value is
