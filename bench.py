@@ -204,6 +204,11 @@ def main():
         help="nf4 = the reference's format (headline, baseline-comparable); "
              "mxfp4 = GPT-OSS's native format (cheaper in-kernel decode)",
     )
+    ap.add_argument(
+        "--vocab8", action="store_true",
+        help="per-row int8 vocab table: halves the lm_head read (the largest "
+             "fixed per-step cost) and frees ~0.58 GB HBM",
+    )
     args = ap.parse_args()
     log(f"devices: {jax.devices()}  backend: {jax.default_backend()}")
     on_tpu = jax.default_backend() == "tpu"
@@ -217,11 +222,13 @@ def main():
     # mxfp4 stores E8M0 exponent bytes (1 B/block, decoded in-kernel) — at
     # blocksize 32 that halving is what fits the 24-layer model in HBM
     sdt = "e8m0" if args.quant == "mxfp4" else "bfloat16"
-    quant = QuantConfig(method=args.quant, scale_dtype=sdt)
+    quant = QuantConfig(method=args.quant, scale_dtype=sdt, vocab_int8=args.vocab8)
     layers = args.layers or cfg.num_layers
     scale_note = "" if layers == cfg.num_layers else f"_layers{layers}"
     if args.quant != "nf4":
         scale_note = f"_{args.quant}{scale_note}"
+    if args.vocab8:
+        scale_note = f"_vocab8{scale_note}"
 
     while True:
         try:
@@ -266,10 +273,12 @@ def main():
                 log(f"OOM; retrying with {layers} layers in a fresh process")
                 if layers < 3:
                     raise
-                r = subprocess.run(
-                    [_sys.executable, __file__, "--layers", str(layers), "--quant", args.quant],
-                    stdout=subprocess.PIPE,
-                )
+                retry_cmd = [
+                    _sys.executable, __file__, "--layers", str(layers), "--quant", args.quant,
+                ]
+                if args.vocab8:
+                    retry_cmd.append("--vocab8")
+                r = subprocess.run(retry_cmd, stdout=subprocess.PIPE)
                 _sys.stdout.buffer.write(r.stdout)
                 return
             else:

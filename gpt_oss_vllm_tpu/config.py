@@ -140,6 +140,11 @@ class QuantConfig:
     # compute path for the quantized matmuls: "pallas" fused dequant-matmul
     # kernels, or "xla" dequant-then-matmul (correctness reference)
     backend: str = "pallas"
+    # per-row symmetric int8 vocab table (tied embedding + lm_head): halves
+    # the decode step's largest fixed read (the ~1.16 GB bf16 table) and
+    # frees ~0.58 GB HBM, at ~0.2%-of-row-max rounding (quant/vocab8.py).
+    # Opt-in: extends the reference's expert-only quantization partition.
+    vocab_int8: bool = False
 
     @property
     def enabled(self) -> bool:

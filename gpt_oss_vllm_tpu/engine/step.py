@@ -27,7 +27,9 @@ from gpt_oss_vllm_tpu.models.params import LayerParams, ModelParams
 from gpt_oss_vllm_tpu.ops.attention import mha_reference
 from gpt_oss_vllm_tpu.ops.linear import dense_linear
 from gpt_oss_vllm_tpu.ops.moe import moe_block
+from gpt_oss_vllm_tpu.ops.lm_head import lm_head_logits
 from gpt_oss_vllm_tpu.ops.rope import apply_rope, yarn_rope_tables
+from gpt_oss_vllm_tpu.quant.vocab8 import Int8Vocab, embed_rows
 
 
 class StepOut(NamedTuple):
@@ -36,7 +38,7 @@ class StepOut(NamedTuple):
     cache: KVCache
 
 
-def _embed(embedding: jax.Array, tokens: jax.Array) -> jax.Array:
+def _embed(embedding, tokens: jax.Array) -> jax.Array:
     """Token embedding lookup, layout-robust for prefill chunks.
 
     The tied vocab table serves two consumers with opposing layout
@@ -48,6 +50,11 @@ def _embed(embedding: jax.Array, tokens: jax.Array) -> jax.Array:
     once in whatever layout it already has (~1.4 ms, memory-bound) and
     writes only [T, H]. Decode (tiny T) lowers to dynamic-slice without the
     copy, so the plain gather stays."""
+    if isinstance(embedding, Int8Vocab):
+        # int8 table: gather reads only T rows, and the heavy consumer (the
+        # lm_head Pallas kernel) imposes no XLA layout on the table — the
+        # one-hot detour below is a bf16-table workaround only
+        return embed_rows(embedding, tokens)
     B, T = tokens.shape
     safe = jnp.maximum(tokens, 0)
     if T < 32:
@@ -165,12 +172,19 @@ def model_step(
         # speculative verify: logits at EVERY fed position (T is the small
         # draft window, never a prefill chunk — [B, T, V] stays tens of MB)
         h = x.reshape(B * T, -1)
-        logits = jax.lax.dot_general(
-            head, h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ).T.reshape(B, T, -1)
+        if isinstance(head, Int8Vocab):
+            logits = lm_head_logits(head, h, backend=quant_backend)
+            logits = logits[:, : cfg.vocab_size].reshape(B, T, -1)
+        else:
+            logits = jax.lax.dot_general(
+                head, h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ).T.reshape(B, T, -1)
         return StepOut(logits=logits.astype(jnp.float32), cache=cache)
     # only the last valid position's hidden state reaches the LM head
     h_last = jnp.take_along_axis(x, last_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    if isinstance(head, Int8Vocab):
+        logits = lm_head_logits(head, h_last, backend=quant_backend)[:, : cfg.vocab_size]
+        return StepOut(logits=logits, cache=cache)
     # contract over the head table's MINOR dim (head @ h^T) — the x @ W^T form
     # makes XLA:TPU relayout the 1.1 GB vocab table into a transposed copy
     logits = jax.lax.dot_general(

@@ -107,7 +107,12 @@ def forward(
     B, T = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
-    x = jnp.take(params.embedding, tokens, axis=0)
+    from gpt_oss_vllm_tpu.quant.vocab8 import Int8Vocab, embed_rows
+
+    if isinstance(params.embedding, Int8Vocab):
+        x = embed_rows(params.embedding, tokens)
+    else:
+        x = jnp.take(params.embedding, tokens, axis=0)
     for li, layer in enumerate(params.layers):
         x = transformer_layer(
             layer, cfg, li, x, positions,
@@ -115,6 +120,12 @@ def forward(
         )
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
     head = params.embedding if params.lm_head is None else params.lm_head
+    if isinstance(head, Int8Vocab):
+        from gpt_oss_vllm_tpu.quant.vocab8 import lm_head_logits_xla
+
+        B2, T2, H2 = x.shape
+        logits = lm_head_logits_xla(head, x.reshape(B2 * T2, H2))
+        return logits[:, : cfg.vocab_size].reshape(B2, T2, -1)
     return dense_linear(x, head).astype(jnp.float32)
 
 

@@ -70,7 +70,7 @@ class LayerParams:
 )
 @dataclass
 class ModelParams:
-    embedding: jax.Array  # [V, H]
+    embedding: jax.Array  # [V, H] bf16, or quant.vocab8.Int8Vocab (opt-in)
     layers: List[LayerParams]
     final_norm: jax.Array  # [H]
     lm_head: Optional[jax.Array]  # [V, H]; None => tied to embedding
@@ -152,11 +152,20 @@ def load_params_from_store(
                 b_down=_reshape_bias(_get(store, f"{p}.moe.down.bias", jnp.float32)),
             )
         )
+    def vocab_table(name):
+        w = _get(store, name, dt)
+        if w is None or not quant.vocab_int8:
+            return w
+        from gpt_oss_vllm_tpu.quant.vocab8 import int8_vocab_from_dense
+
+        # quantize on-device at load; the bf16 source is freed immediately
+        return int8_vocab_from_dense(w)
+
     return ModelParams(
-        embedding=_get(store, "embedding", dt),
+        embedding=vocab_table("embedding"),
         layers=layers,
         final_norm=_get(store, "final_norm", jnp.float32),
-        lm_head=_get(store, "lm_head", dt),
+        lm_head=vocab_table("lm_head"),
     )
 
 
@@ -260,11 +269,19 @@ def random_params_on_device(
             # the end wedges the tunnel backend, and unsynced creation leaves
             # transients resident when the first step runs)
             np.asarray(layers[-1].wq[:1, :8])
+
+    def vocab_table():
+        if quant.vocab_int8:
+            from gpt_oss_vllm_tpu.quant.vocab8 import random_int8_vocab
+
+            return random_int8_vocab(nxt(), cfg.vocab_size, H, scale=scale)
+        return dense(cfg.vocab_size, H)
+
     return ModelParams(
-        embedding=dense(cfg.vocab_size, H),
+        embedding=vocab_table(),
         layers=layers,
         final_norm=jnp.ones((H,), jnp.float32),
-        lm_head=None if cfg.tie_word_embeddings else dense(cfg.vocab_size, H),
+        lm_head=None if cfg.tie_word_embeddings else vocab_table(),
     )
 
 
@@ -317,11 +334,20 @@ def random_params(
                 b_down=dense(E, H, dtype=jnp.float32) if cfg.expert_bias else None,
             )
         )
+
+    def vocab_table():
+        w = dense(cfg.vocab_size, H)
+        if quant.vocab_int8:
+            from gpt_oss_vllm_tpu.quant.vocab8 import int8_vocab_from_dense
+
+            return int8_vocab_from_dense(w)
+        return w
+
     return ModelParams(
-        embedding=dense(cfg.vocab_size, H),
+        embedding=vocab_table(),
         layers=layers,
         final_norm=jnp.ones((H,), jnp.float32),
-        lm_head=None if cfg.tie_word_embeddings else dense(cfg.vocab_size, H),
+        lm_head=None if cfg.tie_word_embeddings else vocab_table(),
     )
 
 

@@ -70,11 +70,25 @@ def layer_pspecs(l: LayerParams) -> LayerParams:
 
 
 def params_pspecs(params: ModelParams) -> ModelParams:
+    from gpt_oss_vllm_tpu.quant.vocab8 import Int8Vocab
+
+    def vocab_spec(w, head: bool):
+        if w is None:
+            return None
+        if isinstance(w, Int8Vocab):
+            # int8 vocab tables replicate like the bf16 embedding (the
+            # sharded engines keep the bf16 head for vocab-parallel logits)
+            return Int8Vocab(
+                qdata=P(None, None), scales=P(None),
+                vocab_size=w.vocab_size, hidden_size=w.hidden_size,
+            )
+        return P("model", None) if head else P(None, None)
+
     return ModelParams(
-        embedding=P(None, None),
+        embedding=vocab_spec(params.embedding, head=False),
         layers=[layer_pspecs(l) for l in params.layers],
         final_norm=P(None),
-        lm_head=P("model", None) if params.lm_head is not None else None,
+        lm_head=vocab_spec(params.lm_head, head=True),
     )
 
 

@@ -536,7 +536,9 @@ def build_app(async_engine: AsyncEngine, serving: ServingConfig, max_model_len: 
 
 
 def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
-    quant = QuantConfig(method=args.quant)
+    quant = QuantConfig(
+        method=args.quant, vocab_int8=getattr(args, "vocab_int8", False)
+    )
     kv_dtype = getattr(args, "kv_cache_dtype", "bfloat16")
     if args.tiny:
         tokenizer = get_tokenizer("byte")
@@ -592,6 +594,11 @@ def main(argv=None):
         "--spec-tokens", type=int, default=0,
         help="prompt-lookup speculative decoding: max draft tokens verified "
              "per step for greedy requests (0 = off)",
+    )
+    ap.add_argument(
+        "--vocab-int8", dest="vocab_int8", action="store_true",
+        help="per-row int8 vocab table (tied embed + lm_head): halves the "
+             "decode step's largest fixed HBM read and frees ~0.58 GB",
     )
     ap.add_argument(
         "--kv-cache-dtype", default="bfloat16", choices=["bfloat16", "fp8"],

@@ -92,6 +92,9 @@ def main(argv=None):
     ap.add_argument("--compare-dense", action="store_true",
                     help="also score with dequantized-bf16 weights and report the PPL delta")
     ap.add_argument("--quant", default="nf4", choices=["nf4", "mxfp4"])
+    ap.add_argument("--vocab-int8", dest="vocab_int8", action="store_true",
+                    help="quantize the vocab table per-row int8 in the QUANTIZED "
+                         "run (isolates the vocab8 PPL cost vs the same 4-bit run)")
     args = ap.parse_args(argv)
 
     from gpt_oss_vllm_tpu.config import ModelConfig, QuantConfig
@@ -100,7 +103,9 @@ def main(argv=None):
         cfg = ModelConfig.tiny()
         from gpt_oss_vllm_tpu.models.params import random_params
 
-        qp = random_params(cfg, QuantConfig(method=args.quant), seed=0)
+        qp = random_params(
+            cfg, QuantConfig(method=args.quant, vocab_int8=args.vocab_int8), seed=0
+        )
         dp = random_params(cfg, QuantConfig(method="none"), seed=0)
     else:
         from gpt_oss_vllm_tpu.checkpoint.store import TensorStore
@@ -108,7 +113,9 @@ def main(argv=None):
 
         store = TensorStore(args.checkpoint)
         cfg = ModelConfig(**store.metadata["model_config"])
-        qp = load_params_from_store(store, cfg, QuantConfig(method=args.quant))
+        qp = load_params_from_store(
+            store, cfg, QuantConfig(method=args.quant, vocab_int8=args.vocab_int8)
+        )
         dp = (
             load_params_from_store(store, cfg, QuantConfig(method="none"))
             if args.compare_dense
@@ -127,7 +134,8 @@ def main(argv=None):
         raise SystemExit("need --text or --synthetic-tokens")
 
     nll_q, n = nll_of_tokens(qp, cfg, ids, window=args.window)
-    print(f"{args.quant}: nll {nll_q:.4f} nats/tok  ppl {math.exp(nll_q):.3f}  ({n} tokens)")
+    label = args.quant + ("+vocab8" if args.vocab_int8 else "")
+    print(f"{label}: nll {nll_q:.4f} nats/tok  ppl {math.exp(nll_q):.3f}  ({n} tokens)")
     if args.compare_dense or args.tiny:
         nll_d, _ = nll_of_tokens(dp, cfg, ids, window=args.window)
         print(f"dense: nll {nll_d:.4f} nats/tok  ppl {math.exp(nll_d):.3f}")
