@@ -161,6 +161,12 @@ def main(argv: Optional[list] = None):
              "or the official GPT-OSS MXFP4 release",
     )
     ap.add_argument("--gate-up-layout", default="interleaved", choices=["interleaved", "stacked"])
+    ap.add_argument(
+        "--first-contact", action="store_true",
+        help="verify the raw artifact (layout asserts + layer-0 logit smoke, "
+             "checkpoint/validate.py) BEFORE converting — recommended the "
+             "first time a real downloaded checkpoint is used",
+    )
     args = ap.parse_args(argv)
 
     if args.config:
@@ -185,6 +191,10 @@ def main(argv: Optional[list] = None):
     reader = UnslothCheckpointReader(args.inp, nibble_order=args.nibble_order)
     structure = reader.scan_structure()
     print(f"checkpoint structure: {structure}")
+    if args.first_contact:
+        from gpt_oss_vllm_tpu.checkpoint.validate import first_contact_report
+
+        first_contact_report(reader, cfg)
     convert_unsloth_to_native(reader, cfg, args.out, scale_dtype=args.scale_dtype)
 
 

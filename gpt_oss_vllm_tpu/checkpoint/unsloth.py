@@ -40,6 +40,13 @@ from gpt_oss_vllm_tpu.quant.nf4 import (
 _EXPERT_KEY_RE = re.compile(
     r"model\.layers\.(\d+)\.mlp\.experts\.(gate_up_projs|down_projs)\.(\d+)\.weight$"
 )
+# alternate key generations tolerated by the reference's loaders
+# (``streaming_unsloth_loader.py:92-109``): fused w13/w2 names and the
+# ``.qweight`` scheme
+_EXPERT_ALT_KEY_RE = re.compile(
+    r"model\.layers\.(\d+)\.mlp\.experts\.(\d+)\."
+    r"(w13_weight|w2_weight|gate_up_proj\.qweight|down_proj\.qweight)$"
+)
 
 
 def _swap_nibbles(packed: np.ndarray) -> np.ndarray:
@@ -96,11 +103,15 @@ class UnslothCheckpointReader:
         quantized = 0
         for k in self._key_to_path:
             m = _EXPERT_KEY_RE.match(k)
+            alt = None if m else _EXPERT_ALT_KEY_RE.match(k)
             if m:
                 layers.add(int(m.group(1)))
                 experts.add(int(m.group(3)))
-                if k + ".absmax" in self._key_to_path:
-                    quantized += 1
+            elif alt:
+                layers.add(int(alt.group(1)))
+                experts.add(int(alt.group(2)))
+            if (m or alt) and self._meta_key(k, "absmax") in self._key_to_path:
+                quantized += 1
         hidden = None
         if "model.embed_tokens.weight" in self._key_to_path:
             hidden = self.shape("model.embed_tokens.weight")[1]
@@ -118,9 +129,44 @@ class UnslothCheckpointReader:
 
     # -- experts -----------------------------------------------------------
 
-    def expert_weight_key(self, layer: int, expert: int, proj: str) -> str:
+    def _expert_key_candidates(self, layer: int, expert: int, proj: str) -> List[str]:
+        """All expert-weight key schemes seen across checkpoint generations.
+
+        The reference's loaders tolerate the same set: the canonical Unsloth
+        per-expert scheme plus the ``w13_weight``/``w2_weight`` and
+        ``gate_up_proj.qweight``/``down_proj.qweight`` alternates probed at
+        ``streaming_unsloth_loader.py:92-109``."""
         group = "gate_up_projs" if proj == "gate_up" else "down_projs"
-        return f"model.layers.{layer}.mlp.experts.{group}.{expert}.weight"
+        fused = "w13_weight" if proj == "gate_up" else "w2_weight"
+        qw = "gate_up_proj.qweight" if proj == "gate_up" else "down_proj.qweight"
+        p = f"model.layers.{layer}.mlp.experts"
+        return [
+            f"{p}.{group}.{expert}.weight",
+            f"{p}.{expert}.{fused}",
+            f"{p}.{expert}.{qw}",
+        ]
+
+    def expert_weight_key(self, layer: int, expert: int, proj: str) -> str:
+        """The key this checkpoint actually uses for (layer, expert, proj) —
+        first present candidate, else the canonical scheme (for error text)."""
+        cands = self._expert_key_candidates(layer, expert, proj)
+        for k in cands:
+            if k in self._key_to_path:
+                return k
+        return cands[0]
+
+    @staticmethod
+    def _meta_key(wkey: str, suffix: str) -> str:
+        """Metadata key for a weight key, scheme-aware: the canonical scheme
+        appends ``.absmax`` etc.; the ``.qweight`` alternate replaces the
+        trailing ``qweight`` (reference ``streaming_unsloth_loader.py:112-115``,
+        ``absmax_key = weight_key.replace('qweight', 'absmax')``), and the
+        ``w13_weight`` alternate replaces the trailing ``weight``."""
+        if wkey.endswith(".qweight"):
+            return wkey[: -len("qweight")] + suffix
+        if wkey.endswith("_weight"):
+            return wkey[: -len("weight")] + suffix
+        return wkey + "." + suffix
 
     def read_expert_quantized(
         self, layer: int, expert: int, proj: str, out_features: int, in_features: int
@@ -154,17 +200,18 @@ class UnslothCheckpointReader:
         return qweight.reshape(out_features, in_features // 2), absmax, blocksize
 
     def _read_absmax(self, wkey: str, total_params: int) -> np.ndarray:
+        mk = self._meta_key
         absmax_data = (
-            self.read(wkey + ".absmax") if wkey + ".absmax" in self._key_to_path else None
+            self.read(mk(wkey, "absmax")) if mk(wkey, "absmax") in self._key_to_path else None
         )
         if absmax_data is None:
             return np.ones(total_params // 64, dtype=np.float32)
-        if wkey + ".nested_absmax" in self._key_to_path:
-            nested_absmax = self.read(wkey + ".nested_absmax").astype(np.float32)
-            nested_code = self.read(wkey + ".nested_quant_map").astype(np.float32)
+        if mk(wkey, "nested_absmax") in self._key_to_path:
+            nested_absmax = self.read(mk(wkey, "nested_absmax")).astype(np.float32)
+            nested_code = self.read(mk(wkey, "nested_quant_map")).astype(np.float32)
             offset = 0.0
-            if wkey + ".offset" in self._key_to_path:
-                offset = float(self.read(wkey + ".offset").reshape(-1)[0])
+            if mk(wkey, "offset") in self._key_to_path:
+                offset = float(self.read(mk(wkey, "offset")).reshape(-1)[0])
             return dequantize_absmax_double(
                 absmax_data.astype(np.uint8), nested_absmax, nested_code, offset=offset
             )
@@ -181,8 +228,9 @@ class UnslothCheckpointReader:
         qdata, absmax, blocksize = q
         code = NF4_CODE
         wkey = self.expert_weight_key(layer, expert, proj)
-        if wkey + ".quant_map" in self._key_to_path:
-            code = self.read(wkey + ".quant_map").astype(np.float32).reshape(-1)
+        qmk = self._meta_key(wkey, "quant_map")
+        if qmk in self._key_to_path:
+            code = self.read(qmk).astype(np.float32).reshape(-1)
         from gpt_oss_vllm_tpu.quant.nf4 import nf4_dequantize
 
         return nf4_dequantize(
@@ -190,10 +238,16 @@ class UnslothCheckpointReader:
         )
 
     def read_expert_bias(self, layer: int, expert: int, proj: str) -> Optional[np.ndarray]:
+        candidates = [
+            self._meta_key(w, "bias") for w in self._expert_key_candidates(layer, expert, proj)
+        ]
+        # canonical scheme: the sibling `.bias` replaces `.weight` rather than
+        # suffixing it (reference ``unsloth_bnb_loader.py:196-227``)
         group = "gate_up_projs" if proj == "gate_up" else "down_projs"
-        key = f"model.layers.{layer}.mlp.experts.{group}.{expert}.bias"
-        if key in self._key_to_path:
-            return self.read(key).astype(np.float32)
+        candidates.insert(0, f"model.layers.{layer}.mlp.experts.{group}.{expert}.bias")
+        for key in candidates:
+            if key in self._key_to_path:
+                return self.read(key).astype(np.float32)
         return None
 
 
@@ -211,12 +265,17 @@ def write_synthetic_unsloth_checkpoint(
     use_offset: bool = False,
     weight_scale: float = 0.02,
     drop_experts: Tuple[Tuple[int, int, str], ...] = (),
+    key_scheme: str = "canonical",
 ) -> List[str]:
     """Emit a random-weight checkpoint in the exact Unsloth NF4 schema.
 
     ``drop_experts`` removes (layer, expert, proj) entries to exercise the
     zero-fill fallback. Non-MoE tensors are fp16, experts are double-quantized
     NF4 like the real ``unsloth/gpt-oss-20b-unsloth-bnb-4bit`` artifact.
+    ``key_scheme`` picks the expert key generation: "canonical"
+    (``gate_up_projs.{E}.weight``), "w13" (``{E}.w13_weight``), or "qweight"
+    (``{E}.gate_up_proj.qweight``) — the alternates the reference probes at
+    ``streaming_unsloth_loader.py:92-109``.
     """
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -230,13 +289,31 @@ def write_synthetic_unsloth_checkpoint(
         w = rng.normal(0, weight_scale, size=shape).astype(np.float32)
         packed, absmax = nf4_quantize(w, blocksize=64, order=nibble_order)
         dq = quantize_absmax_double(absmax, use_offset=use_offset)
+        mk = UnslothCheckpointReader._meta_key
         put(key, packed.reshape(-1, 1), fidx)
-        put(key + ".absmax", dq.qabsmax, fidx)
-        put(key + ".nested_absmax", dq.nested_absmax, fidx)
-        put(key + ".nested_quant_map", dq.code, fidx)
-        put(key + ".quant_map", NF4_CODE.copy(), fidx)
+        put(mk(key, "absmax"), dq.qabsmax, fidx)
+        put(mk(key, "nested_absmax"), dq.nested_absmax, fidx)
+        put(mk(key, "nested_quant_map"), dq.code, fidx)
+        put(mk(key, "quant_map"), NF4_CODE.copy(), fidx)
         if use_offset:
-            put(key + ".offset", np.array([dq.offset], dtype=np.float32), fidx)
+            put(mk(key, "offset"), np.array([dq.offset], dtype=np.float32), fidx)
+
+    def expert_key(L: int, e: int, proj: str) -> str:
+        p = f"model.layers.{L}.mlp.experts"
+        if key_scheme == "w13":
+            return f"{p}.{e}." + ("w13_weight" if proj == "gate_up" else "w2_weight")
+        if key_scheme == "qweight":
+            return f"{p}.{e}." + (
+                "gate_up_proj.qweight" if proj == "gate_up" else "down_proj.qweight"
+            )
+        group = "gate_up_projs" if proj == "gate_up" else "down_projs"
+        return f"{p}.{group}.{e}.weight"
+
+    def expert_bias_key(L: int, e: int, proj: str) -> str:
+        if key_scheme == "canonical":
+            group = "gate_up_projs" if proj == "gate_up" else "down_projs"
+            return f"model.layers.{L}.mlp.experts.{group}.{e}.bias"
+        return UnslothCheckpointReader._meta_key(expert_key(L, e, proj), "bias")
 
     def emit_fp16(key: str, shape, fidx: int, scale=0.02):
         put(key, rng.normal(0, scale, size=shape).astype(np.float16), fidx)
@@ -263,15 +340,13 @@ def write_synthetic_unsloth_checkpoint(
             emit_fp16(f"{p}.mlp.router.bias", (E,), fidx)
         for e in range(E):
             if (L, e, "gate_up") not in drop_experts:
-                emit_quantized(
-                    f"{p}.mlp.experts.gate_up_projs.{e}.weight", (2 * FF, H), fidx
-                )
+                emit_quantized(expert_key(L, e, "gate_up"), (2 * FF, H), fidx)
                 if cfg.expert_bias:
-                    emit_fp16(f"{p}.mlp.experts.gate_up_projs.{e}.bias", (2 * FF,), fidx)
+                    emit_fp16(expert_bias_key(L, e, "gate_up"), (2 * FF,), fidx)
             if (L, e, "down") not in drop_experts:
-                emit_quantized(f"{p}.mlp.experts.down_projs.{e}.weight", (H, FF), fidx)
+                emit_quantized(expert_key(L, e, "down"), (H, FF), fidx)
                 if cfg.expert_bias:
-                    emit_fp16(f"{p}.mlp.experts.down_projs.{e}.bias", (H,), fidx)
+                    emit_fp16(expert_bias_key(L, e, "down"), (H,), fidx)
     emit_fp16("model.norm.weight", (H,), num_files - 1, scale=1.0)
     if not cfg.tie_word_embeddings:
         emit_fp16("lm_head.weight", (cfg.vocab_size, H), num_files - 1)

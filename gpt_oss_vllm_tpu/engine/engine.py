@@ -137,6 +137,15 @@ class InferenceEngine:
         qb = config.quant.backend if config.quant.enabled else "xla"
         if qb == "pallas" and jax.default_backend() != "tpu":
             qb = "xla"  # compiled Pallas kernels are TPU-only; CPU uses the XLA path
+        # lm_head backend is independent of the expert-quant method: the fused
+        # int8 kernel runs whenever the vocab table is int8 and we're on a
+        # single-shard TPU; under a mesh the XLA path is GSPMD-partitionable
+        # (vocab-parallel logits, parallel/sharding.py)
+        lm_backend = (
+            "pallas"
+            if (config.quant.vocab_int8 and jax.default_backend() == "tpu" and mesh is None)
+            else "xla"
+        )
         if attn_backend == "auto":
             # Pallas paged decode on real TPU (windowed layers read O(window)
             # KV; parity-proven vs the XLA gather oracle); gather path on CPU
@@ -150,6 +159,7 @@ class InferenceEngine:
             moe_strategy="auto",
             attn_backend=attn_backend,
             quant_backend=qb,
+            lm_head_backend=lm_backend,
         )
         self._prefill = jax.jit(step_fn, donate_argnames=("cache",))
         self._decode = jax.jit(step_fn, donate_argnames=("cache",))
@@ -162,6 +172,7 @@ class InferenceEngine:
                 attn_backend=attn_backend,
                 quant_backend=qb,
                 all_logits=True,
+                lm_head_backend=lm_backend,
             )
             self._decode_spec = jax.jit(spec_fn, donate_argnames=("cache",))
             self._argmax_all = jax.jit(lambda l: jnp.argmax(l, axis=-1).astype(jnp.int32))

@@ -137,7 +137,13 @@ def model_step(
     attn_backend: str = "xla",
     quant_backend: str = "xla",
     all_logits: bool = False,
+    lm_head_backend: Optional[str] = None,
 ) -> StepOut:
+    # the lm_head backend is selected independently of the expert-quant
+    # backend: the fused int8 kernel wants TPU and no mesh (pallas_call is
+    # not GSPMD-partitionable), while expert quant may be off entirely
+    # (method='none' --vocab-int8) — the engine passes this explicitly
+    lm_backend = lm_head_backend if lm_head_backend is not None else quant_backend
     B, T = tokens.shape
     x = _embed(params.embedding, tokens)
     for li, layer in enumerate(params.layers):
@@ -173,7 +179,7 @@ def model_step(
         # draft window, never a prefill chunk — [B, T, V] stays tens of MB)
         h = x.reshape(B * T, -1)
         if isinstance(head, Int8Vocab):
-            logits = lm_head_logits(head, h, backend=quant_backend)
+            logits = lm_head_logits(head, h, backend=lm_backend)
             logits = logits[:, : cfg.vocab_size].reshape(B, T, -1)
         else:
             logits = jax.lax.dot_general(
@@ -183,7 +189,7 @@ def model_step(
     # only the last valid position's hidden state reaches the LM head
     h_last = jnp.take_along_axis(x, last_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
     if isinstance(head, Int8Vocab):
-        logits = lm_head_logits(head, h_last, backend=quant_backend)[:, : cfg.vocab_size]
+        logits = lm_head_logits(head, h_last, backend=lm_backend)[:, : cfg.vocab_size]
         return StepOut(logits=logits, cache=cache)
     # contract over the head table's MINOR dim (head @ h^T) — the x @ W^T form
     # makes XLA:TPU relayout the 1.1 GB vocab table into a transposed copy

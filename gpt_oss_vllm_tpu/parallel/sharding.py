@@ -76,8 +76,16 @@ def params_pspecs(params: ModelParams) -> ModelParams:
         if w is None:
             return None
         if isinstance(w, Int8Vocab):
-            # int8 vocab tables replicate like the bf16 embedding (the
-            # sharded engines keep the bf16 head for vocab-parallel logits)
+            # int8 head shards vocab-parallel like the bf16 head (padded V is
+            # a multiple of 512 — head-tile aligned for any pow2 tp); sharded
+            # engines route it through the GSPMD-partitionable XLA lm_head
+            # path (engine picks lm_head_backend='xla' under a mesh). A tied
+            # int8 embedding stays replicated: it also feeds the row gather.
+            if head:
+                return Int8Vocab(
+                    qdata=P("model", None), scales=P("model"),
+                    vocab_size=w.vocab_size, hidden_size=w.hidden_size,
+                )
             return Int8Vocab(
                 qdata=P(None, None), scales=P(None),
                 vocab_size=w.vocab_size, hidden_size=w.hidden_size,

@@ -181,3 +181,63 @@ def test_load_params_quantized_and_dense_agree(native_ckpt, tiny_cfg):
     assert p_q.embedding.shape == (tiny_cfg.vocab_size, tiny_cfg.hidden_size)
     assert l0q.router_w.dtype == jnp.float32  # the stable-router-dtype contract
     assert p_q.num_params() > 0
+
+
+@pytest.mark.parametrize("scheme", ["w13", "qweight"])
+def test_alternate_key_schemes_convert_identically(tmp_path, tiny_cfg, scheme):
+    """The reader tolerates the alternate expert-key generations the
+    reference probes (``streaming_unsloth_loader.py:92-109``): same seed,
+    different key scheme => bit-identical native conversion."""
+    cfg = dataclasses.replace(tiny_cfg, num_layers=1, num_experts=4, vocab_size=64)
+    d_can, d_alt = tmp_path / "canon", tmp_path / scheme
+    write_synthetic_unsloth_checkpoint(str(d_can), cfg, seed=11)
+    write_synthetic_unsloth_checkpoint(str(d_alt), cfg, seed=11, key_scheme=scheme)
+    r_alt = UnslothCheckpointReader(str(d_alt))
+    s = r_alt.scan_structure()
+    assert s["num_layers"] == 1 and s["num_experts"] == 4
+    assert s["num_quantized_expert_tensors"] == 8
+    n_can, n_alt = tmp_path / "n_can", tmp_path / "n_alt"
+    convert_unsloth_to_native(UnslothCheckpointReader(str(d_can)), cfg, str(n_can), progress=False)
+    convert_unsloth_to_native(r_alt, cfg, str(n_alt), progress=False)
+    sc, sa = TensorStore(str(n_can)), TensorStore(str(n_alt))
+    for key in ("layers.0.moe.gate_up.qdata", "layers.0.moe.down.qdata",
+                "layers.0.moe.gate_up.scales", "layers.0.moe.gate_up.bias"):
+        np.testing.assert_array_equal(np.asarray(sc.read(key)), np.asarray(sa.read(key)))
+
+
+def test_corrupt_packed_size_fails_loudly(tmp_path, tiny_cfg):
+    """A truncated packed weight must raise with the offending key, not
+    silently misdecode (the reference's planned-but-absent 'bail fast'
+    hardening, ``STATUS.md:17``)."""
+    from safetensors.numpy import save_file
+    from safetensors import safe_open
+
+    cfg = dataclasses.replace(tiny_cfg, num_layers=1, num_experts=2, vocab_size=64)
+    d = tmp_path / "corrupt"
+    paths = write_synthetic_unsloth_checkpoint(str(d), cfg, seed=2, num_files=1)
+    tensors = {}
+    with safe_open(paths[0], framework="np") as f:
+        for k in f.keys():
+            tensors[k] = f.get_tensor(k)
+    key = "model.layers.0.mlp.experts.down_projs.0.weight"
+    tensors[key] = tensors[key][: tensors[key].shape[0] // 2]  # truncate
+    save_file(tensors, paths[0])
+    r = UnslothCheckpointReader(str(d))
+    H, FF = cfg.hidden_size, cfg.intermediate_size
+    with pytest.raises(ValueError, match="down_projs.0.weight"):
+        r.read_expert_quantized(0, 0, "down", H, FF)
+
+
+def test_first_contact_report(synth_ckpt, tiny_cfg, tmp_path):
+    from gpt_oss_vllm_tpu.checkpoint.validate import first_contact_report
+
+    r = UnslothCheckpointReader(synth_ckpt[0])
+    rep = first_contact_report(r, tiny_cfg, verbose=False)
+    assert not rep["errors"]
+    assert rep["gate_up_blocksize"] == 64
+    assert len(rep["top5"]) == 5
+    assert all(np.isfinite(v) for _, v in rep["top5"])
+    # a wrong config must fail loudly before conversion
+    bad = dataclasses.replace(tiny_cfg, intermediate_size=tiny_cfg.intermediate_size * 2)
+    with pytest.raises(ValidationError, match="packed"):
+        first_contact_report(r, bad, verbose=False)

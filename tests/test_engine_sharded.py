@@ -60,3 +60,26 @@ def test_sharded_engine_nf4(setup):
         sharded = InferenceEngine(qcfg, qparams, mesh=mesh)
         got = sharded.generate([prompt], SamplingParams(max_tokens=4, temperature=0.0))[0]
     assert got == want
+
+
+def test_sharded_engine_vocab_int8(setup):
+    """vocab_int8 under a mesh: the int8 head shards vocab-parallel and the
+    engine routes it through the GSPMD-partitionable XLA lm_head path
+    (ADVICE r1: this combination used to be constructible but untested)."""
+    cfg, _ = setup
+    import dataclasses
+
+    qcfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, tie_word_embeddings=False),
+        quant=QuantConfig(method="none", vocab_int8=True),
+    )
+    qparams = random_params(qcfg.model, qcfg.quant, seed=23)
+    prompt = [6, 2, 13, 1]
+    single = InferenceEngine(qcfg, qparams)
+    want = single.generate([prompt], SamplingParams(max_tokens=4, temperature=0.0))[0]
+    mesh = make_mesh(ParallelConfig(dp=1, ep=2, tp=2))
+    with mesh:
+        sharded = InferenceEngine(qcfg, qparams, mesh=mesh)
+        got = sharded.generate([prompt], SamplingParams(max_tokens=4, temperature=0.0))[0]
+    assert got == want

@@ -117,6 +117,11 @@ def test_num_params_counts_int8_once():
     cfg = ModelConfig.tiny()
     dense = random_params(cfg, QuantConfig(method="none"), seed=0)
     q8 = random_params(cfg, QuantConfig(method="none", vocab_int8=True), seed=0)
-    # int8 qdata counts 1 param/byte (only uint8 NF4 packs 2); padding adds
-    # rows, so compare within the padded envelope rather than exactly
-    assert q8.num_params() >= dense.num_params()
+    # exact accounting: each of the two vocab tables (embedding + untied
+    # lm_head) swaps its V*H bf16 leaf for Vp*Hp int8 qdata (1 param/byte —
+    # only uint8 NF4 packs 2) plus Vp f32 scales
+    from gpt_oss_vllm_tpu.quant.vocab8 import VOCAB_TILE, _LANE, _pad_to
+
+    V, H = cfg.vocab_size, cfg.hidden_size
+    Vp, Hp = _pad_to(V, VOCAB_TILE), _pad_to(H, _LANE)
+    assert q8.num_params() == dense.num_params() + 2 * (Vp * Hp + Vp - V * H)
