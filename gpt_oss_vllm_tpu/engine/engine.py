@@ -136,7 +136,8 @@ class InferenceEngine:
 
         qb = config.quant.backend if config.quant.enabled else "xla"
         if qb == "pallas" and jax.default_backend() != "tpu":
-            qb = "xla"  # compiled Pallas kernels are TPU-only; CPU uses the XLA path
+            qb = "xla"  # compiled Pallas kernels are TPU-only; CPU uses the XLA
+            #             path ("pallas_interpret" opts tests into the kernels)
         # lm_head backend is independent of the expert-quant method: the fused
         # int8 kernel runs whenever the vocab table is int8 and we're on a
         # single-shard TPU; under a mesh the XLA path is GSPMD-partitionable
@@ -148,11 +149,13 @@ class InferenceEngine:
         )
         if attn_backend == "auto":
             # Pallas paged decode on real TPU (windowed layers read O(window)
-            # KV; parity-proven vs the XLA gather oracle); gather path on CPU
-            # and under a mesh (pallas_call is not GSPMD-partitionable — the
-            # sharded cache would be gathered to every shard)
+            # KV; parity-proven vs the XLA gather oracle). Under a mesh the
+            # kernel runs per shard on the local kv-head band via shard_map
+            # (parallel/kernels.py) when the head split is tp-aligned.
             on_tpu = jax.default_backend() == "tpu"
-            attn_backend = "pallas" if (on_tpu and mesh is None) else "xla"
+            tp = mesh.shape.get("model", 1) if mesh is not None else 1
+            head_aligned = cfg.num_kv_heads % tp == 0 and (128 // cfg.head_dim or 1) > 0
+            attn_backend = "pallas" if (on_tpu and head_aligned) else "xla"
         step_fn = partial(
             model_step,
             cfg=cfg,
@@ -160,6 +163,7 @@ class InferenceEngine:
             attn_backend=attn_backend,
             quant_backend=qb,
             lm_head_backend=lm_backend,
+            mesh=mesh,
         )
         self._prefill = jax.jit(step_fn, donate_argnames=("cache",))
         self._decode = jax.jit(step_fn, donate_argnames=("cache",))
@@ -173,6 +177,7 @@ class InferenceEngine:
                 quant_backend=qb,
                 all_logits=True,
                 lm_head_backend=lm_backend,
+                mesh=mesh,
             )
             self._decode_spec = jax.jit(spec_fn, donate_argnames=("cache",))
             self._argmax_all = jax.jit(lambda l: jnp.argmax(l, axis=-1).astype(jnp.int32))

@@ -77,6 +77,7 @@ def _cached_attention(
     cache: KVCache,
     block_tables: jax.Array,  # [B, MB]
     backend: str,
+    mesh=None,
 ) -> Tuple[jax.Array, KVCache]:
     B, T, H = x.shape
     if p.wqkv is not None:
@@ -100,18 +101,37 @@ def _cached_attention(
     window = cfg.sliding_window if cfg.layer_uses_sliding_window(layer_idx) else None
     sinks = p.sinks if cfg.use_sinks else None
 
-    if backend == "pallas" and T == 1:
-        from gpt_oss_vllm_tpu.ops.paged_attention import paged_attention_decode
+    if backend.startswith("pallas") and T == 1:
+        interp = backend == "pallas_interpret"
+        if mesh is not None:
+            # per-shard kernel on the local kv-head band — the sharded cache
+            # is never gathered (parallel/kernels.py)
+            from gpt_oss_vllm_tpu.parallel.kernels import paged_attention_decode_sharded
 
-        out = paged_attention_decode(
-            q[:, 0],
-            cache.k[layer_idx],
-            cache.v[layer_idx],
-            block_tables,
-            positions[:, 0],
-            sinks=sinks,
-            window=window,
-        )[:, None]
+            out = paged_attention_decode_sharded(
+                q[:, 0],
+                cache.k[layer_idx],
+                cache.v[layer_idx],
+                block_tables,
+                positions[:, 0],
+                mesh,
+                sinks=sinks,
+                window=window,
+                interpret=interp,
+            )[:, None]
+        else:
+            from gpt_oss_vllm_tpu.ops.paged_attention import paged_attention_decode
+
+            out = paged_attention_decode(
+                q[:, 0],
+                cache.k[layer_idx],
+                cache.v[layer_idx],
+                block_tables,
+                positions[:, 0],
+                sinks=sinks,
+                window=window,
+                interpret=interp,
+            )[:, None]
     else:
         k_ctx, v_ctx = gather_kv(cache, layer_idx, block_tables)  # [B, S, KV, D]
         S = k_ctx.shape[1]
@@ -138,6 +158,7 @@ def model_step(
     quant_backend: str = "xla",
     all_logits: bool = False,
     lm_head_backend: Optional[str] = None,
+    mesh=None,
 ) -> StepOut:
     # the lm_head backend is selected independently of the expert-quant
     # backend: the fused int8 kernel wants TPU and no mesh (pallas_call is
@@ -156,21 +177,47 @@ def model_step(
             cache,
             block_tables,
             attn_backend,
+            mesh=mesh,
         )
         x = x + attn_out
         flat = rms_norm(x, layer.mlp_norm, cfg.rms_norm_eps).reshape(B * T, -1)
-        moe = moe_block(
-            flat,
-            layer.router_w,
-            layer.router_b,
-            layer.w_gate_up,
-            layer.b_gate_up,
-            layer.w_down,
-            layer.b_down,
-            cfg,
-            strategy=moe_strategy,
-            backend=quant_backend,
-        )
+        from gpt_oss_vllm_tpu.quant.tensor import NF4Tensor
+
+        if (
+            mesh is not None
+            and quant_backend.startswith("pallas")
+            and isinstance(layer.w_gate_up, NF4Tensor)
+            and B * T * cfg.experts_per_token <= 2048
+        ):
+            # per-shard fused-dequant gmm on the local expert slice + psum
+            # combine — packed weights are never gathered (parallel/kernels)
+            from gpt_oss_vllm_tpu.parallel.kernels import moe_block_gmm_sharded
+
+            moe = moe_block_gmm_sharded(
+                flat,
+                layer.router_w,
+                layer.router_b,
+                layer.w_gate_up,
+                layer.b_gate_up,
+                layer.w_down,
+                layer.b_down,
+                cfg,
+                mesh,
+                interpret=quant_backend == "pallas_interpret",
+            )
+        else:
+            moe = moe_block(
+                flat,
+                layer.router_w,
+                layer.router_b,
+                layer.w_gate_up,
+                layer.b_gate_up,
+                layer.w_down,
+                layer.b_down,
+                cfg,
+                strategy=moe_strategy,
+                backend=quant_backend,
+            )
         x = x + moe.reshape(B, T, -1)
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
     head = params.embedding if params.lm_head is None else params.lm_head

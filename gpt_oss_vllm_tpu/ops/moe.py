@@ -211,13 +211,18 @@ def moe_block(
     strategy: str = "auto",
     backend: str = "xla",
 ) -> jax.Array:
+    # "pallas_interpret" runs the kernel paths through the Pallas interpreter
+    # (CPU tests of kernel-selection logic, incl. under shard_map meshes)
+    interpret = backend == "pallas_interpret"
+    if interpret:
+        backend = "pallas"
     if backend == "pallas" and x.shape[0] <= 64 and cfg.num_experts <= 128:
         # fused logits+top-k+softmax kernel: the XLA chain is 3 tiny ops
         # whose fixed overhead dominates decode (~0.10 ms/layer measured)
         from gpt_oss_vllm_tpu.ops.router import router_topk_pallas
 
         weights, indices = router_topk_pallas(
-            x, router_w, router_b, cfg.experts_per_token
+            x, router_w, router_b, cfg.experts_per_token, interpret=interpret
         )
         routing = RouterOut(weights=weights, indices=indices)
     else:
@@ -263,6 +268,7 @@ def moe_block(
             b_down,
             act_fn=functools.partial(expert_act, cfg=cfg),
             act_pair_fn=functools.partial(glu_pair, cfg=cfg),
+            interpret=interpret,
         )
     fn = moe_gather if strategy == "gather" else moe_all_experts
     return fn(x, routing, w_gate_up, b_gate_up, w_down, b_down, cfg, backend=backend)

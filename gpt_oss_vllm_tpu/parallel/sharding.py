@@ -24,24 +24,37 @@ from gpt_oss_vllm_tpu.models.params import LayerParams, ModelParams
 from gpt_oss_vllm_tpu.quant.tensor import NF4Tensor
 
 
-def layer_pspecs(l: LayerParams) -> LayerParams:
+def layer_pspecs(l: LayerParams, expert_axes=None) -> LayerParams:
     def opt(x, spec):
         return spec if x is not None else None
 
+    ex = expert_axes if expert_axes is not None else "expert"
+
     def expert_w(w, parallel_dim: int):
-        # [E, out, in]: dim 1 sharded => column-parallel, dim 2 => row-parallel.
-        # NF4Tensor qdata [E, out, in/2] shards like the dense weight; scales
-        # are stored transposed [E, in/bs, out], so their spec swaps the last
-        # two axes.
-        spec = ["expert", None, None]
-        spec[parallel_dim] = "model"
+        # Packed NF4 weights shard over the COMBINED expert axes on dim 0
+        # (experts are ~95% of GPT-OSS bytes — that is the memory-scaling
+        # dim), matching parallel.kernels.moe_block_gmm_sharded's per-shard
+        # gmm layout so no per-step weight resharding happens at the
+        # shard_map boundary. Dense expert weights keep the EP x TP GSPMD
+        # scheme ([E, out, in]: dim 1 sharded => column-parallel, dim 2 =>
+        # row-parallel; scales are stored transposed, spec swaps last two).
         if isinstance(w, NF4Tensor):
             return NF4Tensor(
-                qdata=P(*spec), scales=P(spec[0], spec[2], spec[1]),
+                qdata=P(ex, None, None), scales=P(ex, None, None),
                 out_features=w.out_features, in_features=w.in_features,
                 blocksize=w.blocksize, codebook=w.codebook,
+                row_layout=w.row_layout,
             )
+        spec = ["expert", None, None]
+        spec[parallel_dim] = "model"
         return P(*spec)
+
+    def expert_b(w, b):
+        if b is None:
+            return None
+        if isinstance(w, NF4Tensor):
+            return P(ex, None)
+        return P("expert", "model") if w is l.w_gate_up else P("expert", None)
 
     if l.wqkv is not None:
         raise ValueError(
@@ -63,13 +76,13 @@ def layer_pspecs(l: LayerParams) -> LayerParams:
         router_w=P(None, None),
         router_b=opt(l.router_b, P(None)),
         w_gate_up=expert_w(l.w_gate_up, 1),  # [E, 2FF, H]: column-parallel on 2FF
-        b_gate_up=opt(l.b_gate_up, P("expert", "model")),
+        b_gate_up=expert_b(l.w_gate_up, l.b_gate_up),
         w_down=expert_w(l.w_down, 2),  # [E, H, FF]: row-parallel on FF
-        b_down=opt(l.b_down, P("expert", None)),
+        b_down=expert_b(l.w_down, l.b_down),
     )
 
 
-def params_pspecs(params: ModelParams) -> ModelParams:
+def params_pspecs(params: ModelParams, mesh: Optional[Mesh] = None) -> ModelParams:
     from gpt_oss_vllm_tpu.quant.vocab8 import Int8Vocab
 
     def vocab_spec(w, head: bool):
@@ -92,9 +105,15 @@ def params_pspecs(params: ModelParams) -> ModelParams:
             )
         return P("model", None) if head else P(None, None)
 
+    expert_axes = None
+    if mesh is not None and params.layers and isinstance(params.layers[0].w_gate_up, NF4Tensor):
+        from gpt_oss_vllm_tpu.parallel.kernels import expert_shard_axes
+
+        ax = expert_shard_axes(mesh, params.layers[0].w_gate_up.qdata.shape[0])
+        expert_axes = ax if ax else "expert"
     return ModelParams(
         embedding=vocab_spec(params.embedding, head=False),
-        layers=[layer_pspecs(l) for l in params.layers],
+        layers=[layer_pspecs(l, expert_axes=expert_axes) for l in params.layers],
         final_norm=P(None),
         lm_head=vocab_spec(params.lm_head, head=True),
     )
@@ -116,5 +135,5 @@ def _to_sharding(mesh: Mesh, tree):
 
 def shard_params(params: ModelParams, mesh: Mesh) -> ModelParams:
     """device_put the param tree with its canonical shardings."""
-    shardings = _to_sharding(mesh, params_pspecs(params))
+    shardings = _to_sharding(mesh, params_pspecs(params, mesh))
     return jax.device_put(params, shardings)
