@@ -219,6 +219,16 @@ class SchedulerConfig:
     # logprobs/penalties; others decode normally in the same batch.
     spec_tokens: int = 0
     spec_min_match: int = 2
+    # Overlapped-readback decode: sampling stays on-device and feeds the
+    # next step's input directly; the host reads step k's tokens back WHILE
+    # step k+1 computes (vLLM v1's async output processing). Removes the
+    # per-step device->host sync from the decode critical path — on this
+    # build's tunnel-attached chip that sync alone costs ~a full step time.
+    # Emissions (stop checks, streaming) lag exactly one step. Per-step
+    # fallback to the sync path when a running request needs host-side
+    # sampling (logprobs / penalties / logit_bias / min_tokens masking);
+    # ignored entirely when spec_tokens > 0.
+    async_decode: bool = True
 
 
 @dataclass(frozen=True)

@@ -184,6 +184,31 @@ class InferenceEngine:
             self.metrics["spec_proposed"] = 0
             self.metrics["spec_accepted"] = 0
         self._sample = jax.jit(sample_tokens_seeded)
+        # overlapped-readback decode (SchedulerConfig.async_decode): one jit
+        # fuses step + on-device sampling so sampled tokens feed the next
+        # dispatch WITHOUT a host round-trip; the host processes step k's
+        # tokens while step k+1 runs on device
+        self.async_decode = sc.async_decode and self.spec_tokens == 0
+        self._pending = None  # ([(row, req)], dev_tokens) of the in-flight step
+        if self.async_decode:
+
+            def fused_step(params, cache, tokens, positions, block_tables,
+                           seeds, ctrs, temp, top_p, top_k, min_p):
+                out = step_fn(
+                    params, cache=cache, tokens=tokens[:, None],
+                    positions=positions[:, None], block_tables=block_tables,
+                    last_idx=jnp.zeros(tokens.shape[0], jnp.int32),
+                )
+                nxt = sample_tokens_seeded(
+                    out.logits, seeds, ctrs, temp, top_p, top_k, min_p
+                )
+                return out.cache, nxt
+
+            self._decode_fused = jax.jit(fused_step, donate_argnames=("cache",))
+            self._dev_last_tok = jnp.zeros((self.num_slots,), jnp.int32)
+            # NO donation: the in-flight pending step may still hold this
+            # buffer as its sampled-token array
+            self._dev_set_tok = jax.jit(lambda a, i, v: a.at[i].set(v))
         # per-slot token-occurrence counts (prompt+output) for OpenAI
         # presence/frequency and HF repetition penalties; rows are (re)seeded
         # at admit and updated per decode step only while some running
@@ -239,7 +264,11 @@ class InferenceEngine:
         req.state = RequestState.ABORTED
 
     def has_work(self) -> bool:
-        return bool(self.waiting) or any(s is not None for s in self.slots)
+        return (
+            bool(self.waiting)
+            or any(s is not None for s in self.slots)
+            or self._pending is not None
+        )
 
     def num_running(self) -> int:
         return sum(s is not None for s in self.slots)
@@ -369,6 +398,11 @@ class InferenceEngine:
         self.block_tables[slot] = bt[0]
         self.seq_lens[slot] = n_prompt + 1
         self.last_token[slot] = token
+        if self.async_decode:
+            # seed the device-resident token row the fused decode reads from
+            self._dev_last_tok = self._dev_set_tok(
+                self._dev_last_tok, np.int32(slot), np.int32(token)
+            )
         return [self._append_token(req, int(token), lp, 0)]
 
     def _sample_row(self, logits: jax.Array, reqs: List[Request], slots=None):
@@ -476,24 +510,63 @@ class InferenceEngine:
             req.blocks.extend(b)
         return True
 
-    def _decode_all(self) -> List[StepOutput]:
-        running = [(i, r) for i, r in enumerate(self.slots) if r is not None]
-        if not running:
+    @staticmethod
+    def _plain_sampling(req: Request) -> bool:
+        """True when the request's sampling is fully expressible on-device
+        (the fused async-decode program): no logprobs, penalties or logit
+        bias, and no stop-token masking while min_tokens is unmet."""
+        sp = req.sampling
+        return (
+            sp.logprobs is None
+            and not sp.has_penalties
+            and not sp.logit_bias
+            and len(req.output_token_ids) >= sp.min_tokens
+        )
+
+    def _flush_pending(self) -> List[StepOutput]:
+        """Read back and emit the in-flight async step's sampled tokens.
+
+        Called AFTER the next step is dispatched (the readback then overlaps
+        device compute) — or before any scheduling decision that needs exact
+        host state (preemption, sync fallback, spec drafts)."""
+        if self._pending is None:
             return []
+        snapshot, dev_tokens = self._pending
+        self._pending = None
+        toks = np.asarray(dev_tokens)
+        outputs: List[StepOutput] = []
+        for row, req in snapshot:
+            if req.state != RequestState.RUNNING or req.slot != row:
+                continue  # finished/aborted/preempted since dispatch
+            tok = int(toks[row])
+            self.metrics["decode_tokens"] += 1
+            out = self._append_token(req, tok)
+            outputs.append(out)
+            if not out.finished:
+                self.last_token[row] = tok
+        return outputs
+
+    def _grow_all(self) -> List[StepOutput]:
+        """Grow every running request's block table by one step's worth; on
+        exhaustion, preempt the youngest request — free its blocks and
+        requeue it for recompute (vLLM semantics; the reference's substrate
+        preempts the same way) — and retry. Only when no other request
+        holds blocks (nothing to reclaim) or the request can never fit does
+        it finish truncated."""
         truncated: List[StepOutput] = []
-        # grow every running request's block table by one token's worth; on
-        # exhaustion, preempt the youngest request — free its blocks and
-        # requeue it for recompute (vLLM semantics; the reference's substrate
-        # preempts the same way) — and retry. Only when no other request
-        # holds blocks (nothing to reclaim) or the request can never fit does
-        # it finish truncated.
+        flushed: List[StepOutput] = []
+        window = 1 + (self.spec_tokens if self.spec_tokens > 0 else 0)
         while True:
             running = [(i, r) for i, r in enumerate(self.slots) if r is not None]
             if not running:
-                return truncated
-            window = 1 + (self.spec_tokens if self.spec_tokens > 0 else 0)
+                return truncated + flushed
             if all(self._grow_blocks(r, window) for _, r in running):
-                break
+                return truncated + flushed
+            # intervention needed: bring host state current first (a pending
+            # async step may finish requests and free their blocks)
+            if self._pending is not None:
+                flushed.extend(self._flush_pending())
+                continue
             victim = max(running, key=lambda t: t[1].arrival_time)[1]
             never_fits = self._blocks_for(victim.num_tokens + 1) > self.allocator.num_blocks
             if len(running) == 1 or never_fits:
@@ -504,6 +577,71 @@ class InferenceEngine:
                 ))
             else:
                 self._preempt(victim)
+
+    def _decode_async_step(self, running) -> List[StepOutput]:
+        """Dispatch one fused (step + on-device sampling) program, THEN read
+        back the previous step's tokens — the readback overlaps this step's
+        device compute, removing the host sync from the decode critical path
+        (SchedulerConfig.async_decode)."""
+        B = self.num_slots
+        positions = np.full((B,), -1, dtype=np.int32)
+        seeds = np.zeros(B, np.int32)
+        ctrs = np.zeros(B, np.int32)
+        temp = np.zeros(B, np.float32)
+        top_p = np.ones(B, np.float32)
+        top_k = np.zeros(B, np.int32)
+        min_p = np.zeros(B, np.float32)
+        # rows with an in-flight sampled-but-unemitted token — keyed by the
+        # REQUEST, not just the row: a finished request's leftover in-flight
+        # step must not inflate a slot-reusing newcomer's draw counter
+        pend_req = {}
+        if self._pending is not None:
+            pend_req = {row: r for row, r in self._pending[0]}
+        for i, req in running:
+            sp = req.sampling
+            positions[i] = self.seq_lens[i] - 1
+            seeds[i] = req.seed_resolved
+            # draw counter = tokens sampled so far, INCLUDING the not-yet-
+            # emitted in-flight one (same stream as the sync path)
+            ctrs[i] = len(req.output_token_ids) + (1 if pend_req.get(i) is req else 0)
+            temp[i] = sp.temperature
+            top_p[i] = sp.top_p
+            top_k[i] = sp.top_k
+            min_p[i] = sp.min_p
+        cache, nxt = self._decode_fused(
+            self.params,
+            self.cache,
+            self._dev_last_tok,
+            jnp.asarray(positions),
+            jnp.asarray(self.block_tables),
+            jnp.asarray(seeds),
+            jnp.asarray(ctrs),
+            jnp.asarray(temp),
+            jnp.asarray(top_p),
+            jnp.asarray(top_k),
+            jnp.asarray(min_p),
+        )
+        self.cache = cache
+        outputs = self._flush_pending()  # overlaps the step just dispatched
+        self._pending = (list(running), nxt)
+        self._dev_last_tok = nxt
+        for i, _ in running:
+            self.seq_lens[i] += 1  # optimistic; _release zeroes on finish
+        return outputs
+
+    def _decode_all(self) -> List[StepOutput]:
+        truncated = self._grow_all()
+        running = [(i, r) for i, r in enumerate(self.slots) if r is not None]
+        if not running:
+            return truncated + self._flush_pending()
+        if self.async_decode and all(self._plain_sampling(r) for _, r in running):
+            return truncated + self._decode_async_step(running)
+        # sync fallback (logprobs/penalties/bias/min_tokens or spec decode):
+        # host state must be exact before sampling decisions
+        truncated.extend(self._flush_pending())
+        running = [(i, r) for i, r in enumerate(self.slots) if r is not None]
+        if not running:
+            return truncated
         # prompt-lookup drafts (greedy, no logprobs/penalties rows only)
         drafts: Dict[int, list] = {}
         if self.spec_tokens > 0:
@@ -561,6 +699,14 @@ class InferenceEngine:
                 self.seq_lens[slot] += 1
                 self.last_token[slot] = tok
             outputs.append(step_out)
+        if self.async_decode:
+            # keep the device token array current so a later async step can
+            # resume from this sync one
+            self._dev_last_tok = self._dev_set_tok(
+                self._dev_last_tok,
+                jnp.asarray(rows, jnp.int32),
+                jnp.asarray(sampled, jnp.int32),
+            )
         return outputs
 
     def _decode_spec_step(self, running, drafts: Dict[int, list]) -> List[StepOutput]:

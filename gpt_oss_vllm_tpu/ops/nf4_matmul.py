@@ -85,23 +85,28 @@ def _lut_nf4_poly(idx: jax.Array) -> jax.Array:
 _NF4_BITS = tuple(int(v) for v in np.asarray(NF4_CODE, np.float32).view(np.int32))
 
 
-def _lut_nf4(idx: jax.Array) -> jax.Array:
-    """NF4 codebook lookup via a binary select tree over the values' raw f32
-    bit patterns: 15 selects + 4 compares, ALL on the int/select pipeline
-    with no fma chain. Measured 18.5% faster end-to-end than the degree-7
-    two-half Horner at 8L/b8 batched decode (21.4 -> 18.1 ms/step): like
-    the FP4 bit-assembly decode above, integer ops schedule better against
-    the MXU inside the gmm kernels than fma-chain polynomials. Exact by
-    construction (the leaves ARE the codebook bits)."""
+def _select_tree(idx: jax.Array, bits_table) -> jax.Array:
+    """16-entry codebook lookup via a binary select tree over raw f32 bit
+    patterns: 15 selects + 4 compares, ALL on the int/select pipeline with
+    no fma chain and no int multiply. Exact by construction (the leaves ARE
+    the table's bits)."""
     b0 = (idx & 1) != 0
     lvl = [
-        jnp.where(b0, jnp.int32(_NF4_BITS[2 * i + 1]), jnp.int32(_NF4_BITS[2 * i]))
+        jnp.where(b0, jnp.int32(bits_table[2 * i + 1]), jnp.int32(bits_table[2 * i]))
         for i in range(8)
     ]
     for bit in (2, 4, 8):
         cond = (idx & bit) != 0
         lvl = [jnp.where(cond, lvl[2 * i + 1], lvl[2 * i]) for i in range(len(lvl) // 2)]
     return jax.lax.bitcast_convert_type(lvl[0], jnp.float32)
+
+
+def _lut_nf4(idx: jax.Array) -> jax.Array:
+    """NF4 codebook lookup (select tree). Measured 18.5% faster end-to-end
+    than the degree-7 two-half Horner at 8L/b8 batched decode (21.4 -> 18.1
+    ms/step): integer ops schedule better against the MXU inside the gmm
+    kernels than fma-chain polynomials."""
+    return _select_tree(idx, _NF4_BITS)
 
 
 # Degree-7 interpolant of the E2M1 magnitude table [0,.5,1,1.5,2,3,4,6] at
@@ -117,20 +122,43 @@ _FP4_MAG_POLY = (
 )
 
 
-def _lut_fp4(idx: jax.Array) -> jax.Array:
+def _lut_fp4_bitasm(idx: jax.Array) -> jax.Array:
     """E2M1 value of a 4-bit sign|magnitude code; idx int32 in [0, 16).
 
     Pure-integer bit assembly, ~10 VPU int ops, no fma chain: E2M1 maps onto
     the f32 bit layout — for magnitude codes >= 2 the value is exactly
     bitcast((mag + 252) << 22) (mantissa bit lands at bit 22, exponent field
-    (mag >> 1) + 126 rebias lands exactly); codes 0/1 are 0.0 / 0.5 =
-    (code & 1) * 0x3F000000 as raw bits; the sign is bit 3 shifted to bit
-    31. Bit-exact vs the FP4_CODE table including -0.0."""
+    (mag >> 1) + 126 rebias lands exactly); codes 0/1 are 0.0 / 0.5; the
+    sign is bit 3 shifted to bit 31. Bit-exact vs FP4_CODE incl. -0.0.
+
+    Measured on-chip at 8L/b8 (r2 A/B): this form 22.9 ms/step, a
+    select-instead-of-multiply variant 23.5, the select TREE (below) 33.0 —
+    bit assembly is the best fp4 decode; the nf4-vs-mxfp4 batched gap is
+    routing-distribution, not decode (see docs/STATUS.md)."""
     mag = idx & 7
     normal = (mag + 252) << 22
     small = (idx & 1) * 0x3F000000
     bits = jnp.where(mag < 2, small, normal) | ((idx & 8) << 28)
     return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+_FP4_BITS = None  # lazily built from quant.mxfp4.FP4_CODE (import cycle)
+
+
+def _lut_fp4_tree(idx: jax.Array) -> jax.Array:
+    """E2M1 lookup via the same binary select tree as NF4 (A/B alternative:
+    at batched decode the select tree schedules better against the MXU than
+    shift-chains in some configs)."""
+    global _FP4_BITS
+    if _FP4_BITS is None:
+        from gpt_oss_vllm_tpu.quant.mxfp4 import FP4_CODE
+
+        _FP4_BITS = tuple(int(v) for v in np.asarray(FP4_CODE, np.float32).view(np.int32))
+    return _select_tree(idx, _FP4_BITS)
+
+
+def _lut_fp4(idx: jax.Array) -> jax.Array:
+    return _lut_fp4_bitasm(idx)
 
 
 def _scales_f32(s: jax.Array) -> jax.Array:

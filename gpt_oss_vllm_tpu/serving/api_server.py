@@ -60,6 +60,11 @@ class AsyncEngine:
         self.start_time = time.time()
 
     async def start(self):
+        # idempotent: a second pump task would race concurrent engine.step()
+        # calls on the donated KV cache (build_app's on_startup hook plus a
+        # caller-side start() must not double-pump)
+        if self._pump_task is not None and not self._pump_task.done():
+            return
         self._pump_task = asyncio.create_task(self._pump())
         self._ready = True
 

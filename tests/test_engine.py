@@ -502,3 +502,35 @@ def test_single_oversized_request_finishes_truncated(ecfg, params):
     # the final StepOutput must reach the client (stream termination) with
     # the no-token sentinel, not a duplicated last token
     assert reason is not None
+
+
+def test_async_decode_matches_sync_engine():
+    """SchedulerConfig.async_decode (overlapped-readback decode) must produce
+    byte-identical token streams to the sync engine — greedy AND seeded
+    sampling, across sequential requests that reuse slots (the leftover
+    in-flight step of a finished request must not perturb a newcomer)."""
+    import dataclasses
+
+    from gpt_oss_vllm_tpu.config import EngineConfig, QuantConfig, SchedulerConfig
+
+    cfg = EngineConfig.tiny()
+    params = random_params(cfg.model, cfg.quant, seed=13)
+
+    def run(async_decode):
+        c = dataclasses.replace(
+            cfg,
+            scheduler=dataclasses.replace(cfg.scheduler, async_decode=async_decode),
+        )
+        eng = InferenceEngine(c, params)
+        outs = []
+        outs += eng.generate([[7, 3, 11], [2, 9]], SamplingParams(max_tokens=6, temperature=0.0))
+        # seeded sampled request, twice (slot reuse + stream reproducibility)
+        sp = SamplingParams(max_tokens=5, temperature=1.1, seed=99)
+        outs += eng.generate([[5, 5, 5]], sp)
+        outs += eng.generate([[5, 5, 5]], sp)
+        # stop token mid-stream
+        sp2 = SamplingParams(max_tokens=8, temperature=0.0, stop_token_ids=(outs[0][1],))
+        outs += eng.generate([[7, 3, 11]], sp2)
+        return outs
+
+    assert run(True) == run(False)
