@@ -139,3 +139,66 @@ def test_moe_block_gmm_sharded_matches_oracle():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), atol=3e-2, rtol=3e-2
     )
+
+
+def test_120b_topology_sharded_engine_dryrun():
+    """BASELINE config 5 stretch: the gpt-oss-120b TOPOLOGY (128 experts,
+    top-4, 36-deep — depth cut to 3 to keep the CPU mesh test fast, widths
+    cut likewise) decodes through the sharded kernel engine on the virtual
+    mesh (ep=4 x tp=2 => 8-way combined expert shards, 16 experts local)."""
+    import dataclasses
+
+    from gpt_oss_vllm_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+
+    base = ModelConfig.gpt_oss_120b(
+        vocab_size=512,
+        hidden_size=128,
+        num_layers=3,
+        num_heads=4,
+        num_kv_heads=2,
+        head_dim=32,
+        intermediate_size=128,
+        sliding_window=16,
+        max_position_embeddings=1024,
+        original_context_length=256,
+    )
+    assert base.num_experts == 128 and base.experts_per_token == 4
+    ecfg = EngineConfig(
+        model=base,
+        quant=QuantConfig(method="nf4", backend="pallas_interpret"),
+        cache=CacheConfig(block_size=8, num_blocks=64, max_blocks_per_seq=16),
+        scheduler=SchedulerConfig(max_num_seqs=2, max_model_len=64),
+    )
+    params = random_params(base, ecfg.quant, seed=41)
+    prompt = [9, 2, 77, 4]
+    sp = SamplingParams(max_tokens=3, temperature=0.0)
+    want = InferenceEngine(ecfg, params, attn_backend="pallas_interpret").generate(
+        [prompt], sp
+    )[0]
+    mesh = make_mesh(ParallelConfig(dp=1, ep=4, tp=2))
+    with mesh:
+        eng = InferenceEngine(ecfg, params, attn_backend="pallas_interpret", mesh=mesh)
+        got = eng.generate([prompt], sp)[0]
+    assert got == want
+
+
+def test_120b_memory_budget_fits_v5p():
+    """Projected HBM per chip for the real GPT-OSS-120B on a v5p-16 EP mesh
+    (the BASELINE config 5 accounting; numbers published in docs/STATUS.md)."""
+    from gpt_oss_vllm_tpu.config import CacheConfig
+    from gpt_oss_vllm_tpu.tools.memory_budget import CHIP_HBM_GB, model_bytes_per_chip
+
+    cfg = ModelConfig.gpt_oss_120b()
+    quant = QuantConfig(method="mxfp4", scale_dtype="e8m0")
+    rep = model_bytes_per_chip(
+        cfg, quant, ParallelConfig(ep=8, tp=1), CacheConfig(num_blocks=4096)
+    )
+    assert rep["total_gb"] < CHIP_HBM_GB["v5p"]
+    # and the 20B single-chip layout matches what the bench actually fits
+    rep20 = model_bytes_per_chip(
+        ModelConfig(tie_word_embeddings=True),
+        QuantConfig(method="nf4", scale_dtype="bfloat16"),
+        ParallelConfig(),
+        CacheConfig(num_blocks=176, block_size=16),
+    )
+    assert rep20["total_gb"] < CHIP_HBM_GB["v5e"]
