@@ -221,14 +221,20 @@ class SchedulerConfig:
     spec_min_match: int = 2
     # Overlapped-readback decode: sampling stays on-device and feeds the
     # next step's input directly; the host reads step k's tokens back WHILE
-    # step k+1 computes (vLLM v1's async output processing). Removes the
+    # later steps compute (vLLM v1's async output processing). Removes the
     # per-step device->host sync from the decode critical path — on this
-    # build's tunnel-attached chip that sync alone costs ~a full step time.
-    # Emissions (stop checks, streaming) lag exactly one step. Per-step
-    # fallback to the sync path when a running request needs host-side
-    # sampling (logprobs / penalties / logit_bias / min_tokens masking);
-    # ignored entirely when spec_tokens > 0.
+    # build's tunnel-attached chip that sync alone costs ~two step times.
+    # Emissions (stop checks, streaming) lag up to async_depth steps.
+    # Per-step fallback to the sync path when a running request needs
+    # host-side sampling (logprobs / penalties / logit_bias / min_tokens
+    # masking); ignored entirely when spec_tokens > 0.
     async_decode: bool = True
+    # in-flight decode steps before the oldest is read back: 1 hides host
+    # bookkeeping only; deeper hides readback latency of up to
+    # depth * step_time (a tunnel/DCN-attached host wants 4-8; a local
+    # PCIe host needs only 1-2). Finished requests waste at most
+    # async_depth trailing steps.
+    async_depth: int = 2
 
 
 @dataclass(frozen=True)

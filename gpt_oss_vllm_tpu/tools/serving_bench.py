@@ -128,6 +128,8 @@ def main(argv=None):
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--max-tokens", type=int, default=64)
     ap.add_argument("--spec-tokens", type=int, default=0)
+    ap.add_argument("--async-depth", type=int, default=8,
+                    help="in-flight decode steps (tunnel-attached chip wants 4-8)")
     ap.add_argument("--sync-decode", action="store_true",
                     help="disable the async (overlapped-readback) decode path")
     args = ap.parse_args(argv)
@@ -160,6 +162,7 @@ def main(argv=None):
             max_num_seqs=cmax, max_model_len=4096,
             spec_tokens=args.spec_tokens,
             async_decode=not args.sync_decode,
+            async_depth=args.async_depth,
         ),
     )
     log(f"backend={backend} quant={args.quant} vocab8={args.vocab8} "

@@ -516,10 +516,12 @@ def test_async_decode_matches_sync_engine():
     cfg = EngineConfig.tiny()
     params = random_params(cfg.model, cfg.quant, seed=13)
 
-    def run(async_decode):
+    def run(async_decode, depth=2):
         c = dataclasses.replace(
             cfg,
-            scheduler=dataclasses.replace(cfg.scheduler, async_decode=async_decode),
+            scheduler=dataclasses.replace(
+                cfg.scheduler, async_decode=async_decode, async_depth=depth
+            ),
         )
         eng = InferenceEngine(c, params)
         outs = []
@@ -533,4 +535,6 @@ def test_async_decode_matches_sync_engine():
         outs += eng.generate([[7, 3, 11]], sp2)
         return outs
 
-    assert run(True) == run(False)
+    want = run(False)
+    assert run(True) == want
+    assert run(True, depth=6) == want  # deep pipeline: same streams, later emission
