@@ -60,6 +60,12 @@ class InferenceEngine:
         then run SPMD — XLA inserts the collectives (SURVEY.md §2.3)."""
         self.config = config
         self.mesh = mesh
+        cfg, cc, sc = config.model, config.cache, config.scheduler
+        # allocate the KV pool BEFORE the param repacks below: the in-place
+        # glu4 sectioning alternates alloc/free over 24 multi-hundred-MB
+        # tensors and can fragment HBM enough that even a ~100 MB contiguous
+        # cache allocation fails afterwards (observed at 24L mxfp4+vocab8)
+        self.cache = KVCache.create(cfg, cc)
         if mesh is not None:
             from gpt_oss_vllm_tpu.parallel.sharding import (
                 cache_pspec,
@@ -83,8 +89,6 @@ class InferenceEngine:
                 # decode (ops.moe_ffn_fused); bit-lossless row repack
                 params = section_glu_experts(params)
         self.params = params
-        cfg, cc, sc = config.model, config.cache, config.scheduler
-        self.cache = KVCache.create(cfg, cc)
         if mesh is not None:
             from gpt_oss_vllm_tpu.parallel.sharding import cache_pspec
             from jax.sharding import NamedSharding
@@ -180,7 +184,9 @@ class InferenceEngine:
                 mesh=mesh,
             )
             self._decode_spec = jax.jit(spec_fn, donate_argnames=("cache",))
-            self._argmax_all = jax.jit(lambda l: jnp.argmax(l, axis=-1).astype(jnp.int32))
+            from gpt_oss_vllm_tpu.ops.sampling import spec_verify
+
+            self._spec_verify = jax.jit(spec_verify)
             self.metrics["spec_proposed"] = 0
             self.metrics["spec_accepted"] = 0
         self._sample = jax.jit(sample_tokens_seeded)
@@ -805,11 +811,14 @@ class InferenceEngine:
             mm = self.config.scheduler.spec_min_match
             for i, req in running:
                 sp = req.sampling
-                if not sp.greedy or sp.logprobs is not None or sp.has_penalties:
+                # greedy rows verify by longest argmax prefix; SAMPLED rows
+                # verify by rejection sampling (ops.sampling.spec_verify) —
+                # both preserve the request's exact target distribution.
+                # Only logits that get post-processed host-side (logprobs,
+                # penalties, user logit_bias, stop-masking while min_tokens
+                # is unmet) must go through the real sampler path.
+                if sp.logprobs is not None or sp.has_penalties:
                     continue
-                # spec verify is raw argmax: requests whose logits get biased
-                # (user logit_bias, or stop-masking while min_tokens is
-                # unmet) must go through the real sampler path
                 if sp.logit_bias or len(req.output_token_ids) < sp.min_tokens:
                     continue
                 budget = self.config.scheduler.max_model_len - req.num_tokens - 1
@@ -866,11 +875,11 @@ class InferenceEngine:
 
     def _decode_spec_step(self, running, drafts: Dict[int, list]) -> List[StepOutput]:
         """One widened decode step: feed [last_token, draft...] per drafted
-        row, verify against the model's own greedy predictions, emit the
-        accepted prefix + bonus token (engine/spec.py). Non-drafted rows ride
-        along at window position 0 and emit exactly one token as usual."""
-        from gpt_oss_vllm_tpu.engine.spec import accept_greedy
-
+        row, verify on-device — greedy rows by longest argmax prefix, sampled
+        rows by rejection sampling against their exact target distribution
+        (ops.sampling.spec_verify) — and emit the accepted prefix + the
+        residual/bonus token. Non-drafted rows ride along at window position
+        0 and emit exactly one token through the normal sampler."""
         B = self.num_slots
         # constant window width: one jitted program regardless of this
         # step's actual draft lengths (pads are dropped writes + masked)
@@ -894,7 +903,39 @@ class InferenceEngine:
             last_idx=jnp.zeros(B, dtype=jnp.int32),
         )
         self.cache = out.cache
-        greedy_all = np.asarray(self._argmax_all(out.logits))  # [B, W]
+        # on-device verification for every drafted row (greedy AND sampled)
+        d_tok = np.zeros((B, W), dtype=np.int32)
+        d_len = np.zeros(B, dtype=np.int32)
+        seeds = np.zeros(B, np.int32)
+        ctrs = np.zeros(B, np.int32)
+        temp = np.zeros(B, np.float32)
+        top_p = np.ones(B, np.float32)
+        top_k = np.zeros(B, np.int32)
+        min_p = np.zeros(B, np.float32)
+        for i, req in running:
+            d = drafts.get(i, [])
+            d_len[i] = len(d)
+            d_tok[i, : len(d)] = d
+            sp = req.sampling
+            seeds[i] = req.seed_resolved
+            ctrs[i] = len(req.output_token_ids)
+            temp[i] = sp.temperature
+            top_p[i] = sp.top_p
+            top_k[i] = sp.top_k
+            min_p[i] = sp.min_p
+        n_acc_a, final_a = self._spec_verify(
+            out.logits,
+            jnp.asarray(d_tok),
+            jnp.asarray(d_len),
+            jnp.asarray(seeds),
+            jnp.asarray(ctrs),
+            jnp.asarray(temp),
+            jnp.asarray(top_p),
+            jnp.asarray(top_k),
+            jnp.asarray(min_p),
+        )
+        n_acc = np.asarray(n_acc_a)
+        final = np.asarray(final_a)
         # non-drafted rows sample from window position 0 (real sampler: they
         # may be temperature/top-p/logprobs/penalty requests)
         plain = [(i, r) for i, r in running if i not in drafts]
@@ -916,9 +957,10 @@ class InferenceEngine:
         for i, req in running:
             slot = req.slot
             if i in drafts:
-                emitted = accept_greedy(drafts[i], greedy_all[i])
+                k_acc = int(n_acc[i])
+                emitted = list(drafts[i][:k_acc]) + [int(final[i])]
                 self.metrics["spec_proposed"] += len(drafts[i])
-                self.metrics["spec_accepted"] += len(emitted) - 1
+                self.metrics["spec_accepted"] += k_acc
             else:
                 emitted = [int(sampled[plain_pos[i]])]
             for tok in emitted:

@@ -161,3 +161,97 @@ def apply_penalties(
     rep = repetition[:, None]
     rep_applied = jnp.where(out > 0, out / rep, out * rep)
     return jnp.where(seen, rep_applied, out)
+
+
+def spec_verify(
+    logits: jax.Array,  # [B, W, V] f32 — logits at every fed window position
+    drafts: jax.Array,  # [B, W] int32 — draft token verified at position j
+    #                     (fed[j+1]); entries at j >= draft_len are ignored
+    draft_len: jax.Array,  # [B] int32 in [0, W-1]
+    seeds: jax.Array,  # [B]
+    counters: jax.Array,  # [B] tokens emitted so far
+    temperature: jax.Array,  # [B]
+    top_p: jax.Array,
+    top_k: jax.Array,
+    min_p: jax.Array = None,
+):
+    """Speculative-sampling verification for point-mass (n-gram) drafts.
+
+    The draft 'model' proposes deterministically (q = one-hot at the draft
+    token), so the Leviathan/Chen acceptance rule reduces to: accept draft
+    d_j with probability p_j(d_j) under the TARGET sampling distribution
+    (temperature/top-k/top-p/min-p applied — the same distribution the
+    normal sampler draws from); on the first rejection, sample from the
+    residual max(p - q, 0)/Z = p with d_j masked out; if every draft is
+    accepted, draw the standard bonus token from the next position. The
+    emitted marginal distribution equals non-speculative sampling exactly
+    (tests/test_spec_decode.py::test_spec_verify_preserves_distribution).
+
+    temperature <= 0 rows degrade to greedy longest-prefix acceptance —
+    identical to ``engine.spec.accept_greedy``.
+
+    Returns (n_accept [B] int32, final_token [B] int32): the engine emits
+    ``drafts[:n_accept] + [final_token]`` (>= 1 token per verify step).
+
+    vLLM's substrate verifies sampled drafts the same way (its
+    rejection/"recovered token" sampler); the reference inherits that but
+    never exercises it. Here it is first-class and seeded: acceptance
+    uniforms come from fold_in(seed, counter + j) and the residual/bonus
+    Gumbel from a disjoint counter plane, so streams stay per-request
+    deterministic under any batch composition.
+    """
+    B, W, V = logits.shape
+    flat = logits.reshape(B * W, V).astype(jnp.float32)
+
+    def rep(a):
+        return jnp.repeat(a, W, axis=0)
+
+    masked = _mask_logits(flat, rep(top_p), rep(top_k))
+    temp_r = jnp.maximum(rep(temperature), 1e-6)[:, None]
+    scaled = masked / temp_r
+    if min_p is not None:
+        scaled = _min_p_mask(scaled, rep(min_p))
+    logp = jax.nn.log_softmax(scaled, axis=-1).reshape(B, W, V)
+    scaled = scaled.reshape(B, W, V)
+    greedy_tok = jnp.argmax(scaled, axis=-1).astype(jnp.int32)  # [B, W]
+
+    safe_d = jnp.clip(drafts, 0, V - 1)
+    p_draft = jnp.exp(
+        jnp.take_along_axis(logp, safe_d[..., None], axis=-1)[..., 0]
+    )  # [B, W]
+
+    # acceptance uniforms: one per (request, window position) from the
+    # request's seeded stream
+    def row_u(seed, ctr):
+        k = jax.random.fold_in(jax.random.PRNGKey(seed), ctr)
+        return jax.random.uniform(k, (W,), jnp.float32)
+
+    u = jax.vmap(row_u)(seeds, counters)  # [B, W]
+    pos = jnp.arange(W, dtype=jnp.int32)[None, :]
+    is_greedy = (temperature <= 0.0)[:, None]
+    acc = jnp.where(is_greedy, drafts == greedy_tok, u < p_draft)
+    acc = acc & (pos < draft_len[:, None])
+    n_acc = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)  # [B]
+
+    # final token at position j* = n_acc: residual sample on rejection
+    # (mask the rejected draft out — exact residual for a point-mass q),
+    # plain bonus draw when everything was accepted
+    jstar = jnp.minimum(n_acc, W - 1)
+    final_scaled = jnp.take_along_axis(
+        scaled, jstar[:, None, None], axis=1
+    )[:, 0]  # [B, V]
+    rejected = n_acc < draft_len
+    d_rej = jnp.take_along_axis(safe_d, jstar[:, None], axis=1)[:, 0]
+    final_scaled = jnp.where(
+        rejected[:, None]
+        & (jnp.arange(V, dtype=jnp.int32)[None, :] == d_rej[:, None]),
+        NEG_INF,
+        final_scaled,
+    )
+    # disjoint counter plane for the residual/bonus draw (acceptance
+    # uniforms used fold_in(seed, ctr) directly)
+    gumbel = _row_gumbel(seeds, counters + jnp.int32(1 << 20) + jstar, V)
+    final_sampled = jnp.argmax(final_scaled + gumbel, axis=-1).astype(jnp.int32)
+    final_greedy = jnp.argmax(final_scaled, axis=-1).astype(jnp.int32)
+    final = jnp.where(temperature <= 0.0, final_greedy, final_sampled)
+    return n_acc.astype(jnp.int32), final

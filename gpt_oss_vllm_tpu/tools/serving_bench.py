@@ -168,9 +168,13 @@ def main(argv=None):
     log(f"backend={backend} quant={args.quant} vocab8={args.vocab8} "
         f"layers={mc.num_layers} async={not args.sync_decode}")
     t0 = time.monotonic()
-    params = random_params_on_device(mc, quant, seed=0, sync_every_layer=True)
-    log(f"params ready in {time.monotonic() - t0:.1f}s")
-    engine = InferenceEngine(cfg, params)
+    # pass params as a TEMPORARY: a caller-held reference would keep every
+    # pre-repack tensor alive through the engine's fuse/section passes
+    # (+~7 GB => OOM at 24 layers)
+    engine = InferenceEngine(
+        cfg, random_params_on_device(mc, quant, seed=0, sync_every_layer=True)
+    )
+    log(f"params + engine ready in {time.monotonic() - t0:.1f}s")
     rtt = measure_readback_rtt() if backend == "tpu" else 0.0
     log(f"device->host readback RTT (tunnel tax per host sync): {rtt * 1e3:.1f} ms")
 
