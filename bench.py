@@ -1,14 +1,21 @@
 #!/usr/bin/env python
-"""bench.py — GPT-OSS-20B NF4 serving throughput on the attached TPU chip.
+"""bench.py — GPT-OSS-20B 4-bit serving throughput on the attached TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Primary metric: single-stream greedy decode tokens/s for the full-size
-GPT-OSS-20B architecture (24 layers, 32 experts, top-4, hidden 2880, NF4
-4-bit experts) through the real engine step (paged KV cache, sinks, YaRN,
-alternating sliding window, fused NF4 MoE kernels). Baseline: the
-reference's measured 8.3 tok/s on its RTX 3090 deployment
-(/root/reference/patches/USAGE.md:73).
+GPT-OSS-20B architecture (24 layers, 32 experts, top-4, hidden 2880) in the
+PRODUCTION config — MXFP4 4-bit experts (the model's native checkpoint
+format, which the reference had to override away:
+patch_4_override_quant.py:26-41) + per-row int8 vocab table — through the
+real model step (paged KV cache, sinks, YaRN, alternating sliding window,
+fused 4-bit MoE kernels). `--quant nf4 --no-vocab8` measures the
+reference's own format/partition instead. Baseline: the reference's
+measured 8.3 tok/s on its RTX 3090 deployment
+(/root/reference/patches/USAGE.md:73). Batch-1 decode is
+routing-count-independent, so cross-format b1 numbers are directly
+comparable; batched numbers on random weights are NOT (routing-entropy
+confound, docs/STATUS.md r2) — use the fixed-routing A/B for those.
 
 Weight values are random (generated on-device — no checkpoint can be
 downloaded in this environment); throughput is value-independent. The decode
@@ -200,14 +207,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=None)
     ap.add_argument(
-        "--quant", default="nf4", choices=["nf4", "mxfp4"],
-        help="nf4 = the reference's format (headline, baseline-comparable); "
-             "mxfp4 = GPT-OSS's native format (cheaper in-kernel decode)",
+        "--quant", default="mxfp4", choices=["nf4", "mxfp4"],
+        help="mxfp4 = GPT-OSS's NATIVE checkpoint format (the one the "
+             "reference had to override away; headline config); nf4 = the "
+             "reference's retrofit BnB format",
     )
     ap.add_argument(
-        "--vocab8", action="store_true",
+        "--vocab8", action=argparse.BooleanOptionalAction, default=True,
         help="per-row int8 vocab table: halves the lm_head read (the largest "
-             "fixed per-step cost) and frees ~0.58 GB HBM",
+             "fixed per-step cost) and frees ~0.58 GB HBM (default on; "
+             "--no-vocab8 for the reference's fp16-vocab partition)",
     )
     args = ap.parse_args()
     log(f"devices: {jax.devices()}  backend: {jax.default_backend()}")
@@ -224,11 +233,11 @@ def main():
     sdt = "e8m0" if args.quant == "mxfp4" else "bfloat16"
     quant = QuantConfig(method=args.quant, scale_dtype=sdt, vocab_int8=args.vocab8)
     layers = args.layers or cfg.num_layers
-    scale_note = "" if layers == cfg.num_layers else f"_layers{layers}"
-    if args.quant != "nf4":
-        scale_note = f"_{args.quant}{scale_note}"
+    metric = f"decode_tok_s_b1_gpt_oss_20b_{args.quant}"
     if args.vocab8:
-        scale_note = f"_vocab8{scale_note}"
+        metric += "_vocab8"
+    if layers != cfg.num_layers:
+        metric += f"_layers{layers}"
 
     while True:
         try:
@@ -275,17 +284,14 @@ def main():
                     raise
                 retry_cmd = [
                     _sys.executable, __file__, "--layers", str(layers), "--quant", args.quant,
+                    "--vocab8" if args.vocab8 else "--no-vocab8",
                 ]
-                if args.vocab8:
-                    retry_cmd.append("--vocab8")
                 r = subprocess.run(retry_cmd, stdout=subprocess.PIPE)
                 _sys.stdout.buffer.write(r.stdout)
                 return
             else:
                 raise
 
-    metric = f"decode_tok_s_b1_gpt_oss_20b_nf4{scale_note}"
-    metric = metric.replace("_nf4_mxfp4", "_mxfp4")
     print(
         json.dumps(
             {

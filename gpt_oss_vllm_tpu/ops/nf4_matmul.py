@@ -101,6 +101,24 @@ def _select_tree(idx: jax.Array, bits_table) -> jax.Array:
     return jax.lax.bitcast_convert_type(lvl[0], jnp.float32)
 
 
+def _lut_nf4_onehot(idx: jax.Array) -> jax.Array:
+    """One-hot codebook expansion WITHOUT the MXU: val = sum_c code[c] *
+    (idx == c), 16 compares + 16 masked accumulates on the VPU.
+
+    This is the honest form of the 'MXU codebook expansion' idea (VERDICT
+    r1 next-1): routing the one-hot through the MXU needs the 16-wide code
+    axis as a real matmul dimension, i.e. a [*, 16] lane-expanding layout
+    of DATA-dependent indices — exactly the shape class Mosaic rejects on
+    this chip (CLAUDE.md), and unlike the scale-expand matmul the one-hot
+    cannot be built from compile-time iota. What remains is this
+    compare-accumulate, ~2x the select tree's op count; kept for the
+    measured A/B record (see docs/STATUS.md r2)."""
+    acc = jnp.zeros(idx.shape, jnp.int32)
+    for c in range(16):
+        acc = acc | jnp.where(idx == c, jnp.int32(_NF4_BITS[c]), jnp.int32(0))
+    return jax.lax.bitcast_convert_type(acc, jnp.float32)
+
+
 def _lut_nf4(idx: jax.Array) -> jax.Array:
     """NF4 codebook lookup (select tree). Measured 18.5% faster end-to-end
     than the degree-7 two-half Horner at 8L/b8 batched decode (21.4 -> 18.1
