@@ -228,8 +228,10 @@ class InferenceEngine:
         # per-slot token-occurrence counts (prompt+output) for OpenAI
         # presence/frequency and HF repetition penalties; rows are (re)seeded
         # at admit and updated per decode step only while some running
-        # request asks for penalties
-        self.token_counts = jnp.zeros((self.num_slots, cfg.vocab_size), jnp.int32)
+        # request asks for penalties. Allocated LAZILY on the first penalized
+        # request: [slots, vocab] int32 is ~50 MB at default width and the
+        # 24-layer model leaves only tens of MB of HBM headroom.
+        self.token_counts = None
         from gpt_oss_vllm_tpu.ops.sampling import apply_logit_bias, apply_penalties
 
         self._penalize = jax.jit(apply_penalties)
@@ -290,6 +292,13 @@ class InferenceEngine:
         return sum(s is not None for s in self.slots)
 
     # -- scheduling --------------------------------------------------------
+
+    def _counts(self):
+        if self.token_counts is None:
+            self.token_counts = jnp.zeros(
+                (self.num_slots, self.config.model.vocab_size), jnp.int32
+            )
+        return self.token_counts
 
     def _free_slot(self) -> Optional[int]:
         for i, s in enumerate(self.slots):
@@ -425,7 +434,7 @@ class InferenceEngine:
                 self._register_prefix_blocks(req, n_shared_blk)
             if req.sampling.has_penalties:
                 self.token_counts = self._counts_seed(
-                    self.token_counts, req.slot, jnp.asarray(ctx, jnp.int32)
+                    self._counts(), req.slot, jnp.asarray(ctx, jnp.int32)
                 )
         toks, lp = self._sample_row(out.logits[:k], reqs, slots=rows)
         for r, (req, _, ctx) in enumerate(selected):
@@ -512,13 +521,13 @@ class InferenceEngine:
             self._register_prefix_blocks(req, len(shared))
         if req.sampling.has_penalties:
             self.token_counts = self._counts_seed(
-                self.token_counts, slot, jnp.asarray(ctx_tokens, jnp.int32)
+                self._counts(), slot, jnp.asarray(ctx_tokens, jnp.int32)
             )
         toks, lp = self._sample_row(out.logits, [req], slots=[slot])
         token = toks[0]
         if req.sampling.has_penalties:
             self.token_counts = self._counts_add(
-                self.token_counts,
+                self._counts(),
                 jnp.asarray([slot], jnp.int32),
                 jnp.asarray([int(token)], jnp.int32),
             )
@@ -566,7 +575,7 @@ class InferenceEngine:
             rep = np.array([r.sampling.repetition_penalty for r in reqs], np.float32)
             logits = self._penalize(
                 logits,
-                self.token_counts[np.asarray(slots)],
+                self._counts()[np.asarray(slots)],
                 jnp.asarray(pres), jnp.asarray(freq), jnp.asarray(rep),
             )
         temp = np.array([r.sampling.temperature for r in reqs], dtype=np.float32)
@@ -850,7 +859,7 @@ class InferenceEngine:
         sampled, lp = self._sample_row(out.logits[np.array(rows)], reqs, slots=rows)
         if any(r.sampling.has_penalties for r in reqs):
             self.token_counts = self._counts_add(
-                self.token_counts,
+                self._counts(),
                 jnp.asarray(rows, jnp.int32),
                 jnp.asarray(sampled, jnp.int32),
             )
