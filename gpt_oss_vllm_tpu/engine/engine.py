@@ -88,6 +88,13 @@ class InferenceEngine:
                 # glu4 expert layout: one fused FFN kernel per MoE block at
                 # decode (ops.moe_ffn_fused); bit-lossless row repack
                 params = section_glu_experts(params)
+                # drain the repack's deferred frees before any further
+                # allocation: on this backend frees are async, and at 24
+                # layers the headroom is tens of MB — without the drain even
+                # a 32-byte alloc can hit RESOURCE_EXHAUSTED (bench.py
+                # learned the same lesson)
+                np.asarray(jax.tree_util.tree_leaves(params.layers[0].attn_norm)[0][:1])
+                time.sleep(2.0)
         self.params = params
         if mesh is not None:
             from gpt_oss_vllm_tpu.parallel.sharding import cache_pspec
