@@ -86,8 +86,10 @@ class InferenceEngine:
                 and jax.default_backend() == "tpu"
             ):
                 # glu4 expert layout: one fused FFN kernel per MoE block at
-                # decode (ops.moe_ffn_fused); bit-lossless row repack
-                params = section_glu_experts(params)
+                # decode (ops.moe_ffn_fused); bit-lossless row repack.
+                # drain_every bounds the async-free transient so a
+                # serving-sized KV pool still fits beside the repack
+                params = section_glu_experts(params, drain_every=4)
                 # drain the repack's deferred frees before any further
                 # allocation: on this backend frees are async, and at 24
                 # layers the headroom is tens of MB — without the drain even

@@ -132,6 +132,32 @@ def _cached_attention(
                 window=window,
                 interpret=interp,
             )[:, None]
+    elif backend.startswith("pallas") and T >= 16:
+        # prefill chunks: flash kernel over the gathered logical context —
+        # online softmax, causal/window tile skipping (never reads key tiles
+        # past the current position or below the window), sinks folded in.
+        # Chunk rows sit at absolute positions via q_offsets; padded rows
+        # (positions == -1) mask out through lens == 0.
+        interp = backend == "pallas_interpret"
+        k_ctx, v_ctx = gather_kv(cache, layer_idx, block_tables)  # [B, S, KV, D]
+        lens = jnp.max(positions, axis=1) + 1  # [B] total context length
+        q_off = jnp.maximum(positions[:, 0], 0)
+        if mesh is not None:
+            from gpt_oss_vllm_tpu.parallel.kernels import (
+                flash_attention_prefill_sharded,
+            )
+
+            out = flash_attention_prefill_sharded(
+                q, k_ctx, v_ctx, lens, q_off, mesh,
+                sinks=sinks, window=window, interpret=interp,
+            )
+        else:
+            from gpt_oss_vllm_tpu.ops.flash_attention import flash_attention
+
+            out = flash_attention(
+                q, k_ctx, v_ctx, lens,
+                sinks=sinks, window=window, q_offsets=q_off, interpret=interp,
+            )
     else:
         k_ctx, v_ctx = gather_kv(cache, layer_idx, block_tables)  # [B, S, KV, D]
         S = k_ctx.shape[1]

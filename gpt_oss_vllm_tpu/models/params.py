@@ -351,7 +351,7 @@ def random_params(
     )
 
 
-def section_glu_experts(params: ModelParams) -> ModelParams:
+def section_glu_experts(params: ModelParams, drain_every: int = 0) -> ModelParams:
     """Re-store packed gate_up projections (and their biases) in the glu4
     serving layout (quant.tensor.section_glu4) — the storage order that lets
     the whole MoE FFN run as one Pallas kernel at decode (ops.moe_ffn_fused)
@@ -376,6 +376,16 @@ def section_glu_experts(params: ModelParams) -> ModelParams:
             if l.b_gate_up is None
             else section_glu4_bias(l.b_gate_up, out_f),
         )
+        if drain_every and (i + 1) % drain_every == 0:
+            # frees are ASYNC on this backend: without a periodic sync point
+            # the 24 freed multi-hundred-MB flat tensors pile up behind the
+            # repack allocs and the transient peak OOMs once the KV pool is
+            # serving-sized (observed: 456-block pool + repack at 24L mxfp4).
+            # A value readback is the only real sync on axon (CLAUDE.md).
+            import numpy as _np
+
+            t = params.layers[i].w_gate_up.qdata
+            _np.asarray(t[tuple(0 for _ in t.shape[:-1]) + (slice(0, 1),)])
     return params
 
 

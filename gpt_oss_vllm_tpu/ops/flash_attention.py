@@ -27,7 +27,8 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(
-    lens_ref,  # [B] int32 scalar prefetch: per-row valid length
+    lens_ref,  # [B] int32 scalar prefetch: per-row total context length
+    qoff_ref,  # [B] int32 scalar prefetch: absolute position of q row 0
     q_ref,  # [1, 1, TQ, D]
     k_ref,  # [1, 1, TK, D]
     v_ref,  # [1, 1, TK, D]
@@ -51,7 +52,10 @@ def _flash_kernel(
     nk = pl.num_programs(3)
     seq_len = lens_ref[b]
 
-    q_start = iq * tq
+    # chunked prefill: this q tile's rows sit at ABSOLUTE positions
+    # qoff + iq*tq + (0..tq-1) inside a context of length seq_len; keys are
+    # the gathered logical context at positions 0..seq_len-1
+    q_start = qoff_ref[b] + iq * tq
     k_start = jk * tk
 
     @pl.when(jk == 0)
@@ -98,7 +102,9 @@ def _flash_kernel(
         m = m_ref[:, :1]
         l = l_ref[:, :1]
         if use_sink:
-            sink = sink_ref[0, 0][None, None].astype(jnp.float32)
+            # whole [n_q, 1] table lives in SMEM (Mosaic rejects sub-blocked
+            # SMEM specs); pick this grid step's head scalar
+            sink = sink_ref[h, 0][None, None].astype(jnp.float32)
             m_new = jnp.maximum(m, sink)
             l = l * jnp.exp(m - m_new) + jnp.exp(sink - m_new)
             acc = acc_ref[:] * jnp.exp(m - m_new)
@@ -116,14 +122,20 @@ def flash_attention(
     q: jax.Array,  # [B, T, n_q, D]
     k: jax.Array,  # [B, S, n_kv, D]
     v: jax.Array,  # [B, S, n_kv, D]
-    lens: jax.Array,  # [B] int32 valid lengths (causal over positions 0..len)
+    lens: jax.Array,  # [B] int32 TOTAL context length (keys 0..len-1 valid)
     sinks: Optional[jax.Array] = None,  # [n_q]
     window: Optional[int] = None,
     sm_scale: Optional[float] = None,
     block_q: int = 256,
     block_k: int = 256,
+    q_offsets: Optional[jax.Array] = None,  # [B] absolute position of q[:, 0]
     interpret: bool = False,
 ) -> jax.Array:
+    """q_offsets enables CHUNKED prefill: the T query rows of row b sit at
+    absolute positions q_offsets[b]..q_offsets[b]+T-1 of a context of
+    lens[b] keys (the engine's unified-step contract, engine/step.py). The
+    default (None -> 0) is classic full-sequence prefill where lens is also
+    the q length."""
     B, T, n_q, D = q.shape
     S, n_kv = k.shape[1], k.shape[2]
     G = n_q // n_kv
@@ -161,7 +173,7 @@ def flash_attention(
         g=G,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, tq, D), lambda b, h, i, j, *_: (b, h, i, 0), memory_space=pltpu.VMEM),
@@ -169,7 +181,9 @@ def flash_attention(
             # does the grouping
             pl.BlockSpec((1, 1, tk, D), lambda b, h, i, j, *_: (b, h // G, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tk, D), lambda b, h, i, j, *_: (b, h // G, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b, h, i, j, *_: (h, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (n_q, 1), lambda b, h, i, j, *_: (0, 0), memory_space=pltpu.SMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, tq, D), lambda b, h, i, j, *_: (b, h, i, 0), memory_space=pltpu.VMEM
@@ -180,10 +194,15 @@ def flash_attention(
             pltpu.VMEM((tq, 128), jnp.float32),
         ],
     )
+    qoff = (
+        jnp.zeros((B,), jnp.int32)
+        if q_offsets is None
+        else q_offsets.astype(jnp.int32)
+    )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_q, Tp, D), q.dtype),
         interpret=interpret,
-    )(lens.astype(jnp.int32), qh, kh, vh, sinks_h)
+    )(lens.astype(jnp.int32), qoff, qh, kh, vh, sinks_h)
     return out.transpose(0, 2, 1, 3)[:, :T]

@@ -98,6 +98,58 @@ def paged_attention_decode_sharded(
     return fn(*args)
 
 
+def flash_attention_prefill_sharded(
+    q: jax.Array,  # [B, T, n_q, D]
+    k_ctx: jax.Array,  # [B, S, KV, D] gathered logical context, head-sharded
+    v_ctx: jax.Array,
+    lens: jax.Array,  # [B] total context length
+    q_offsets: jax.Array,  # [B] absolute position of q[:, 0]
+    mesh: Mesh,
+    sinks: Optional[jax.Array] = None,  # [n_q]
+    window: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-shard flash prefill on the local head band (STATUS r2 known-gap:
+    prefill under a mesh used to fall back to the XLA gather-einsum path).
+
+    Heads shard contiguously over 'model' exactly like the decode kernel
+    above, so the GQA grouping (q head h reads kv head h // G) survives the
+    split whenever tp divides num_kv_heads. No collectives — prefill
+    attention is head-parallel; the surrounding o-proj matmul reduces over
+    the sharded head dim via GSPMD as before.
+    """
+    from gpt_oss_vllm_tpu.ops.flash_attention import flash_attention
+
+    have_sinks = sinks is not None
+
+    def shard_fn(ql, kl, vl, ln, qo, *sk):
+        return flash_attention(
+            ql, kl, vl, ln,
+            sinks=sk[0] if have_sinks else None,
+            window=window, q_offsets=qo, interpret=interpret,
+        )
+
+    in_specs = [
+        P(None, None, "model", None),  # q heads
+        P(None, None, "model", None),  # kv heads
+        P(None, None, "model", None),
+        P(None),
+        P(None),
+    ]
+    args = [q, k_ctx, v_ctx, lens, q_offsets]
+    if have_sinks:
+        in_specs.append(P("model"))
+        args.append(sinks)
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=P(None, None, "model", None),
+        check_vma=False,
+    )
+    return fn(*args)
+
+
 def moe_block_gmm_sharded(
     x: jax.Array,  # [T, H] (replicated — decode-sized token counts)
     router_w: jax.Array,

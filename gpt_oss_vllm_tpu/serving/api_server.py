@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import asyncio
+import dataclasses
 import json
 import logging
 import time
@@ -560,6 +561,41 @@ def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
         from gpt_oss_vllm_tpu.models.params import random_params
 
         params = random_params(config.model, quant, seed=0)
+    elif getattr(args, "random_full", False):
+        # full-size GPT-OSS-20B with random weights: the serving-path bench
+        # configuration (no checkpoint artifact exists in this environment;
+        # perf is weight-value independent modulo routing entropy — see
+        # CLAUDE.md "routing honesty")
+        tokenizer = get_tokenizer("byte")
+        model_cfg = dataclasses.replace(ModelConfig(), tie_word_embeddings=True)
+        mml = args.max_model_len or 512
+        nseq = getattr(args, "max_num_seqs", 16)
+        bps = mml // 16 + 2
+        config = EngineConfig(
+            model=model_cfg,
+            quant=quant,
+            cache=CacheConfig(block_size=16, num_blocks=nseq * bps + 8,
+                              max_blocks_per_seq=bps, dtype=kv_dtype,
+                              enable_prefix_caching=False),
+            scheduler=SchedulerConfig(
+                max_num_seqs=nseq, max_model_len=mml,
+                spec_tokens=args.spec_tokens,
+                async_depth=getattr(args, "async_depth", 8),
+            ),
+            serving=ServingConfig(served_model_name="gpt-oss-20b-random", port=args.port),
+        )
+        from gpt_oss_vllm_tpu.models.params import random_params_on_device
+
+        # temporary: no caller-held reference (engine repacks in place)
+        return (
+            InferenceEngine(
+                config,
+                random_params_on_device(model_cfg, quant, seed=0, sync_every_layer=True),
+                attn_backend=args.attn_backend,
+            ),
+            tokenizer,
+            config,
+        )
     elif args.checkpoint:
         from gpt_oss_vllm_tpu.checkpoint.store import TensorStore
         from gpt_oss_vllm_tpu.models.params import load_params_from_store
@@ -592,6 +628,15 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--checkpoint", default=None, help="native TensorStore dir")
     ap.add_argument("--tiny", action="store_true", help="tiny random model (smoke)")
+    ap.add_argument(
+        "--random-full", dest="random_full", action="store_true",
+        help="full-size GPT-OSS-20B with random weights (serving-path bench)",
+    )
+    ap.add_argument("--max-num-seqs", dest="max_num_seqs", type=int, default=16)
+    ap.add_argument(
+        "--async-depth", dest="async_depth", type=int, default=8,
+        help="in-flight decode steps (tunnel-attached chip wants 4-8)",
+    )
     ap.add_argument("--quant", default="nf4", choices=["nf4", "mxfp4", "none"])
     ap.add_argument("--tokenizer", default="o200k_harmony")
     ap.add_argument("--max-model-len", type=int, default=None)

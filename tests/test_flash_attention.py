@@ -44,3 +44,41 @@ def test_flash_ragged_lengths(rng):
 def test_flash_non_tile_multiple_seq(rng):
     got, want, _ = _run_both(rng, T=48, block=32)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_chunked_prefill_offsets(rng):
+    """q_offsets: a T-row chunk at absolute positions off..off+T-1 attending
+    against a longer gathered context (the engine's chunked-prefill contract,
+    engine/step.py) must match the oracle slice of full-sequence attention."""
+    B, S, T, n_q, n_kv, D = 2, 96, 32, 4, 2, 32
+    offs = [64, 40]  # row 1's context is shorter than the gathered buffer
+    lens = [96, 72]
+    q_full = jnp.asarray(rng.normal(size=(B, S, n_q, D)), dtype=jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, n_kv, D)), dtype=jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, n_kv, D)), dtype=jnp.float32)
+    s = jnp.asarray(rng.normal(size=(n_q,)), dtype=jnp.float32)
+    for window in (None, 24):
+        # oracle: full-sequence attention, then slice each row's chunk
+        pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+        lens_arr = jnp.asarray(lens, jnp.int32)
+        mask = attention_mask(pos, pos, window)
+        mask = mask & (pos[:, None, :] < lens_arr[:, None, None]) & (
+            pos[:, :, None] < lens_arr[:, None, None]
+        )
+        want_full = np.asarray(mha_reference(q_full, k, v, s, mask))
+        q_chunk = jnp.stack([q_full[b, offs[b] : offs[b] + T] for b in range(B)])
+        got = np.asarray(
+            flash_attention(
+                q_chunk, k, v, lens_arr, sinks=s, window=window,
+                q_offsets=jnp.asarray(offs, jnp.int32),
+                block_q=16, block_k=32, interpret=True,
+            )
+        )
+        for b in range(B):
+            nvalid = min(T, lens[b] - offs[b])
+            np.testing.assert_allclose(
+                got[b, :nvalid],
+                want_full[b, offs[b] : offs[b] + nvalid],
+                rtol=2e-4, atol=2e-4,
+                err_msg=f"window={window} row={b}",
+            )
