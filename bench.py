@@ -151,10 +151,12 @@ def time_decode(cfg, params, cache_cfg, quant_backend, batch, n_steps, reps=3):
     return batch / best, best
 
 
-def time_prefill(cfg, params, cache_cfg, quant_backend):
+def time_prefill(cfg, params, cache_cfg, quant_backend, attn_backend="xla",
+                 prefill_len=PREFILL_LEN):
     cache = KVCache.create(cfg, cache_cfg)
     mb = cache_cfg.max_blocks_per_seq
-    nblk = PREFILL_LEN // cache_cfg.block_size + 1
+    nblk = prefill_len // cache_cfg.block_size + 1
+    assert nblk <= mb and nblk <= cache_cfg.num_blocks
     bt = np.full((1, mb), -1, dtype=np.int32)
     bt[0, :nblk] = np.arange(nblk)
     step = jax.jit(
@@ -162,7 +164,7 @@ def time_prefill(cfg, params, cache_cfg, quant_backend):
             model_step,
             cfg=cfg,
             moe_strategy="auto",
-            attn_backend="xla",
+            attn_backend=attn_backend,
             quant_backend=quant_backend,
         ),
         donate_argnames=("cache",),
@@ -170,10 +172,10 @@ def time_prefill(cfg, params, cache_cfg, quant_backend):
     # diverse prompt tokens — a constant prompt routes every position to the
     # same few experts (see time_decode), under-counting prefill dequant work
     tokens = jax.random.randint(
-        jax.random.PRNGKey(11), (1, PREFILL_LEN), 0, cfg.vocab_size, dtype=jnp.int32
+        jax.random.PRNGKey(11), (1, prefill_len), 0, cfg.vocab_size, dtype=jnp.int32
     )
-    positions = jnp.arange(PREFILL_LEN, dtype=jnp.int32)[None]
-    last = jnp.asarray([PREFILL_LEN - 1], jnp.int32)
+    positions = jnp.arange(prefill_len, dtype=jnp.int32)[None]
+    last = jnp.asarray([prefill_len - 1], jnp.int32)
     btj = jnp.asarray(bt)
     out = step(params, cache=cache, tokens=tokens, positions=positions,
                block_tables=btj, last_idx=last)
@@ -211,6 +213,21 @@ def main():
         help="mxfp4 = GPT-OSS's NATIVE checkpoint format (the one the "
              "reference had to override away; headline config); nf4 = the "
              "reference's retrofit BnB format",
+    )
+    ap.add_argument(
+        "--prefill-len", type=int, default=PREFILL_LEN,
+        help="prompt length for the TTFT measurement (manual long-context "
+             "runs; the driver's timed default stays 128)",
+    )
+    ap.add_argument(
+        "--attn-backend", default="xla", choices=["xla", "pallas"],
+        help="prefill attention path for the TTFT measurement: xla = masked "
+             "gather-einsum, pallas = flash kernel (causal/window tile "
+             "skipping — the long-context path)",
+    )
+    ap.add_argument(
+        "--skip-decode", action="store_true",
+        help="measure prefill TTFT only (fast A/B reruns off the jit cache)",
     )
     ap.add_argument(
         "--vocab8", action=argparse.BooleanOptionalAction, default=True,
@@ -253,20 +270,28 @@ def main():
             time.sleep(2.0)  # let deferred frees drain
             log(f"params ready ({layers} layers) in {time.monotonic() - t0:.1f}s")
             cache_cfg = CacheConfig(block_size=16, num_blocks=160, max_blocks_per_seq=16)
-            tok_s_b1, step_lat = time_decode(c, params, cache_cfg, quant_backend, 1, DECODE_STEPS)
-            log(f"batch=1 decode: {tok_s_b1:.2f} tok/s ({step_lat * 1e3:.1f} ms/step)")
-            for bb in (8, 64):
-                try:
-                    cc_b = CacheConfig(
-                        block_size=16, num_blocks=12 * bb + 16, max_blocks_per_seq=16
-                    )
-                    tok_s_bb, _ = time_decode(c, params, cc_b, quant_backend, bb, DECODE_STEPS)
-                    log(f"batch={bb} decode: {tok_s_bb:.2f} tok/s total")
-                except Exception as e:
-                    log(f"batch={bb} decode failed: {type(e).__name__}: {str(e)[:200]}")
+            if not args.skip_decode:
+                tok_s_b1, step_lat = time_decode(c, params, cache_cfg, quant_backend, 1, DECODE_STEPS)
+                log(f"batch=1 decode: {tok_s_b1:.2f} tok/s ({step_lat * 1e3:.1f} ms/step)")
+                for bb in (8, 64):
+                    try:
+                        cc_b = CacheConfig(
+                            block_size=16, num_blocks=12 * bb + 16, max_blocks_per_seq=16
+                        )
+                        tok_s_bb, _ = time_decode(c, params, cc_b, quant_backend, bb, DECODE_STEPS)
+                        log(f"batch={bb} decode: {tok_s_bb:.2f} tok/s total")
+                    except Exception as e:
+                        log(f"batch={bb} decode failed: {type(e).__name__}: {str(e)[:200]}")
             try:
-                ttft = time_prefill(c, params, cache_cfg, quant_backend)
-                log(f"prefill {PREFILL_LEN} tokens: {ttft * 1e3:.1f} ms (TTFT)")
+                nblk = args.prefill_len // 16 + 2
+                pf_cache = CacheConfig(
+                    block_size=16, num_blocks=nblk + 2, max_blocks_per_seq=nblk
+                )
+                ttft = time_prefill(c, params, pf_cache, quant_backend,
+                                    attn_backend=args.attn_backend,
+                                    prefill_len=args.prefill_len)
+                log(f"prefill {args.prefill_len} tokens ({args.attn_backend}): "
+                    f"{ttft * 1e3:.1f} ms (TTFT)")
             except Exception as e:
                 log(f"prefill failed: {type(e).__name__}: {str(e)[:200]}")
             break
@@ -292,6 +317,18 @@ def main():
             else:
                 raise
 
+    if args.skip_decode:
+        print(
+            json.dumps(
+                {
+                    "metric": f"prefill_ttft_ms_{args.prefill_len}_{args.quant}_{args.attn_backend}",
+                    "value": round(ttft * 1e3, 1),
+                    "unit": "ms",
+                    "vs_baseline": 0,
+                }
+            )
+        )
+        return
     print(
         json.dumps(
             {

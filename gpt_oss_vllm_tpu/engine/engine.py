@@ -89,7 +89,7 @@ class InferenceEngine:
                 # decode (ops.moe_ffn_fused); bit-lossless row repack.
                 # drain_every bounds the async-free transient so a
                 # serving-sized KV pool still fits beside the repack
-                params = section_glu_experts(params, drain_every=4)
+                params = section_glu_experts(params, drain_every=1)
                 # drain the repack's deferred frees before any further
                 # allocation: on this backend frees are async, and at 24
                 # layers the headroom is tens of MB — without the drain even
@@ -212,6 +212,11 @@ class InferenceEngine:
         # does, and the block tables only when a block is added/released
         self._samp_key = None
         self._samp_dev = None
+        # device-chained decode positions/counters (async path); None =
+        # rebuild from host mirrors. Defined for all engines so the sync
+        # fallback can invalidate it unconditionally.
+        self._pos_dev = None
+        self._ctr_dev = None
         self._bt_version = 0
         self._bt_dev = None
         self._bt_dev_version = -1
@@ -227,10 +232,22 @@ class InferenceEngine:
                 nxt = sample_tokens_seeded(
                     out.logits, seeds, ctrs, temp, top_p, top_k, min_p
                 )
-                return out.cache, nxt
+                # chain positions/counters ON DEVICE: between batch-
+                # composition changes every running row advances by exactly
+                # one token per step, so the host never re-uploads them —
+                # on a tunnel-attached chip each per-step host->device hop
+                # costs most of a ~23 ms RTT on the dispatch critical path
+                # (measured: the engine loop ran 24 tok/s against a 95 tok/s
+                # kernel before this). Empty rows stay parked at -1.
+                new_pos = jnp.where(positions >= 0, positions + 1, positions)
+                return out.cache, nxt, new_pos, ctrs + 1
 
             self._decode_fused = jax.jit(fused_step, donate_argnames=("cache",))
             self._dev_last_tok = jnp.zeros((self.num_slots,), jnp.int32)
+            # device-chained decode state; None = must rebuild from host
+            # mirrors (composition change, sync-path interleave, preemption)
+            self._pos_dev = None
+            self._ctr_dev = None
             # NO donation: the in-flight pending step may still hold this
             # buffer as its sampled-token array
             self._dev_set_tok = jax.jit(lambda a, i, v: a.at[i].set(v))
@@ -736,22 +753,12 @@ class InferenceEngine:
         device compute, removing the host sync from the decode critical path
         (SchedulerConfig.async_decode)."""
         B = self.num_slots
-        positions = np.full((B,), -1, dtype=np.int32)
-        ctrs = np.zeros(B, np.int32)
-        # in-flight sampled-but-unemitted tokens per (row, request) — keyed
-        # by the REQUEST: a finished request's leftover in-flight steps must
-        # not inflate a slot-reusing newcomer's draw counter
-        inflight: Dict[tuple, int] = {}
-        for snapshot, _ in self._pending:
-            for row, r in snapshot:
-                inflight[(row, id(r))] = inflight.get((row, id(r)), 0) + 1
-        for i, req in running:
-            positions[i] = self.seq_lens[i] - 1
-            # draw counter = tokens sampled so far, INCLUDING the not-yet-
-            # emitted in-flight ones (same stream as the sync path)
-            ctrs[i] = len(req.output_token_ids) + inflight.get((i, id(req)), 0)
-        # per-slot sampling params: re-uploaded only when the batch
-        # composition changes (each upload is a host->device hop)
+        # per-slot sampling params AND the position/counter chain: re-uploaded
+        # only when the batch composition changes or the chain was invalidated
+        # (sync-path interleave / preemption). Between rebuilds the fused step
+        # advances positions and draw counters ON DEVICE — steady-state decode
+        # dispatch does zero host->device uploads (block tables excepted, once
+        # per crossed block boundary).
         key = tuple((i, id(r)) for i, r in running)
         if key != self._samp_key:
             seeds = np.zeros(B, np.int32)
@@ -770,18 +777,36 @@ class InferenceEngine:
                 jnp.asarray(a) for a in (seeds, temp, top_p, top_k, min_p)
             )
             self._samp_key = key
+            self._pos_dev = None  # composition changed: rebuild the chain
+        if self._pos_dev is None:
+            positions = np.full((B,), -1, dtype=np.int32)
+            ctrs = np.zeros(B, np.int32)
+            # in-flight sampled-but-unemitted tokens per (row, request) —
+            # keyed by the REQUEST: a finished request's leftover in-flight
+            # steps must not inflate a slot-reusing newcomer's draw counter
+            inflight: Dict[tuple, int] = {}
+            for snapshot, _ in self._pending:
+                for row, r in snapshot:
+                    inflight[(row, id(r))] = inflight.get((row, id(r)), 0) + 1
+            for i, req in running:
+                positions[i] = self.seq_lens[i] - 1
+                # draw counter = tokens sampled so far, INCLUDING the not-
+                # yet-emitted in-flight ones (same stream as the sync path)
+                ctrs[i] = len(req.output_token_ids) + inflight.get((i, id(req)), 0)
+            self._pos_dev = jnp.asarray(positions)
+            self._ctr_dev = jnp.asarray(ctrs)
         if self._bt_dev_version != self._bt_version:
             self._bt_dev = jnp.asarray(self.block_tables)
             self._bt_dev_version = self._bt_version
         seeds_d, temp_d, top_p_d, top_k_d, min_p_d = self._samp_dev
-        cache, nxt = self._decode_fused(
+        cache, nxt, self._pos_dev, self._ctr_dev = self._decode_fused(
             self.params,
             self.cache,
             self._dev_last_tok,
-            jnp.asarray(positions),
+            self._pos_dev,
             self._bt_dev,
             seeds_d,
-            jnp.asarray(ctrs),
+            self._ctr_dev,
             temp_d,
             top_p_d,
             top_k_d,
@@ -816,7 +841,10 @@ class InferenceEngine:
         if self.async_decode and all(self._plain_sampling(r) for _, r in running):
             return truncated + self._decode_async_step(running)
         # sync fallback (logprobs/penalties/bias/min_tokens or spec decode):
-        # host state must be exact before sampling decisions
+        # host state must be exact before sampling decisions. Positions
+        # advance host-side here, so the device position/counter chain is
+        # stale even if the batch composition survives — force a rebuild.
+        self._pos_dev = None
         truncated.extend(self._flush_pending())
         running = [(i, r) for i, r in enumerate(self.slots) if r is not None]
         if not running:

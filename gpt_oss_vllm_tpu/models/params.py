@@ -351,6 +351,33 @@ def random_params(
     )
 
 
+def prepare_serving_params(
+    cfg: ModelConfig, quant: QuantConfig, seed: int = 0
+) -> ModelParams:
+    """Full-size random weights in the final single-shard SERVING layout
+    (fused qkv + glu4 expert sections), with the repack transient drained
+    BEFORE the caller allocates anything else.
+
+    Order matters on the tunnel-attached chip: doing the glu4 repack after
+    a serving-sized KV pool is resident OOMs (the repack's alloc/free
+    transient needs the headroom the pool just took), while repack-first
+    then pool-after is the proven bench.py ordering. The engine's own
+    fuse/section passes become no-ops on these params.
+    """
+    import time as _time
+
+    import numpy as _np
+
+    params = fuse_qkv(
+        random_params_on_device(cfg, quant, seed=seed, sync_every_layer=True)
+    )
+    if quant.enabled and quant.backend == "pallas" and jax.default_backend() == "tpu":
+        params = section_glu_experts(params, drain_every=1)
+        _np.asarray(jax.tree_util.tree_leaves(params.layers[0].attn_norm)[0][:1])
+        _time.sleep(2.0)
+    return params
+
+
 def section_glu_experts(params: ModelParams, drain_every: int = 0) -> ModelParams:
     """Re-store packed gate_up projections (and their biases) in the glu4
     serving layout (quant.tensor.section_glu4) — the storage order that lets
@@ -381,11 +408,15 @@ def section_glu_experts(params: ModelParams, drain_every: int = 0) -> ModelParam
             # the 24 freed multi-hundred-MB flat tensors pile up behind the
             # repack allocs and the transient peak OOMs once the KV pool is
             # serving-sized (observed: 456-block pool + repack at 24L mxfp4).
-            # A value readback is the only real sync on axon (CLAUDE.md).
+            # A value readback is the only real sync on axon (CLAUDE.md), and
+            # frees still land a beat AFTER the sync — hence the settle sleep.
+            import time as _time
+
             import numpy as _np
 
             t = params.layers[i].w_gate_up.qdata
             _np.asarray(t[tuple(0 for _ in t.shape[:-1]) + (slice(0, 1),)])
+            _time.sleep(0.25)
     return params
 
 

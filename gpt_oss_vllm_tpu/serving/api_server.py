@@ -584,13 +584,13 @@ def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
             ),
             serving=ServingConfig(served_model_name="gpt-oss-20b-random", port=args.port),
         )
-        from gpt_oss_vllm_tpu.models.params import random_params_on_device
+        from gpt_oss_vllm_tpu.models.params import prepare_serving_params
 
-        # temporary: no caller-held reference (engine repacks in place)
+        # repacked-before-engine temporary (see prepare_serving_params)
         return (
             InferenceEngine(
                 config,
-                random_params_on_device(model_cfg, quant, seed=0, sync_every_layer=True),
+                prepare_serving_params(model_cfg, quant, seed=0),
                 attn_backend=args.attn_backend,
             ),
             tokenizer,

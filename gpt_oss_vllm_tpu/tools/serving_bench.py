@@ -138,7 +138,7 @@ def main(argv=None):
         CacheConfig, EngineConfig, ModelConfig, QuantConfig, SchedulerConfig,
     )
     from gpt_oss_vllm_tpu.engine.engine import InferenceEngine
-    from gpt_oss_vllm_tpu.models.params import random_params_on_device
+    from gpt_oss_vllm_tpu.models.params import prepare_serving_params
 
     mc = dataclasses.replace(
         ModelConfig(),
@@ -168,12 +168,10 @@ def main(argv=None):
     log(f"backend={backend} quant={args.quant} vocab8={args.vocab8} "
         f"layers={mc.num_layers} async={not args.sync_decode}")
     t0 = time.monotonic()
-    # pass params as a TEMPORARY: a caller-held reference would keep every
-    # pre-repack tensor alive through the engine's fuse/section passes
-    # (+~7 GB => OOM at 24 layers)
-    engine = InferenceEngine(
-        cfg, random_params_on_device(mc, quant, seed=0, sync_every_layer=True)
-    )
+    # repack BEFORE the engine allocates its KV pool (see
+    # prepare_serving_params: pool-first + repack OOMs at 24L), and pass as
+    # a TEMPORARY so no pre-repack tensor stays alive
+    engine = InferenceEngine(cfg, prepare_serving_params(mc, quant, seed=0))
     log(f"params + engine ready in {time.monotonic() - t0:.1f}s")
     rtt = measure_readback_rtt() if backend == "tpu" else 0.0
     log(f"device->host readback RTT (tunnel tax per host sync): {rtt * 1e3:.1f} ms")

@@ -220,3 +220,16 @@ def test_fuse_qkv_parity(cfg, dense_params):
     assert fused.layers[0].wqkv is not None and fused.layers[0].wq is None
     got = forward(fused, cfg, toks)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_prepare_serving_params_layout():
+    """prepare_serving_params returns the final single-shard serving layout
+    (fused qkv; glu4 sectioning is TPU-only so row order stays 'flat' on
+    CPU) and the engine's own passes no-op on it."""
+    from gpt_oss_vllm_tpu.config import ModelConfig, QuantConfig
+    from gpt_oss_vllm_tpu.models.params import prepare_serving_params
+
+    cfg = ModelConfig.tiny()
+    p = prepare_serving_params(cfg, QuantConfig(method="nf4"), seed=3)
+    assert p.layers[0].wqkv is not None and p.layers[0].wq is None
+    assert p.layers[0].w_gate_up.row_layout == "flat"  # CPU: no glu4 repack

@@ -175,3 +175,28 @@ def test_gmm_prefill_sized_pairs_interpret():
         np.asarray(got, np.float32), np.asarray(oracle, np.float32),
         rtol=3e-2, atol=3e-3,
     )
+
+
+def test_gmm_token_cap_slicing(monkeypatch):
+    """Token batches above GMM_TOKEN_CAP run the gmm kernel per slice and
+    concatenate — the path that lets 512-token prefill chunks compile inside
+    the 16 MB scoped-VMEM limit on chip. Sliced result must equal the
+    unsliced oracle exactly (routing is per-token; slicing changes nothing)."""
+    import gpt_oss_vllm_tpu.ops.moe as moe_mod
+    from gpt_oss_vllm_tpu.config import ModelConfig, QuantConfig
+    from gpt_oss_vllm_tpu.models.params import random_params
+
+    cfg = ModelConfig.tiny(num_experts=8, experts_per_token=2)
+    params = random_params(cfg, QuantConfig(method="nf4"), seed=9)
+    l = params.layers[0]
+    x = jax.random.normal(jax.random.PRNGKey(3), (10, cfg.hidden_size), jnp.bfloat16)
+    want = moe_mod.moe_block(
+        x, l.router_w, l.router_b, l.w_gate_up, l.b_gate_up, l.w_down, l.b_down,
+        cfg, strategy="gmm", backend="pallas_interpret",
+    )
+    monkeypatch.setattr(moe_mod, "GMM_TOKEN_CAP", 4)
+    got = moe_mod.moe_block(
+        x, l.router_w, l.router_b, l.w_gate_up, l.b_gate_up, l.w_down, l.b_down,
+        cfg, strategy="gmm", backend="pallas_interpret",
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
