@@ -235,6 +235,14 @@ class SchedulerConfig:
     # PCIe host needs only 1-2). Finished requests waste at most
     # async_depth trailing steps.
     async_depth: int = 2
+    # tokens are read back in BURSTS of this many steps, stacked on device
+    # into one array first — one device->host round trip per burst instead
+    # of per step (measured on the tunnel-attached chip: ~14 ms/step of
+    # readback tax at burst 1 even with async copies; a burst of 8 cuts it
+    # to ~2-3 ms/step). Emission lag grows to async_depth + burst steps, so
+    # the default stays 1 (per-step streaming granularity); throughput
+    # serving on a high-latency link opts into 4-8.
+    async_flush_burst: int = 1
 
 
 @dataclass(frozen=True)

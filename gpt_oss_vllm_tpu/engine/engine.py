@@ -217,21 +217,43 @@ class InferenceEngine:
         # fallback can invalidate it unconditionally.
         self._pos_dev = None
         self._ctr_dev = None
+        # jitted k-ary stack for burst token readbacks (compiled per arity)
+        self._stack_toks = None
+        self._stack_arity = -1
         self._bt_version = 0
         self._bt_dev = None
         self._bt_dev_version = -1
         if self.async_decode:
 
             def fused_step(params, cache, tokens, positions, block_tables,
-                           seeds, ctrs, temp, top_p, top_k, min_p):
+                           seeds, ctrs, temp, top_p, top_k, min_p,
+                           mode="full"):
                 out = step_fn(
                     params, cache=cache, tokens=tokens[:, None],
                     positions=positions[:, None], block_tables=block_tables,
                     last_idx=jnp.zeros(tokens.shape[0], jnp.int32),
                 )
-                nxt = sample_tokens_seeded(
-                    out.logits, seeds, ctrs, temp, top_p, top_k, min_p
-                )
+                # static sampler specialization: the full path costs two
+                # [B, 201k] sorts + cumsum + Gumbel generation EVERY step
+                # (jnp.where computes both sides) — ~6 ms/step of pure waste
+                # for the common cases (measured: engine device step 18 ms
+                # vs the 10.5 ms kernel chain before this).
+                #   greedy: every running request is temperature 0 -> argmax
+                #   plain:  default top_p/top_k/min_p -> Gumbel only, no sorts
+                if mode == "greedy":
+                    nxt = jnp.argmax(out.logits, axis=-1).astype(jnp.int32)
+                elif mode == "plain":
+                    from gpt_oss_vllm_tpu.ops.sampling import _row_gumbel
+
+                    greedy = jnp.argmax(out.logits, axis=-1).astype(jnp.int32)
+                    t = jnp.maximum(temp, 1e-6)[:, None]
+                    g = _row_gumbel(seeds, ctrs, out.logits.shape[1])
+                    sampled = jnp.argmax(out.logits / t + g, axis=-1).astype(jnp.int32)
+                    nxt = jnp.where(temp <= 0.0, greedy, sampled)
+                else:
+                    nxt = sample_tokens_seeded(
+                        out.logits, seeds, ctrs, temp, top_p, top_k, min_p
+                    )
                 # chain positions/counters ON DEVICE: between batch-
                 # composition changes every running row advances by exactly
                 # one token per step, so the host never re-uploads them —
@@ -242,7 +264,10 @@ class InferenceEngine:
                 new_pos = jnp.where(positions >= 0, positions + 1, positions)
                 return out.cache, nxt, new_pos, ctrs + 1
 
-            self._decode_fused = jax.jit(fused_step, donate_argnames=("cache",))
+            self._decode_fused = jax.jit(
+                fused_step, donate_argnames=("cache",),
+                static_argnames=("mode",),
+            )
             self._dev_last_tok = jnp.zeros((self.num_slots,), jnp.int32)
             # device-chained decode state; None = must rebuild from host
             # mirrors (composition change, sync-path interleave, preemption)
@@ -690,10 +715,7 @@ class InferenceEngine:
             and len(req.output_token_ids) >= sp.min_tokens
         )
 
-    def _flush_oldest(self) -> List[StepOutput]:
-        """Read back and emit the OLDEST in-flight async step's tokens."""
-        snapshot, dev_tokens = self._pending.popleft()
-        toks = np.asarray(dev_tokens)
+    def _emit_snapshot(self, snapshot, toks) -> List[StepOutput]:
         outputs: List[StepOutput] = []
         for row, req in snapshot:
             if req.state != RequestState.RUNNING or req.slot != row:
@@ -704,6 +726,36 @@ class InferenceEngine:
             outputs.append(out)
             if not out.finished:
                 self.last_token[row] = tok
+        return outputs
+
+    def _flush_oldest(self) -> List[StepOutput]:
+        """Read back and emit the OLDEST in-flight async step's tokens."""
+        snapshot, dev_tokens = self._pending.popleft()
+        _t0 = time.time()
+        toks = np.asarray(dev_tokens)
+        self.timer.record("async_readback", time.time() - _t0)
+        return self._emit_snapshot(snapshot, toks)
+
+    def _flush_burst(self, k: int) -> List[StepOutput]:
+        """Read back the k oldest in-flight steps with ONE device->host
+        transfer: their [B] token arrays are stacked on device and the
+        [k, B] result crosses the link once. On the tunnel-attached chip a
+        single readback costs ~half an RTT (~14 ms) no matter how old the
+        step is (async host copies don't pre-land), so per-step flushing
+        taxed decode by more than a step time; bursting amortizes it k-ways."""
+        entries = [self._pending.popleft() for _ in range(k)]
+        if self._stack_toks is None or self._stack_arity != k:
+            import jax as _jax
+
+            self._stack_toks = _jax.jit(lambda *xs: jnp.stack(xs))
+            self._stack_arity = k
+        stacked = self._stack_toks(*[e[1] for e in entries])
+        _t0 = time.time()
+        toks = np.asarray(stacked)
+        self.timer.record("async_readback", time.time() - _t0)
+        outputs: List[StepOutput] = []
+        for j, (snapshot, _) in enumerate(entries):
+            outputs.extend(self._emit_snapshot(snapshot, toks[j]))
         return outputs
 
     def _flush_pending(self) -> List[StepOutput]:
@@ -799,6 +851,18 @@ class InferenceEngine:
             self._bt_dev = jnp.asarray(self.block_tables)
             self._bt_dev_version = self._bt_version
         seeds_d, temp_d, top_p_d, top_k_d, min_p_d = self._samp_dev
+        if all(r.sampling.temperature <= 0.0 for _, r in running):
+            mode = "greedy"
+        elif all(
+            r.sampling.top_p >= 1.0
+            and r.sampling.top_k <= 0
+            and r.sampling.min_p <= 0.0
+            for _, r in running
+        ):
+            mode = "plain"
+        else:
+            mode = "full"
+        _t_dispatch = time.time()
         cache, nxt, self._pos_dev, self._ctr_dev = self._decode_fused(
             self.params,
             self.cache,
@@ -811,8 +875,10 @@ class InferenceEngine:
             top_p_d,
             top_k_d,
             min_p_d,
+            mode=mode,
         )
         self.cache = cache
+        self.timer.record("async_dispatch", time.time() - _t_dispatch)
         # start the device->host transfer NOW: by next step's flush the value
         # has already crossed the (tunnel) link, so np.asarray returns
         # immediately instead of paying a full round trip on the critical path
@@ -825,12 +891,19 @@ class InferenceEngine:
         for i, _ in running:
             self.seq_lens[i] += 1  # optimistic; _release zeroes on finish
         outputs: List[StepOutput] = []
-        # keep at most async_depth steps in flight; the oldest's transfer has
-        # had depth * step_time to cross the link, so this readback is ~free
-        while len(self._pending) >= self.async_depth + 1 or (
-            self._pending and len(self._pending[0][0]) == 0
-        ):
+        _t_flush = time.time()
+        # snapshots with no live rows cost nothing to drain eagerly
+        while self._pending and len(self._pending[0][0]) == 0:
             outputs.extend(self._flush_oldest())
+        # burst flush: keep async_depth steps in flight for compute overlap
+        # and read the older burst-of-K back as one stacked transfer
+        burst = max(1, self.config.scheduler.async_flush_burst)
+        if len(self._pending) >= self.async_depth + burst:
+            if burst == 1:
+                outputs.extend(self._flush_oldest())
+            else:
+                outputs.extend(self._flush_burst(burst))
+        self.timer.record("async_flush", time.time() - _t_flush)
         return outputs
 
     def _decode_all(self) -> List[StepOutput]:

@@ -581,6 +581,7 @@ def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
                 max_num_seqs=nseq, max_model_len=mml,
                 spec_tokens=args.spec_tokens,
                 async_depth=getattr(args, "async_depth", 8),
+                async_flush_burst=getattr(args, "flush_burst", 1),
             ),
             serving=ServingConfig(served_model_name="gpt-oss-20b-random", port=args.port),
         )
@@ -636,6 +637,11 @@ def main(argv=None):
     ap.add_argument(
         "--async-depth", dest="async_depth", type=int, default=8,
         help="in-flight decode steps (tunnel-attached chip wants 4-8)",
+    )
+    ap.add_argument(
+        "--flush-burst", dest="flush_burst", type=int, default=1,
+        help="batch token readbacks as one stacked transfer per N steps "
+             "(throughput mode on a high-latency link; raises emission lag)",
     )
     ap.add_argument("--quant", default="nf4", choices=["nf4", "mxfp4", "none"])
     ap.add_argument("--tokenizer", default="o200k_harmony")

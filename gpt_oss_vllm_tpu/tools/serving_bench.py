@@ -130,6 +130,9 @@ def main(argv=None):
     ap.add_argument("--spec-tokens", type=int, default=0)
     ap.add_argument("--async-depth", type=int, default=8,
                     help="in-flight decode steps (tunnel-attached chip wants 4-8)")
+    ap.add_argument("--flush-burst", type=int, default=8,
+                    help="token readbacks batched as one stacked transfer "
+                         "per this many steps (tunnel RTT amortization)")
     ap.add_argument("--sync-decode", action="store_true",
                     help="disable the async (overlapped-readback) decode path")
     args = ap.parse_args(argv)
@@ -163,6 +166,7 @@ def main(argv=None):
             spec_tokens=args.spec_tokens,
             async_decode=not args.sync_decode,
             async_depth=args.async_depth,
+            async_flush_burst=args.flush_burst,
         ),
     )
     log(f"backend={backend} quant={args.quant} vocab8={args.vocab8} "
@@ -181,11 +185,15 @@ def main(argv=None):
         # warm the decode program at this batch composition
         r = run_load(engine, mc.vocab_size, c, args.prompt_len, 8, seed=99)
         log(f"  (warm c={c}: {r['wall_s']}s)")
+        engine.timer.samples.clear()
         r = run_load(engine, mc.vocab_size, c, args.prompt_len, args.max_tokens)
         r["readback_rtt_ms"] = round(rtt * 1e3, 1)
         results.append(r)
         log(f"c={c}: {r['tok_s']} tok/s (steady {r['steady_tok_s']}), "
             f"TTFT p50 {r['ttft_p50_ms']} ms / p99 {r['ttft_p99_ms']} ms")
+        log(f"  phases: " + json.dumps(
+            {k: round(v["p50_ms"], 2) for k, v in engine.timer.summary().items()}
+        ))
     print(json.dumps({"metric": "serving_engine_loop", "quant": args.quant,
                       "vocab8": args.vocab8, "layers": mc.num_layers,
                       "async": not args.sync_decode, "results": results}))

@@ -516,11 +516,12 @@ def test_async_decode_matches_sync_engine():
     cfg = EngineConfig.tiny()
     params = random_params(cfg.model, cfg.quant, seed=13)
 
-    def run(async_decode, depth=2):
+    def run(async_decode, depth=2, burst=1):
         c = dataclasses.replace(
             cfg,
             scheduler=dataclasses.replace(
-                cfg.scheduler, async_decode=async_decode, async_depth=depth
+                cfg.scheduler, async_decode=async_decode, async_depth=depth,
+                async_flush_burst=burst,
             ),
         )
         eng = InferenceEngine(c, params)
@@ -538,3 +539,7 @@ def test_async_decode_matches_sync_engine():
     want = run(False)
     assert run(True) == want
     assert run(True, depth=6) == want  # deep pipeline: same streams, later emission
+    # burst flush (stacked one-transfer readbacks): same streams again, with
+    # emission lagging up to depth + burst steps
+    assert run(True, depth=2, burst=4) == want
+    assert run(True, depth=6, burst=3) == want
