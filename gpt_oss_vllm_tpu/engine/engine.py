@@ -220,6 +220,10 @@ class InferenceEngine:
         # jitted k-ary stack for burst token readbacks (compiled per arity)
         self._stack_toks = None
         self._stack_arity = -1
+        # background token-readback pipeline: (entries, Future) FIFO + a
+        # single worker thread that blocks in np.asarray off the dispatch path
+        self._rb_q: deque = deque()
+        self._rb_pool = None
         self._bt_version = 0
         self._bt_dev = None
         self._bt_dev_version = -1
@@ -737,12 +741,15 @@ class InferenceEngine:
         return self._emit_snapshot(snapshot, toks)
 
     def _flush_burst(self, k: int) -> List[StepOutput]:
-        """Read back the k oldest in-flight steps with ONE device->host
-        transfer: their [B] token arrays are stacked on device and the
-        [k, B] result crosses the link once. On the tunnel-attached chip a
-        single readback costs ~half an RTT (~14 ms) no matter how old the
-        step is (async host copies don't pre-land), so per-step flushing
-        taxed decode by more than a step time; bursting amortizes it k-ways."""
+        """Hand the k oldest in-flight steps to the background reader as ONE
+        stacked [k, B] device->host transfer, then emit whichever earlier
+        bursts have landed. On the tunnel-attached chip a readback costs
+        ~half an RTT no matter how old the step is (async host copies don't
+        pre-land) AND synchronizes the device stream — so reading on the
+        dispatch thread stalls decode for drain+RTT every burst. The worker
+        thread blocks in np.asarray instead (the GIL is released during the
+        device wait), the dispatch thread keeps the device fed, and host
+        state is only ever mutated here, in dispatch order."""
         entries = [self._pending.popleft() for _ in range(k)]
         if self._stack_toks is None or self._stack_arity != k:
             import jax as _jax
@@ -750,8 +757,23 @@ class InferenceEngine:
             self._stack_toks = _jax.jit(lambda *xs: jnp.stack(xs))
             self._stack_arity = k
         stacked = self._stack_toks(*[e[1] for e in entries])
+        if self._rb_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._rb_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="tok-readback"
+            )
+        self._rb_q.append((entries, self._rb_pool.submit(np.asarray, stacked)))
+        outputs: List[StepOutput] = []
+        # emit landed bursts (FIFO); bound in-flight readbacks to 2
+        while self._rb_q and (self._rb_q[0][1].done() or len(self._rb_q) > 2):
+            outputs.extend(self._emit_rb_front())
+        return outputs
+
+    def _emit_rb_front(self) -> List[StepOutput]:
+        entries, fut = self._rb_q.popleft()
         _t0 = time.time()
-        toks = np.asarray(stacked)
+        toks = fut.result()
         self.timer.record("async_readback", time.time() - _t0)
         outputs: List[StepOutput] = []
         for j, (snapshot, _) in enumerate(entries):
@@ -763,6 +785,9 @@ class InferenceEngine:
         scheduling decision that needs exact host state (preemption, sync
         fallback, spec drafts) and when nothing is running."""
         outputs: List[StepOutput] = []
+        # background-readback bursts are strictly OLDER than _pending entries
+        while self._rb_q:
+            outputs.extend(self._emit_rb_front())
         while self._pending:
             outputs.extend(self._flush_oldest())
         return outputs

@@ -133,6 +133,10 @@ def main(argv=None):
     ap.add_argument("--flush-burst", type=int, default=8,
                     help="token readbacks batched as one stacked transfer "
                          "per this many steps (tunnel RTT amortization)")
+    ap.add_argument("--attn-backend", default="auto",
+                    choices=["auto", "xla", "pallas"],
+                    help="decode attention path A/B: pallas paged kernel vs "
+                         "XLA gather (short contexts can favor the gather)")
     ap.add_argument("--sync-decode", action="store_true",
                     help="disable the async (overlapped-readback) decode path")
     args = ap.parse_args(argv)
@@ -175,7 +179,10 @@ def main(argv=None):
     # repack BEFORE the engine allocates its KV pool (see
     # prepare_serving_params: pool-first + repack OOMs at 24L), and pass as
     # a TEMPORARY so no pre-repack tensor stays alive
-    engine = InferenceEngine(cfg, prepare_serving_params(mc, quant, seed=0))
+    engine = InferenceEngine(
+        cfg, prepare_serving_params(mc, quant, seed=0),
+        attn_backend=args.attn_backend,
+    )
     log(f"params + engine ready in {time.monotonic() - t0:.1f}s")
     rtt = measure_readback_rtt() if backend == "tpu" else 0.0
     log(f"device->host readback RTT (tunnel tax per host sync): {rtt * 1e3:.1f} ms")
