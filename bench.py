@@ -36,9 +36,12 @@ import jax.numpy as jnp
 import numpy as np
 
 # Persistent compile cache: the 24-layer step program takes minutes through
-# the remote-compile helper; caching makes reruns start in seconds.
+# the remote-compile helper; caching makes reruns start in seconds. Threshold
+# 0: the dozens of SMALL programs (param gen, cache init, stacking) each cost
+# a remote-compile round trip too — at 5.0 s they were never cached and cold
+# param generation alone ate ~280 s of the driver's 590 s window (r2 timeout).
 jax.config.update("jax_compilation_cache_dir", "/tmp/gpt_oss_tpu_jit_cache_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from gpt_oss_vllm_tpu.utils.platform import ensure_platform
 
@@ -230,13 +233,29 @@ def main():
         help="measure prefill TTFT only (fast A/B reruns off the jit cache)",
     )
     ap.add_argument(
+        "--budget", type=float,
+        default=float(os.environ.get("BENCH_BUDGET_S", "560")),
+        help="total wall-clock budget (s): the headline JSON is printed the "
+             "moment the b1 number exists; secondary measurements (batched "
+             "decode, prefill TTFT) run only while time remains",
+    )
+    ap.add_argument(
         "--vocab8", action=argparse.BooleanOptionalAction, default=True,
         help="per-row int8 vocab table: halves the lm_head read (the largest "
              "fixed per-step cost) and frees ~0.58 GB HBM (default on; "
              "--no-vocab8 for the reference's fp16-vocab partition)",
     )
     args = ap.parse_args()
-    log(f"devices: {jax.devices()}  backend: {jax.default_backend()}")
+    os.environ.setdefault("GPT_OSS_GEN_PROGRESS", "1")
+    t_start = time.monotonic()
+
+    def elapsed():
+        return time.monotonic() - t_start
+
+    def remaining():
+        return args.budget - elapsed()
+
+    log(f"[t+{elapsed():.0f}s] devices: {jax.devices()}  backend: {jax.default_backend()}")
     on_tpu = jax.default_backend() == "tpu"
     quant_backend = "pallas" if on_tpu else "xla"
     # Full GPT-OSS-20B architecture. tie_word_embeddings: the decode compute
@@ -263,37 +282,62 @@ def main():
             c = dataclasses.replace(cfg, num_layers=layers)
             t0 = time.monotonic()
             params = fuse_qkv(random_params_on_device(c, quant, seed=0, sync_every_layer=True))
+            log(f"[t+{elapsed():.0f}s] raw params generated ({layers} layers)")
             if quant_backend == "pallas":
                 from gpt_oss_vllm_tpu.models.params import section_glu_experts
 
                 params = section_glu_experts(params)
+                log(f"[t+{elapsed():.0f}s] glu4 sectioning done")
             time.sleep(2.0)  # let deferred frees drain
-            log(f"params ready ({layers} layers) in {time.monotonic() - t0:.1f}s")
+            log(f"[t+{elapsed():.0f}s] params ready ({layers} layers) "
+                f"in {time.monotonic() - t0:.1f}s")
             cache_cfg = CacheConfig(block_size=16, num_blocks=160, max_blocks_per_seq=16)
             if not args.skip_decode:
                 tok_s_b1, step_lat = time_decode(c, params, cache_cfg, quant_backend, 1, DECODE_STEPS)
-                log(f"batch=1 decode: {tok_s_b1:.2f} tok/s ({step_lat * 1e3:.1f} ms/step)")
+                log(f"[t+{elapsed():.0f}s] batch=1 decode: {tok_s_b1:.2f} tok/s "
+                    f"({step_lat * 1e3:.1f} ms/step)")
+                # HEADLINE OUT FIRST: everything below is secondary evidence;
+                # the driver's audit window must never again close on an
+                # unprinted number (BENCH_r02 rc=124, VERDICT r2 missing #1)
+                print(
+                    json.dumps(
+                        {
+                            "metric": metric,
+                            "value": round(tok_s_b1, 2),
+                            "unit": "tok/s",
+                            "vs_baseline": round(tok_s_b1 / BASELINE_TOK_S, 2),
+                        }
+                    ),
+                    flush=True,
+                )
                 for bb in (8, 64):
+                    if remaining() < 90:
+                        log(f"[t+{elapsed():.0f}s] budget: skipping batch={bb}")
+                        continue
                     try:
                         cc_b = CacheConfig(
                             block_size=16, num_blocks=12 * bb + 16, max_blocks_per_seq=16
                         )
                         tok_s_bb, _ = time_decode(c, params, cc_b, quant_backend, bb, DECODE_STEPS)
-                        log(f"batch={bb} decode: {tok_s_bb:.2f} tok/s total")
+                        log(f"[t+{elapsed():.0f}s] batch={bb} decode: {tok_s_bb:.2f} tok/s total")
                     except Exception as e:
                         log(f"batch={bb} decode failed: {type(e).__name__}: {str(e)[:200]}")
-            try:
-                nblk = args.prefill_len // 16 + 2
-                pf_cache = CacheConfig(
-                    block_size=16, num_blocks=nblk + 2, max_blocks_per_seq=nblk
-                )
-                ttft = time_prefill(c, params, pf_cache, quant_backend,
-                                    attn_backend=args.attn_backend,
-                                    prefill_len=args.prefill_len)
-                log(f"prefill {args.prefill_len} tokens ({args.attn_backend}): "
-                    f"{ttft * 1e3:.1f} ms (TTFT)")
-            except Exception as e:
-                log(f"prefill failed: {type(e).__name__}: {str(e)[:200]}")
+            ttft = None
+            if args.skip_decode or remaining() > 90:
+                try:
+                    nblk = args.prefill_len // 16 + 2
+                    pf_cache = CacheConfig(
+                        block_size=16, num_blocks=nblk + 2, max_blocks_per_seq=nblk
+                    )
+                    ttft = time_prefill(c, params, pf_cache, quant_backend,
+                                        attn_backend=args.attn_backend,
+                                        prefill_len=args.prefill_len)
+                    log(f"[t+{elapsed():.0f}s] prefill {args.prefill_len} tokens "
+                        f"({args.attn_backend}): {ttft * 1e3:.1f} ms (TTFT)")
+                except Exception as e:
+                    log(f"prefill failed: {type(e).__name__}: {str(e)[:200]}")
+            else:
+                log(f"[t+{elapsed():.0f}s] budget: skipping prefill TTFT")
             break
         except Exception as e:
             msg = str(e)
@@ -318,6 +362,9 @@ def main():
                 raise
 
     if args.skip_decode:
+        if ttft is None:
+            log("prefill measurement failed; no JSON to emit")
+            raise SystemExit(1)
         print(
             json.dumps(
                 {
@@ -328,17 +375,6 @@ def main():
                 }
             )
         )
-        return
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(tok_s_b1, 2),
-                "unit": "tok/s",
-                "vs_baseline": round(tok_s_b1 / BASELINE_TOK_S, 2),
-            }
-        )
-    )
 
 
 if __name__ == "__main__":

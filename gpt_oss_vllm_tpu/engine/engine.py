@@ -341,6 +341,10 @@ class InferenceEngine:
             bool(self.waiting)
             or any(s is not None for s in self.slots)
             or bool(self._pending)
+            # burst entries handed to the background reader but not yet
+            # emitted are still pending work (otherwise the serving loop can
+            # stop stepping with landed-but-unstreamed tokens stranded)
+            or bool(self._rb_q)
         )
 
     def num_running(self) -> int:
@@ -809,8 +813,9 @@ class InferenceEngine:
             if all(self._grow_blocks(r, window) for _, r in running):
                 return truncated + flushed
             # intervention needed: bring host state current first (a pending
-            # async step may finish requests and free their blocks)
-            if self._pending:
+            # async step OR an un-emitted burst readback may finish requests
+            # and free their blocks)
+            if self._pending or self._rb_q:
                 flushed.extend(self._flush_pending())
                 continue
             victim = max(running, key=lambda t: t[1].arrival_time)[1]
@@ -862,9 +867,18 @@ class InferenceEngine:
             # keyed by the REQUEST: a finished request's leftover in-flight
             # steps must not inflate a slot-reusing newcomer's draw counter
             inflight: Dict[tuple, int] = {}
+            # in-flight = _pending (dispatched, not yet handed to the reader)
+            # PLUS _rb_q bursts (popped from _pending, readback not landed or
+            # not yet emitted). Missing the latter rebuilt counters too low
+            # and replayed the Gumbel stream when a batch-composition change
+            # raced a slow tunnel readback (ADVICE r2 high).
             for snapshot, _ in self._pending:
                 for row, r in snapshot:
                     inflight[(row, id(r))] = inflight.get((row, id(r)), 0) + 1
+            for entries, _fut in self._rb_q:
+                for snapshot, _ in entries:
+                    for row, r in snapshot:
+                        inflight[(row, id(r))] = inflight.get((row, id(r)), 0) + 1
             for i, req in running:
                 positions[i] = self.seq_lens[i] - 1
                 # draw counter = tokens sampled so far, INCLUDING the not-
@@ -1153,4 +1167,9 @@ class InferenceEngine:
             for out in self.step():
                 if out.finished and out.request_id in pending:
                     pending.discard(out.request_id)
+        if not any(s is not None for s in self.slots):
+            # drain in-flight async steps / burst readbacks of the finished
+            # batch so the engine is left idle (has_work() == False); when
+            # other requests still run, their tokens stay queued for step()
+            self._flush_pending()
         return [self.requests[rid].output_token_ids for rid in ids]

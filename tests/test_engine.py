@@ -543,3 +543,77 @@ def test_async_decode_matches_sync_engine():
     # emission lagging up to depth + burst steps
     assert run(True, depth=2, burst=4) == want
     assert run(True, depth=6, burst=3) == want
+
+
+class _SlowTunnelPool:
+    """Readback pool whose futures never report done() — simulating the
+    tunnel-attached chip where device->host copies take a full RTT. Forces
+    burst entries to sit in engine._rb_q across scheduling decisions (the
+    CPU backend otherwise lands readbacks instantly and hides staleness
+    bugs; ADVICE r2 high)."""
+
+    class _Fut:
+        def __init__(self, fut):
+            self._fut = fut
+
+        def done(self):
+            return False
+
+        def result(self, *a, **k):
+            return self._fut.result(*a, **k)
+
+    def __init__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=1)
+
+    def submit(self, fn, *a, **k):
+        return self._Fut(self._pool.submit(fn, *a, **k))
+
+
+def test_async_burst_parity_with_slow_tunnel_readbacks():
+    """Sampled-stream parity when burst readbacks NEVER land by themselves
+    and the batch composition changes mid-flight: the draw-counter chain
+    rebuild must count tokens sitting in _rb_q (popped from _pending,
+    unlanded) or the Gumbel stream replays earlier counters (ADVICE r2)."""
+    import dataclasses
+
+    cfg = EngineConfig.tiny()
+    params = random_params(cfg.model, cfg.quant, seed=13)
+
+    def run(async_decode):
+        c = dataclasses.replace(
+            cfg,
+            scheduler=dataclasses.replace(
+                cfg.scheduler, async_decode=async_decode, async_depth=2,
+                async_flush_burst=2,
+            ),
+        )
+        eng = InferenceEngine(c, params)
+        if async_decode:
+            eng._rb_pool = _SlowTunnelPool()
+        toks = {"a": [], "b": []}
+        sp = SamplingParams(max_tokens=12, temperature=1.1, seed=4242)
+        eng.add_request("a", [5, 5, 5], sp)
+
+        def drain(outs):
+            for o in outs:
+                if o.token_id >= 0:
+                    toks[o.request_id].append(o.token_id)
+
+        # enough steps that a burst is handed to the (never-done) reader
+        for _ in range(6):
+            drain(eng.step())
+        # composition change while un-emitted tokens sit in _rb_q: the
+        # counter chain rebuilds here
+        eng.add_request("b", [2, 9], SamplingParams(max_tokens=8, temperature=0.9, seed=77))
+        for _ in range(60):
+            if not eng.has_work():
+                break
+            drain(eng.step())
+        assert not eng.has_work()  # has_work must see stranded _rb_q entries
+        return toks
+
+    want = run(False)
+    got = run(True)
+    assert got == want

@@ -177,26 +177,104 @@ def test_gmm_prefill_sized_pairs_interpret():
     )
 
 
-def test_gmm_token_cap_slicing(monkeypatch):
-    """Token batches above GMM_TOKEN_CAP run the gmm kernel per slice and
-    concatenate — the path that lets 512-token prefill chunks compile inside
-    the 16 MB scoped-VMEM limit on chip. Sliced result must equal the
-    unsliced oracle exactly (routing is per-token; slicing changes nothing)."""
-    import gpt_oss_vllm_tpu.ops.moe as moe_mod
+def test_gmm_rowblocked_matches_resident(monkeypatch):
+    """Dispatches past GMM_RESIDENT_PAIR_CAP take the row-blocked grid
+    (bounded VMEM, per-group scratch-resident dequant) — it must equal the
+    resident-x kernel exactly on the same routing (replaces the r2
+    GMM_TOKEN_CAP slicing and its per-slice expert weight re-reads)."""
+    import gpt_oss_vllm_tpu.ops.moe_gmm as gmm_mod
     from gpt_oss_vllm_tpu.config import ModelConfig, QuantConfig
     from gpt_oss_vllm_tpu.models.params import random_params
 
     cfg = ModelConfig.tiny(num_experts=8, experts_per_token=2)
     params = random_params(cfg, QuantConfig(method="nf4"), seed=9)
     l = params.layers[0]
+    import gpt_oss_vllm_tpu.ops.moe as moe_mod
+
     x = jax.random.normal(jax.random.PRNGKey(3), (10, cfg.hidden_size), jnp.bfloat16)
     want = moe_mod.moe_block(
         x, l.router_w, l.router_b, l.w_gate_up, l.b_gate_up, l.w_down, l.b_down,
         cfg, strategy="gmm", backend="pallas_interpret",
     )
-    monkeypatch.setattr(moe_mod, "GMM_TOKEN_CAP", 4)
+    monkeypatch.setattr(gmm_mod, "GMM_RESIDENT_PAIR_CAP", 4)  # force row-blocked
     got = moe_mod.moe_block(
         x, l.router_w, l.router_b, l.w_gate_up, l.b_gate_up, l.w_down, l.b_down,
         cfg, strategy="gmm", backend="pallas_interpret",
     )
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # same dequanted weights, same per-token routing; only the row tiling
+    # differs — bf16 matmul accumulation order within a row is identical
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-3,
+    )
+
+
+def test_gmm_rowblocked_multitile_groups(monkeypatch, rng, cfg):
+    """Skewed routing (all pairs on one expert) with a small row tile:
+    groups span MANY tiles, so later tiles must reuse the scratch-resident
+    decoded planes written on the group's first tile."""
+    import gpt_oss_vllm_tpu.ops.moe_gmm as gmm_mod
+
+    E, H, FF = cfg.num_experts, cfg.hidden_size, cfg.intermediate_size
+    wgu = nf4_tensor_from_dense(rng.normal(0, 0.05, size=(E, 2 * FF, H)).astype(np.float32))
+    wdn = nf4_tensor_from_dense(rng.normal(0, 0.05, size=(E, H, FF)).astype(np.float32))
+    T, k = 20, cfg.experts_per_token
+    x = jnp.asarray(rng.normal(size=(T, H)) * 0.3, dtype=jnp.float32)
+    indices = jnp.full((T, k), 3, dtype=jnp.int32)
+    weights = jnp.full((T, k), 1.0 / k, dtype=jnp.float32)
+    routing = RouterOut(weights=weights, indices=indices)
+    oracle = moe_gather(x, routing, wgu, None, wdn, None, cfg, backend="xla")
+    monkeypatch.setattr(gmm_mod, "GMM_RESIDENT_PAIR_CAP", 1)
+    got = moe_gmm_block(
+        x, weights, indices, wgu, None, wdn, None,
+        act_fn=functools.partial(expert_act, cfg=cfg), tm=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle), rtol=5e-3, atol=5e-3)
+
+
+def test_gmm_rowblocked_full_scales_branch(rng):
+    """Row-blocked kernel, out dim with no 128-multiple divisor (2880-style):
+    full-scales block form + in-kernel column selection, direct call."""
+    from gpt_oss_vllm_tpu.ops.moe_gmm import (
+        build_grouping,
+        build_tile_maps,
+        moe_gmm_nf4_rowblocked,
+        padded_rows_blocked,
+    )
+    from gpt_oss_vllm_tpu.quant.tensor import kernel_out_tile
+
+    E, N, K = 4, 288, 128
+    assert kernel_out_tile(N) is None
+    w = nf4_tensor_from_dense(rng.normal(0, 0.05, size=(E, N, K)).astype(np.float32))
+    ids = jnp.asarray([0, 2, 2, 2, 2, 2, 2, 2, 2, 2, 3], dtype=jnp.int32)
+    P, tm = ids.shape[0], 8
+    grouping = build_grouping(ids, E, align=tm)
+    P_pad = padded_rows_blocked(P, E, tm)
+    x = rng.normal(size=(P_pad, K)).astype(np.float32)
+    xp = x.reshape(P_pad, K // 2, 2)
+    y = moe_gmm_nf4_rowblocked(
+        jnp.asarray(xp[:, :, 0]), jnp.asarray(xp[:, :, 1]), w, grouping, tm, P,
+        block_n=160, interpret=True,
+    )
+    wd = np.asarray(w.dequantize(jnp.float32))
+    pos = np.asarray(grouping.pair_position)
+    sorted_ids = np.asarray(jnp.take(ids, grouping.sorted_pair_to_row))
+    got = np.asarray(y)
+    for p_i in range(P):
+        want = x[pos[p_i]] @ wd[sorted_ids[p_i]].T
+        np.testing.assert_allclose(got[pos[p_i]], want, rtol=5e-3, atol=5e-3)
+
+
+def test_build_tile_maps():
+    """Tile maps: expert repeats over dead tiles (DMA elision), rows mask
+    intra-group padding, first fires once per group."""
+    from gpt_oss_vllm_tpu.ops.moe_gmm import build_tile_maps
+
+    ids = jnp.asarray([3, 1, 3, 0, 1, 3, 3, 3, 3], dtype=jnp.int32)  # 0:1 1:2 3:6
+    tm = 8
+    g = build_grouping(ids, 5, align=tm)
+    # groups: e0 rows[0:1)@0, e1 rows[8:10)@8, e3 rows[16:22)@16; total pad 24
+    te, rows, first = (np.asarray(a) for a in build_tile_maps(g, tm, 6))
+    np.testing.assert_array_equal(te, [0, 1, 3, 3, 3, 3])
+    np.testing.assert_array_equal(rows, [1, 2, 6, 0, 0, 0])
+    np.testing.assert_array_equal(first, [1, 1, 1, 0, 0, 0])
