@@ -73,6 +73,21 @@ class InferenceEngine:
             )
             from jax.sharding import NamedSharding
 
+            qb_mesh = config.quant.backend if config.quant.enabled else "xla"
+            if qb_mesh == "pallas" and jax.default_backend() != "tpu":
+                qb_mesh = "xla"
+            if qb_mesh.startswith("pallas"):
+                from gpt_oss_vllm_tpu.models.params import section_glu_experts
+                from gpt_oss_vllm_tpu.parallel.kernels import expert_shard_axes
+
+                if expert_shard_axes(mesh, cfg.num_experts):
+                    # glu4 sectioning composes with expert sharding: shards
+                    # hold WHOLE experts and the sectioning is a per-expert
+                    # row reorder, so the sharded gmm path gets the same
+                    # fused-FFN layout as single-shard serving (closes the
+                    # r2 "glu4 is single-shard only" gap). Section BEFORE
+                    # sharding; pspecs carry row_layout through.
+                    params = section_glu_experts(params)
             params = shard_params(params, mesh)
         else:
             from gpt_oss_vllm_tpu.models.params import fuse_qkv, section_glu_experts

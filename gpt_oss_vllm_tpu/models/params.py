@@ -382,6 +382,49 @@ def random_params(
     )
 
 
+def quantize_params(
+    params: ModelParams, cfg: ModelConfig, quant: QuantConfig
+) -> ModelParams:
+    """Quantize a DENSE-expert param pytree into the serving format (packed
+    4-bit experts per ``quant``, optional int8 vocab) — the trained-model
+    accuracy path: train dense (training/train_step), quantize with this,
+    then measure the PPL delta with tools/eval_ppl. Mirrors the partition
+    contract (experts only; router/attention/embeddings stay full precision,
+    reference ``gpt_oss_moe_architecture.md:12-26``)."""
+    import dataclasses as _dc
+
+    from gpt_oss_vllm_tpu.quant.tensor import q4_tensor_from_dense
+
+    def pack(w) -> ExpertWeight:
+        if isinstance(w, NF4Tensor) or not quant.enabled:
+            return w
+        return q4_tensor_from_dense(
+            np.asarray(w, np.float32),
+            blocksize=quant.effective_blocksize,
+            codebook=quant.method,
+            scale_dtype="e8m0" if quant.scale_dtype == "e8m0" else jnp.float32,
+        )
+
+    layers = [
+        _dc.replace(l, w_gate_up=pack(l.w_gate_up), w_down=pack(l.w_down))
+        for l in params.layers
+    ]
+
+    def vocab(w):
+        if w is None or not quant.vocab_int8:
+            return w
+        from gpt_oss_vllm_tpu.quant.vocab8 import int8_vocab_from_dense
+
+        return int8_vocab_from_dense(w)
+
+    return _dc.replace(
+        params,
+        layers=layers,
+        embedding=vocab(params.embedding),
+        lm_head=vocab(params.lm_head),
+    )
+
+
 def prepare_serving_params(
     cfg: ModelConfig, quant: QuantConfig, seed: int = 0
 ) -> ModelParams:

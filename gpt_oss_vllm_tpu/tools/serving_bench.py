@@ -48,7 +48,7 @@ def pctl(xs, p):
 
 
 def run_load(engine, tokenizer_vocab: int, concurrency: int, prompt_len: int,
-             max_tokens: int, seed: int = 0):
+             max_tokens: int, seed: int = 0, workload: str = "random"):
     from gpt_oss_vllm_tpu.engine.request import SamplingParams
 
     rng = np.random.default_rng(seed)
@@ -59,7 +59,13 @@ def run_load(engine, tokenizer_vocab: int, concurrency: int, prompt_len: int,
     t0 = time.monotonic()
     for i in range(concurrency):
         rid = f"load-{concurrency}-{i}"
-        prompt = rng.integers(0, tokenizer_vocab, prompt_len).tolist()
+        if workload == "repetitive":
+            # cyclic pattern: the n-gram drafter's favorable case (code/
+            # boilerplate-like text where prompt-lookup spec decode pays)
+            pat = rng.integers(0, tokenizer_vocab, 24)
+            prompt = np.tile(pat, -(-prompt_len // 24))[:prompt_len].tolist()
+        else:
+            prompt = rng.integers(0, tokenizer_vocab, prompt_len).tolist()
         engine.add_request(rid, prompt, sp)
         arrivals[rid] = t0
     out_tokens = 0
@@ -87,7 +93,7 @@ def run_load(engine, tokenizer_vocab: int, concurrency: int, prompt_len: int,
     steady = None
     if steady_t0 is not None and t1 > steady_t0 and steady_tokens > 0:
         steady = steady_tokens / (t1 - steady_t0)
-    return {
+    res = {
         "concurrency": concurrency,
         "output_tokens": out_tokens,
         "wall_s": round(t1 - t0, 3),
@@ -97,6 +103,13 @@ def run_load(engine, tokenizer_vocab: int, concurrency: int, prompt_len: int,
         "ttft_p99_ms": round(pctl(ttfts, 99) * 1e3, 1),
         "completed": len(done),
     }
+    if engine.metrics.get("spec_proposed", 0) > 0:
+        res["spec_proposed"] = engine.metrics["spec_proposed"]
+        res["spec_accepted"] = engine.metrics["spec_accepted"]
+        res["spec_accept_rate"] = round(
+            engine.metrics["spec_accepted"] / engine.metrics["spec_proposed"], 3
+        )
+    return res
 
 
 def measure_readback_rtt() -> float:
@@ -139,6 +152,10 @@ def main(argv=None):
                          "XLA gather (short contexts can favor the gather)")
     ap.add_argument("--sync-decode", action="store_true",
                     help="disable the async (overlapped-readback) decode path")
+    ap.add_argument("--workload", default="random",
+                    choices=["random", "repetitive"],
+                    help="repetitive = cyclic prompts (n-gram spec decode's "
+                         "favorable case; use with --spec-tokens)")
     args = ap.parse_args(argv)
 
     from gpt_oss_vllm_tpu.config import (
@@ -190,10 +207,14 @@ def main(argv=None):
     results = []
     for c in args.concurrency:
         # warm the decode program at this batch composition
-        r = run_load(engine, mc.vocab_size, c, args.prompt_len, 8, seed=99)
+        r = run_load(engine, mc.vocab_size, c, args.prompt_len, 8, seed=99,
+                     workload=args.workload)
         log(f"  (warm c={c}: {r['wall_s']}s)")
         engine.timer.samples.clear()
-        r = run_load(engine, mc.vocab_size, c, args.prompt_len, args.max_tokens)
+        engine.metrics["spec_proposed"] = 0
+        engine.metrics["spec_accepted"] = 0
+        r = run_load(engine, mc.vocab_size, c, args.prompt_len, args.max_tokens,
+                     workload=args.workload)
         r["readback_rtt_ms"] = round(rtt * 1e3, 1)
         results.append(r)
         log(f"c={c}: {r['tok_s']} tok/s (steady {r['steady_tok_s']}), "

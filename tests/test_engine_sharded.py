@@ -182,6 +182,49 @@ def test_120b_topology_sharded_engine_dryrun():
     assert got == want
 
 
+def test_120b_topology_ep8_decode_parity():
+    """VERDICT r2 next #9: pure expert-parallel ep=8 on the 128-expert 120B
+    topology (16 experts per shard, no tp) — the v5p serving layout whose
+    memory budget test below claims fits. Decode through the sharded kernel
+    engine must match the single-device engine token-for-token."""
+    import dataclasses
+
+    from gpt_oss_vllm_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+
+    base = ModelConfig.gpt_oss_120b(
+        vocab_size=512,
+        hidden_size=128,
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,
+        head_dim=32,
+        intermediate_size=128,
+        sliding_window=16,
+        max_position_embeddings=1024,
+        original_context_length=256,
+    )
+    assert base.num_experts == 128 and base.experts_per_token == 4
+    ecfg = EngineConfig(
+        model=base,
+        quant=QuantConfig(method="mxfp4", scale_dtype="e8m0", backend="pallas_interpret"),
+        cache=CacheConfig(block_size=8, num_blocks=64, max_blocks_per_seq=16),
+        scheduler=SchedulerConfig(max_num_seqs=2, max_model_len=64),
+    )
+    params = random_params(base, ecfg.quant, seed=43)
+    prompt = [12, 7, 101, 3, 55]
+    sp = SamplingParams(max_tokens=3, temperature=0.0)
+    want = InferenceEngine(ecfg, params, attn_backend="pallas_interpret").generate(
+        [prompt], sp
+    )[0]
+    mesh = make_mesh(ParallelConfig(dp=1, ep=8, tp=1))
+    with mesh:
+        eng = InferenceEngine(ecfg, params, attn_backend="pallas_interpret", mesh=mesh)
+        # ep=8 expert sharding active, glu4 sectioning composed on top
+        assert eng.params.layers[0].w_gate_up.row_layout == "glu4"
+        got = eng.generate([prompt], sp)[0]
+    assert got == want
+
+
 def test_120b_memory_budget_fits_v5p():
     """Projected HBM per chip for the real GPT-OSS-120B on a v5p-16 EP mesh
     (the BASELINE config 5 accounting; numbers published in docs/STATUS.md)."""
