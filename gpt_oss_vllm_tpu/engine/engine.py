@@ -227,6 +227,9 @@ class InferenceEngine:
         # does, and the block tables only when a block is added/released
         self._samp_key = None
         self._samp_dev = None
+        # compact-row -> slot map of the current async decode program width
+        self._rows_host = None
+        self._rows_dev = None
         # device-chained decode positions/counters (async path); None =
         # rebuild from host mirrors. Defined for all engines so the sync
         # fallback can invalidate it unconditionally.
@@ -244,9 +247,18 @@ class InferenceEngine:
         self._bt_dev_version = -1
         if self.async_decode:
 
-            def fused_step(params, cache, tokens, positions, block_tables,
-                           seeds, ctrs, temp, top_p, top_k, min_p,
-                           mode="full"):
+            def fused_step(params, cache, full_tok, rows, positions,
+                           block_tables, seeds, ctrs, temp, top_p, top_k,
+                           min_p, mode="full"):
+                # COMPACT batch: the program width W = rows.shape[0] is the
+                # bucketed count of RUNNING requests, not max_num_seqs — a
+                # c=1 stream on a 32-slot engine decodes through a width-1
+                # program (2-3x fewer FLOPs+reads per step at low occupancy;
+                # vLLM's CUDA-graph batch-size buckets, done the XLA way).
+                # rows maps compact row -> slot; pad rows carry the
+                # out-of-range sentinel S (take clips, scatter drops).
+                S = full_tok.shape[0]
+                tokens = jnp.take(full_tok, jnp.clip(rows, 0, S - 1))
                 out = step_fn(
                     params, cache=cache, tokens=tokens[:, None],
                     positions=positions[:, None], block_tables=block_tables,
@@ -281,10 +293,14 @@ class InferenceEngine:
                 # (measured: the engine loop ran 24 tok/s against a 95 tok/s
                 # kernel before this). Empty rows stay parked at -1.
                 new_pos = jnp.where(positions >= 0, positions + 1, positions)
-                return out.cache, nxt, new_pos, ctrs + 1
+                # keep the SLOT-indexed token array current on device (pad
+                # rows drop); admissions/sync steps write it by slot, the
+                # next chain rebuild gathers from it
+                full_upd = full_tok.at[rows].set(nxt, mode="drop")
+                return out.cache, nxt, full_upd, new_pos, ctrs + 1
 
             self._decode_fused = jax.jit(
-                fused_step, donate_argnames=("cache",),
+                fused_step, donate_argnames=("cache", "full_tok"),
                 static_argnames=("mode",),
             )
             self._dev_last_tok = jnp.zeros((self.num_slots,), jnp.int32)
@@ -740,15 +756,15 @@ class InferenceEngine:
 
     def _emit_snapshot(self, snapshot, toks) -> List[StepOutput]:
         outputs: List[StepOutput] = []
-        for row, req in snapshot:
-            if req.state != RequestState.RUNNING or req.slot != row:
+        for ci, slot, req in snapshot:
+            if req.state != RequestState.RUNNING or req.slot != slot:
                 continue  # finished/aborted/preempted since dispatch
-            tok = int(toks[row])
+            tok = int(toks[ci])
             self.metrics["decode_tokens"] += 1
             out = self._append_token(req, tok)
             outputs.append(out)
             if not out.finished:
-                self.last_token[row] = tok
+                self.last_token[slot] = tok
         return outputs
 
     def _flush_oldest(self) -> List[StepOutput]:
@@ -769,7 +785,18 @@ class InferenceEngine:
         thread blocks in np.asarray instead (the GIL is released during the
         device wait), the dispatch thread keeps the device fed, and host
         state is only ever mutated here, in dispatch order."""
-        entries = [self._pending.popleft() for _ in range(k)]
+        # entries must share a program width (the stacked transfer is [k, W]);
+        # a batch-composition change mid-burst splits the burst at the width
+        # boundary — the remainder flushes on a later call
+        w0 = self._pending[0][1].shape[0]
+        entries = []
+        while (
+            self._pending
+            and len(entries) < k
+            and self._pending[0][1].shape[0] == w0
+        ):
+            entries.append(self._pending.popleft())
+        k = len(entries)
         if self._stack_toks is None or self._stack_arity != k:
             import jax as _jax
 
@@ -849,36 +876,44 @@ class InferenceEngine:
         back the previous step's tokens — the readback overlaps this step's
         device compute, removing the host sync from the decode critical path
         (SchedulerConfig.async_decode)."""
-        B = self.num_slots
-        # per-slot sampling params AND the position/counter chain: re-uploaded
+        S = self.num_slots
+        # per-row sampling params AND the position/counter chain: re-uploaded
         # only when the batch composition changes or the chain was invalidated
         # (sync-path interleave / preemption). Between rebuilds the fused step
         # advances positions and draw counters ON DEVICE — steady-state decode
         # dispatch does zero host->device uploads (block tables excepted, once
-        # per crossed block boundary).
+        # per crossed block boundary). The program width is BUCKETED to the
+        # running count (compact rows), not max_num_seqs.
         key = tuple((i, id(r)) for i, r in running)
         if key != self._samp_key:
-            seeds = np.zeros(B, np.int32)
-            temp = np.zeros(B, np.float32)
-            top_p = np.ones(B, np.float32)
-            top_k = np.zeros(B, np.int32)
-            min_p = np.zeros(B, np.float32)
-            for i, req in running:
+            W = min(S, _next_bucket(max(1, len(running)), 1))
+            rows = np.full(W, S, dtype=np.int32)  # pad sentinel = S
+            seeds = np.zeros(W, np.int32)
+            temp = np.zeros(W, np.float32)
+            top_p = np.ones(W, np.float32)
+            top_k = np.zeros(W, np.int32)
+            min_p = np.zeros(W, np.float32)
+            for ci, (i, req) in enumerate(running):
                 sp = req.sampling
-                seeds[i] = req.seed_resolved
-                temp[i] = sp.temperature
-                top_p[i] = sp.top_p
-                top_k[i] = sp.top_k
-                min_p[i] = sp.min_p
+                rows[ci] = i
+                seeds[ci] = req.seed_resolved
+                temp[ci] = sp.temperature
+                top_p[ci] = sp.top_p
+                top_k[ci] = sp.top_k
+                min_p[ci] = sp.min_p
+            self._rows_host = rows
+            self._rows_dev = jnp.asarray(rows)
             self._samp_dev = tuple(
                 jnp.asarray(a) for a in (seeds, temp, top_p, top_k, min_p)
             )
             self._samp_key = key
             self._pos_dev = None  # composition changed: rebuild the chain
+            self._bt_dev_version = -1  # block tables re-slice to new rows
+        W = self._rows_host.shape[0]
         if self._pos_dev is None:
-            positions = np.full((B,), -1, dtype=np.int32)
-            ctrs = np.zeros(B, np.int32)
-            # in-flight sampled-but-unemitted tokens per (row, request) —
+            positions = np.full((W,), -1, dtype=np.int32)
+            ctrs = np.zeros(W, np.int32)
+            # in-flight sampled-but-unemitted tokens per (slot, request) —
             # keyed by the REQUEST: a finished request's leftover in-flight
             # steps must not inflate a slot-reusing newcomer's draw counter
             inflight: Dict[tuple, int] = {}
@@ -888,21 +923,24 @@ class InferenceEngine:
             # and replayed the Gumbel stream when a batch-composition change
             # raced a slow tunnel readback (ADVICE r2 high).
             for snapshot, _ in self._pending:
-                for row, r in snapshot:
-                    inflight[(row, id(r))] = inflight.get((row, id(r)), 0) + 1
+                for _ci, slot, r in snapshot:
+                    inflight[(slot, id(r))] = inflight.get((slot, id(r)), 0) + 1
             for entries, _fut in self._rb_q:
                 for snapshot, _ in entries:
-                    for row, r in snapshot:
-                        inflight[(row, id(r))] = inflight.get((row, id(r)), 0) + 1
-            for i, req in running:
-                positions[i] = self.seq_lens[i] - 1
+                    for _ci, slot, r in snapshot:
+                        inflight[(slot, id(r))] = inflight.get((slot, id(r)), 0) + 1
+            for ci, (i, req) in enumerate(running):
+                positions[ci] = self.seq_lens[i] - 1
                 # draw counter = tokens sampled so far, INCLUDING the not-
                 # yet-emitted in-flight ones (same stream as the sync path)
-                ctrs[i] = len(req.output_token_ids) + inflight.get((i, id(req)), 0)
+                ctrs[ci] = len(req.output_token_ids) + inflight.get((i, id(req)), 0)
             self._pos_dev = jnp.asarray(positions)
             self._ctr_dev = jnp.asarray(ctrs)
         if self._bt_dev_version != self._bt_version:
-            self._bt_dev = jnp.asarray(self.block_tables)
+            bt = np.full((W, self.max_blocks), -1, dtype=np.int32)
+            act = self._rows_host < S
+            bt[act] = self.block_tables[self._rows_host[act]]
+            self._bt_dev = jnp.asarray(bt)
             self._bt_dev_version = self._bt_version
         seeds_d, temp_d, top_p_d, top_k_d, min_p_d = self._samp_dev
         if all(r.sampling.temperature <= 0.0 for _, r in running):
@@ -917,10 +955,11 @@ class InferenceEngine:
         else:
             mode = "full"
         _t_dispatch = time.time()
-        cache, nxt, self._pos_dev, self._ctr_dev = self._decode_fused(
+        cache, nxt, self._dev_last_tok, self._pos_dev, self._ctr_dev = self._decode_fused(
             self.params,
             self.cache,
             self._dev_last_tok,
+            self._rows_dev,
             self._pos_dev,
             self._bt_dev,
             seeds_d,
@@ -936,12 +975,18 @@ class InferenceEngine:
         # start the device->host transfer NOW: by next step's flush the value
         # has already crossed the (tunnel) link, so np.asarray returns
         # immediately instead of paying a full round trip on the critical path
-        try:
-            nxt.copy_to_host_async()
-        except Exception:
-            pass  # backend without async host copies: flush pays the RTT
-        self._pending.append((list(running), nxt))
-        self._dev_last_tok = nxt
+        # (GPT_OSS_NO_COPY_ASYNC=1 disables — A/B lever: on a backend where
+        # this call secretly BLOCKS ~an RTT, it taxes every dispatch instead)
+        import os as _os
+
+        if not _os.environ.get("GPT_OSS_NO_COPY_ASYNC"):
+            try:
+                nxt.copy_to_host_async()
+            except Exception:
+                pass  # backend without async host copies: flush pays the RTT
+        self._pending.append(
+            ([(ci, i, r) for ci, (i, r) in enumerate(running)], nxt)
+        )
         for i, _ in running:
             self.seq_lens[i] += 1  # optimistic; _release zeroes on finish
         outputs: List[StepOutput] = []
@@ -1003,24 +1048,28 @@ class InferenceEngine:
                     drafts[i] = d
         if drafts:
             return truncated + self._decode_spec_step(running, drafts)
-        B = self.num_slots
-        tokens = np.zeros((B, 1), dtype=np.int32)
-        positions = np.full((B, 1), -1, dtype=np.int32)
-        for i, req in running:
-            tokens[i, 0] = self.last_token[i]
-            positions[i, 0] = self.seq_lens[i] - 1  # position of the new token
+        # bucketed program width: compact running rows, not max_num_seqs
+        n = len(running)
+        W = min(self.num_slots, _next_bucket(max(1, n), 1))
+        tokens = np.zeros((W, 1), dtype=np.int32)
+        positions = np.full((W, 1), -1, dtype=np.int32)
+        bt = np.full((W, self.max_blocks), -1, dtype=np.int32)
+        for ci, (i, req) in enumerate(running):
+            tokens[ci, 0] = self.last_token[i]
+            positions[ci, 0] = self.seq_lens[i] - 1  # position of the new token
+            bt[ci] = self.block_tables[i]
         out = self._decode(
             self.params,
             cache=self.cache,
             tokens=jnp.asarray(tokens),
             positions=jnp.asarray(positions),
-            block_tables=jnp.asarray(self.block_tables),
-            last_idx=jnp.zeros(B, dtype=jnp.int32),
+            block_tables=jnp.asarray(bt),
+            last_idx=jnp.zeros(W, dtype=jnp.int32),
         )
         self.cache = out.cache
         reqs = [r for _, r in running]
         rows = [i for i, _ in running]
-        sampled, lp = self._sample_row(out.logits[np.array(rows)], reqs, slots=rows)
+        sampled, lp = self._sample_row(out.logits[:n], reqs, slots=rows)
         if any(r.sampling.has_penalties for r in reqs):
             self.token_counts = self._counts_add(
                 self._counts(),
@@ -1053,26 +1102,32 @@ class InferenceEngine:
         (ops.sampling.spec_verify) — and emit the accepted prefix + the
         residual/bonus token. Non-drafted rows ride along at window position
         0 and emit exactly one token through the normal sampler."""
-        B = self.num_slots
+        # bucketed program width: compact running rows, not max_num_seqs
+        n = len(running)
+        B = min(self.num_slots, _next_bucket(max(1, n), 1))
+        ci_of = {i: ci for ci, (i, _) in enumerate(running)}
         # constant window width: one jitted program regardless of this
         # step's actual draft lengths (pads are dropped writes + masked)
         W = 1 + self.spec_tokens
         tokens = np.zeros((B, W), dtype=np.int32)
         positions = np.full((B, W), -1, dtype=np.int32)
+        bt = np.full((B, self.max_blocks), -1, dtype=np.int32)
         for i, req in running:
+            ci = ci_of[i]
             p = self.seq_lens[i] - 1
-            tokens[i, 0] = self.last_token[i]
-            positions[i, 0] = p
+            tokens[ci, 0] = self.last_token[i]
+            positions[ci, 0] = p
+            bt[ci] = self.block_tables[i]
             d = drafts.get(i, [])
             if d:
-                tokens[i, 1 : 1 + len(d)] = d
-                positions[i, 1 : 1 + len(d)] = p + 1 + np.arange(len(d))
+                tokens[ci, 1 : 1 + len(d)] = d
+                positions[ci, 1 : 1 + len(d)] = p + 1 + np.arange(len(d))
         out = self._decode_spec(
             self.params,
             cache=self.cache,
             tokens=jnp.asarray(tokens),
             positions=jnp.asarray(positions),
-            block_tables=jnp.asarray(self.block_tables),
+            block_tables=jnp.asarray(bt),
             last_idx=jnp.zeros(B, dtype=jnp.int32),
         )
         self.cache = out.cache
@@ -1086,16 +1141,17 @@ class InferenceEngine:
         top_k = np.zeros(B, np.int32)
         min_p = np.zeros(B, np.float32)
         for i, req in running:
+            ci = ci_of[i]
             d = drafts.get(i, [])
-            d_len[i] = len(d)
-            d_tok[i, : len(d)] = d
+            d_len[ci] = len(d)
+            d_tok[ci, : len(d)] = d
             sp = req.sampling
-            seeds[i] = req.seed_resolved
-            ctrs[i] = len(req.output_token_ids)
-            temp[i] = sp.temperature
-            top_p[i] = sp.top_p
-            top_k[i] = sp.top_k
-            min_p[i] = sp.min_p
+            seeds[ci] = req.seed_resolved
+            ctrs[ci] = len(req.output_token_ids)
+            temp[ci] = sp.temperature
+            top_p[ci] = sp.top_p
+            top_k[ci] = sp.top_k
+            min_p[ci] = sp.min_p
         n_acc_a, final_a = self._spec_verify(
             out.logits,
             jnp.asarray(d_tok),
@@ -1115,9 +1171,10 @@ class InferenceEngine:
         lp = None
         if plain:
             p_rows = [i for i, _ in plain]
+            p_cis = [ci_of[i] for i, _ in plain]
             p_reqs = [r for _, r in plain]
             sampled, lp = self._sample_row(
-                out.logits[np.asarray(p_rows), 0], p_reqs, slots=p_rows
+                out.logits[np.asarray(p_cis), 0], p_reqs, slots=p_rows
             )
             if any(r.sampling.has_penalties for r in p_reqs):
                 self.token_counts = self._counts_add(
@@ -1130,8 +1187,8 @@ class InferenceEngine:
         for i, req in running:
             slot = req.slot
             if i in drafts:
-                k_acc = int(n_acc[i])
-                emitted = list(drafts[i][:k_acc]) + [int(final[i])]
+                k_acc = int(n_acc[ci_of[i]])
+                emitted = list(drafts[i][:k_acc]) + [int(final[ci_of[i]])]
                 self.metrics["spec_proposed"] += len(drafts[i])
                 self.metrics["spec_accepted"] += k_acc
             else:

@@ -1,0 +1,278 @@
+"""One-process chip measurement session.
+
+The tunnel-attached chip pays a multi-minute handover stall per PROCESS
+(observed 5-18 min before the first device op completes when processes run
+back-to-back). This driver batches every outstanding measurement into one
+process so the stall is paid once:
+
+  phase serving   engine-loop tok/s at c=1/8/32 (the reference's-8.3-tok/s
+                  contract, STATUS serving table)
+  phase spec      n-gram speculative decoding through the engine on a
+                  repetitive workload (acceptance rate + tok/s)
+  phase batched   kernel-chain decode at b=8/64 (bench.py secondary)
+  phase ttft      prefill TTFT: pallas flash vs xla gather at 128..2048
+                  (the long-context tile-skipping evidence; 512+ exercises
+                  the row-blocked gmm unsliced on chip)
+  phase gmm_ab    row-blocked unsliced vs r2's sliced emulation, T=512
+
+Each phase is independent (try/except); one JSON line per phase on stdout.
+
+Usage: python -m gpt_oss_vllm_tpu.tools.chip_session [--phases a,b,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import gc
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/gpt_oss_tpu_jit_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from gpt_oss_vllm_tpu.utils.platform import ensure_platform
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def settle(s=2.0):
+    # frees are async on this backend; a value readback is the only sync
+    x = jnp.zeros((8,), jnp.int32) + 1
+    np.asarray(x)
+    time.sleep(s)
+
+
+def main():
+    backend = ensure_platform()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phases", default="serving,spec,batched,ttft,gmm_ab")
+    ap.add_argument("--quant", default="mxfp4", choices=["nf4", "mxfp4"])
+    args = ap.parse_args()
+    phases = args.phases.split(",")
+    log(f"backend={backend} phases={phases}")
+
+    from gpt_oss_vllm_tpu.config import (
+        CacheConfig, EngineConfig, ModelConfig, QuantConfig, SchedulerConfig,
+    )
+    from gpt_oss_vllm_tpu.engine.engine import InferenceEngine
+    from gpt_oss_vllm_tpu.models.params import prepare_serving_params
+    from gpt_oss_vllm_tpu.tools.serving_bench import measure_readback_rtt, run_load
+
+    mc = dataclasses.replace(ModelConfig(), tie_word_embeddings=True)
+    sdt = "e8m0" if args.quant == "mxfp4" else "bfloat16"
+    quant = QuantConfig(method=args.quant, scale_dtype=sdt, vocab_int8=True)
+
+    t0 = time.monotonic()
+    params = prepare_serving_params(mc, quant, seed=0)
+    log(f"[t+{time.monotonic() - t0:.0f}s] serving params ready")
+
+    def make_engine(cmax, spec_tokens=0, max_tokens=96, prompt_len=128):
+        blocks_per_seq = (prompt_len + max_tokens + 16 * (1 + spec_tokens)) // 16 + 2
+        cfg = EngineConfig(
+            model=mc,
+            quant=quant,
+            cache=CacheConfig(
+                block_size=16,
+                num_blocks=cmax * blocks_per_seq + 8,
+                max_blocks_per_seq=blocks_per_seq + 2,
+                enable_prefix_caching=False,
+            ),
+            scheduler=SchedulerConfig(
+                max_num_seqs=cmax, max_model_len=4096,
+                spec_tokens=spec_tokens,
+                async_decode=True, async_depth=8, async_flush_burst=8,
+            ),
+        )
+        return InferenceEngine(cfg, params)
+
+    rtt = measure_readback_rtt() if backend == "tpu" else 0.0
+    log(f"[t+{time.monotonic() - t0:.0f}s] readback RTT {rtt * 1e3:.1f} ms")
+
+    engine = None
+    if "serving" in phases or "spec" in phases:
+        engine = make_engine(32)
+        log(f"[t+{time.monotonic() - t0:.0f}s] engine ready")
+
+    if "serving" in phases:
+        try:
+            import os as _os
+
+            results = []
+            for c in (1, 8, 32):
+                r = run_load(engine, mc.vocab_size, c, 128, 8, seed=99)
+                log(f"  (warm c={c}: {r['wall_s']}s)")
+                r = run_load(engine, mc.vocab_size, c, 128, 96)
+                r["readback_rtt_ms"] = round(rtt * 1e3, 1)
+                results.append(r)
+                log(f"[t+{time.monotonic() - t0:.0f}s] c={c}: {r['tok_s']} tok/s "
+                    f"(steady {r['steady_tok_s']}), TTFT p50 {r['ttft_p50_ms']} ms")
+            # A/B: is copy_to_host_async secretly blocking per dispatch?
+            _os.environ["GPT_OSS_NO_COPY_ASYNC"] = "1"
+            r = run_load(engine, mc.vocab_size, 1, 128, 96)
+            log(f"[t+{time.monotonic() - t0:.0f}s] c=1 NO-copy-async: "
+                f"{r['tok_s']} tok/s (steady {r['steady_tok_s']})")
+            results.append({**r, "variant": "no_copy_async", "concurrency": 1})
+            del _os.environ["GPT_OSS_NO_COPY_ASYNC"]
+            emit({"metric": "serving_engine_loop", "quant": args.quant,
+                  "vocab8": True, "layers": mc.num_layers, "async": True,
+                  "results": results})
+        except Exception as e:
+            log(f"serving phase failed: {type(e).__name__}: {str(e)[:300]}")
+
+    if "spec" in phases:
+        try:
+            del engine
+            gc.collect()
+            settle()
+            eng = make_engine(4, spec_tokens=4)
+            rows = []
+            for c in (1, 4):
+                r = run_load(eng, mc.vocab_size, c, 128, 8, seed=99,
+                             workload="repetitive")
+                eng.metrics["spec_proposed"] = 0
+                eng.metrics["spec_accepted"] = 0
+                r = run_load(eng, mc.vocab_size, c, 128, 96,
+                             workload="repetitive")
+                rows.append(r)
+                log(f"[t+{time.monotonic() - t0:.0f}s] spec c={c}: "
+                    f"{r['tok_s']} tok/s accept={r.get('spec_accept_rate')}")
+            # sync-path baseline on the same workload, spec off
+            del eng
+            gc.collect()
+            settle()
+            eng = make_engine(4, spec_tokens=0)
+            base = []
+            for c in (1, 4):
+                r = run_load(eng, mc.vocab_size, c, 128, 8, seed=98,
+                             workload="repetitive")
+                r = run_load(eng, mc.vocab_size, c, 128, 96,
+                             workload="repetitive")
+                base.append(r)
+                log(f"[t+{time.monotonic() - t0:.0f}s] nospec c={c}: {r['tok_s']} tok/s")
+            emit({"metric": "spec_decode_serving", "spec_tokens": 4,
+                  "workload": "repetitive", "spec": rows, "baseline": base})
+            del eng
+            gc.collect()
+            settle()
+            engine = None
+        except Exception as e:
+            log(f"spec phase failed: {type(e).__name__}: {str(e)[:300]}")
+    elif engine is not None:
+        del engine
+        gc.collect()
+        settle()
+
+    import bench
+
+    c24 = dataclasses.replace(mc)
+    if "batched" in phases:
+        try:
+            rows = {}
+            for bb in (8, 64):
+                cc_b = CacheConfig(block_size=16, num_blocks=12 * bb + 16,
+                                   max_blocks_per_seq=16)
+                tok_s, lat = bench.time_decode(c24, params, cc_b, "pallas", bb, 32)
+                rows[bb] = {"tok_s": round(tok_s, 2), "ms_step": round(lat * 1e3, 2)}
+                log(f"[t+{time.monotonic() - t0:.0f}s] batch={bb}: {tok_s:.1f} tok/s")
+            emit({"metric": "batched_decode_chain", "quant": args.quant,
+                  "results": rows})
+        except Exception as e:
+            log(f"batched phase failed: {type(e).__name__}: {str(e)[:300]}")
+
+    if "ttft" in phases:
+        try:
+            rows = []
+            for plen in (128, 512, 2048):
+                for ab in ("pallas", "xla"):
+                    nblk = plen // 16 + 2
+                    pf = CacheConfig(block_size=16, num_blocks=nblk + 2,
+                                     max_blocks_per_seq=nblk)
+                    try:
+                        ttft = bench.time_prefill(c24, params, pf, "pallas",
+                                                  attn_backend=ab, prefill_len=plen)
+                        rows.append({"prefill_len": plen, "attn": ab,
+                                     "ttft_ms": round(ttft * 1e3, 1)})
+                        log(f"[t+{time.monotonic() - t0:.0f}s] ttft {plen} {ab}: "
+                            f"{ttft * 1e3:.1f} ms")
+                    except Exception as e:
+                        log(f"  ttft {plen} {ab} failed: {type(e).__name__}: {str(e)[:200]}")
+                    settle(1.0)
+            emit({"metric": "prefill_ttft_curve", "quant": args.quant,
+                  "results": rows})
+        except Exception as e:
+            log(f"ttft phase failed: {type(e).__name__}: {str(e)[:300]}")
+
+    if "gmm_ab" in phases:
+        try:
+            from gpt_oss_vllm_tpu.ops.moe import moe_block
+
+            l = params.layers[0]
+            T = 512
+            x0 = (jax.random.normal(jax.random.PRNGKey(1), (T, mc.hidden_size))
+                  * 0.3).astype(jnp.dtype(mc.dtype))
+
+            def block(x):
+                return moe_block(
+                    x, l.router_w, l.router_b, l.w_gate_up, l.b_gate_up,
+                    l.w_down, l.b_down, mc, strategy="gmm", backend="pallas",
+                )
+
+            @jax.jit
+            def f_rb(x):
+                return (block(x) * 1e-3 + x0).astype(x.dtype)
+
+            @jax.jit
+            def f_sl(x):
+                outs = [block(x[s : s + 256]) for s in range(0, T, 256)]
+                return (jnp.concatenate(outs, axis=0) * 1e-3 + x0).astype(x.dtype)
+
+            def measure(fn, name):
+                tc = time.monotonic()
+                xx = fn(x0)
+                np.asarray(xx[:1, :8])
+                log(f"  {name} compile+first: {time.monotonic() - tc:.1f}s")
+
+                def chain(n):
+                    xx = x0
+                    tt = time.monotonic()
+                    for _ in range(n):
+                        xx = fn(xx)
+                    np.asarray(xx[:1, :8])
+                    return time.monotonic() - tt
+
+                chain(3)
+                best = float("inf")
+                for _ in range(3):
+                    a, b = chain(4), chain(12)
+                    best = min(best, (b - a) / 8)
+                log(f"[t+{time.monotonic() - t0:.0f}s] {name}: {best * 1e3:.3f} ms")
+                return best
+
+            rb = measure(f_rb, "rowblocked")
+            sl = measure(f_sl, "sliced-256")
+            emit({"metric": "gmm_rowblocked_vs_sliced_ms", "tokens": T,
+                  "quant": args.quant, "layout": "glu4",
+                  "rowblocked_ms": round(rb * 1e3, 3),
+                  "sliced_ms": round(sl * 1e3, 3),
+                  "speedup": round(sl / rb, 3)})
+        except Exception as e:
+            log(f"gmm_ab phase failed: {type(e).__name__}: {str(e)[:300]}")
+
+    log(f"[t+{time.monotonic() - t0:.0f}s] session done")
+
+
+if __name__ == "__main__":
+    main()

@@ -147,3 +147,33 @@ def test_section_glu_experts_params_transform(rng):
     # idempotent
     params2 = section_glu_experts(params)
     assert params2.layers[0].w_gate_up.row_layout == "glu4"
+
+
+def test_gmm_block_glu4_rowblocked_matches_gather(rng, cfg, monkeypatch):
+    """glu4 sectioned weights through the ROW-BLOCKED grid — the 512-token
+    prefill-chunk serving case (dispatch past GMM_RESIDENT_PAIR_CAP pairs
+    with the fused-FFN expert layout)."""
+    import gpt_oss_vllm_tpu.ops.moe_gmm as gmm_mod
+
+    wgu, wdn, bgu, bdn = _weights(rng, cfg, "nf4")
+    H = cfg.hidden_size
+    T = 12
+    x = jnp.asarray(rng.normal(size=(T, H)) * 0.3, dtype=jnp.float32)
+    rw = jnp.asarray(rng.normal(size=(cfg.num_experts, H)), dtype=jnp.float32)
+    routing = route_topk(x, rw, None, cfg.experts_per_token)
+    oracle = moe_gather(x, routing, wgu, bgu, wdn, bdn, cfg, backend="xla")
+    monkeypatch.setattr(gmm_mod, "GMM_RESIDENT_PAIR_CAP", 4)  # force row-blocked
+    got = moe_gmm_block(
+        x,
+        routing.weights,
+        routing.indices,
+        section_glu4(wgu),
+        section_glu4_bias(bgu, 2 * cfg.intermediate_size),
+        wdn,
+        bdn,
+        act_fn=functools.partial(expert_act, cfg=cfg),
+        act_pair_fn=functools.partial(glu_pair, cfg=cfg),
+        tm=8,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle), rtol=5e-3, atol=5e-3)
