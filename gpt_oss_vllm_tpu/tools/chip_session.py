@@ -60,6 +60,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phases", default="serving,spec,batched,ttft,gmm_ab")
     ap.add_argument("--quant", default="mxfp4", choices=["nf4", "mxfp4"])
+    ap.add_argument("--ttft-lens", type=int, nargs="+", default=[128, 512, 2048])
     args = ap.parse_args()
     phases = args.phases.split(",")
     log(f"backend={backend} phases={phases}")
@@ -140,8 +141,12 @@ def main():
             eng = make_engine(4, spec_tokens=4)
             rows = []
             for c in (1, 4):
-                r = run_load(eng, mc.vocab_size, c, 128, 8, seed=99,
+                # warm long enough that n-gram drafts actually fire and the
+                # widened verify program compiles BEFORE the measured run
+                r = run_load(eng, mc.vocab_size, c, 128, 24, seed=99,
                              workload="repetitive")
+                log(f"  (spec warm c={c}: {r['wall_s']}s "
+                    f"proposed={eng.metrics['spec_proposed']})")
                 eng.metrics["spec_proposed"] = 0
                 eng.metrics["spec_accepted"] = 0
                 r = run_load(eng, mc.vocab_size, c, 128, 96,
@@ -195,7 +200,7 @@ def main():
     if "ttft" in phases:
         try:
             rows = []
-            for plen in (128, 512, 2048):
+            for plen in args.ttft_lens:
                 for ab in ("pallas", "xla"):
                     nblk = plen // 16 + 2
                     pf = CacheConfig(block_size=16, num_blocks=nblk + 2,
