@@ -71,6 +71,11 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--window", type=int, default=256)
+    ap.add_argument("--save", default=None,
+                    help="save the TRAINED dense params + a corpus sample as "
+                         ".npz (consumed by chip_session's spec_tiny phase: a "
+                         "model with self-similar output is what n-gram "
+                         "speculative decoding needs to demonstrate end-to-end)")
     args = ap.parse_args(argv)
 
     from gpt_oss_vllm_tpu.config import ModelConfig, QuantConfig
@@ -124,6 +129,19 @@ def main(argv=None):
         log(f"{method}: nll {nll_q:.4f}  delta {nll_q - nll_d:+.5f} nats/tok "
             f"(ppl {math.exp(nll_q):.3f} vs dense {math.exp(nll_d):.3f}, "
             f"delta {math.exp(nll_q) - math.exp(nll_d):+.4f})")
+
+    if args.save:
+        leaves, _ = jax.tree_util.tree_flatten(params)
+        # float32 on disk: numpy savez stores bfloat16 as raw void bytes
+        # that np.load cannot hand back to JAX; the loader casts to the
+        # template leaf dtypes
+        np.savez(
+            args.save,
+            corpus=held[:2048],
+            **{f"leaf_{i}": np.asarray(l, dtype=np.float32)
+               for i, l in enumerate(leaves)},
+        )
+        log(f"trained params saved to {args.save} ({len(leaves)} leaves)")
 
     import json
 

@@ -77,8 +77,12 @@ def main():
     quant = QuantConfig(method=args.quant, scale_dtype=sdt, vocab_int8=True)
 
     t0 = time.monotonic()
-    params = prepare_serving_params(mc, quant, seed=0)
-    log(f"[t+{time.monotonic() - t0:.0f}s] serving params ready")
+    needs_params = bool(
+        {"serving", "spec", "batched", "ttft", "gmm_ab"} & set(phases)
+    )
+    params = prepare_serving_params(mc, quant, seed=0) if needs_params else None
+    log(f"[t+{time.monotonic() - t0:.0f}s] serving params "
+        f"{'ready' if needs_params else 'skipped'}")
 
     def make_engine(cmax, spec_tokens=0, max_tokens=96, prompt_len=128):
         blocks_per_seq = (prompt_len + max_tokens + 16 * (1 + spec_tokens)) // 16 + 2
@@ -220,6 +224,76 @@ def main():
         except Exception as e:
             log(f"ttft phase failed: {type(e).__name__}: {str(e)[:300]}")
 
+    if "spec_tiny" in phases:
+        # End-to-end speculative decoding ON CHIP with a model whose output
+        # is actually self-similar (the TRAINED tiny Markov model from
+        # tools/accuracy_train_eval --save): random-weight GPT-OSS outputs
+        # never repeat, so n-gram drafts never fire there (measured:
+        # proposed=0). On a tunnel-attached chip the sync spec path pays
+        # ~1 RTT per STEP, so accepted drafts amortize the link latency —
+        # the measurement shows the machinery working end-to-end: accept
+        # rate, tokens per step > 1, tok/s vs the no-spec sync baseline.
+        try:
+            import os as _os
+
+            npz_path = _os.environ.get("SPEC_TINY_NPZ", "/tmp/spec_tiny.npz")
+            data = np.load(npz_path)
+            from gpt_oss_vllm_tpu.config import ModelConfig as MC, QuantConfig as QC
+            from gpt_oss_vllm_tpu.engine.request import SamplingParams
+            from gpt_oss_vllm_tpu.models.params import random_params
+
+            tcfg = MC.tiny()
+            template = random_params(tcfg, QC(method="none"), seed=0)
+            leaves, treedef = jax.tree_util.tree_flatten(template)
+            trained = [
+                jnp.asarray(data[f"leaf_{i}"]).astype(leaves[i].dtype)
+                for i in range(len(leaves))
+            ]
+            tparams = jax.tree_util.tree_unflatten(treedef, trained)
+            corpus = data["corpus"]
+            prompt = corpus[:96].tolist()
+
+            rows = []
+            for spec_t, use_async in ((0, True), (0, False), (4, False)):
+                ecfg = EngineConfig(
+                    model=tcfg,
+                    quant=QC(method="none"),
+                    cache=CacheConfig(block_size=16, num_blocks=64,
+                                      max_blocks_per_seq=16),
+                    scheduler=SchedulerConfig(
+                        max_num_seqs=2, max_model_len=256,
+                        spec_tokens=spec_t, async_decode=use_async,
+                    ),
+                )
+                eng = InferenceEngine(ecfg, tparams)
+                eng.generate([prompt], SamplingParams(max_tokens=8, temperature=0.0))
+                eng.metrics["spec_proposed"] = 0
+                eng.metrics["spec_accepted"] = 0
+                eng.metrics["steps"] = 0
+                tt = time.monotonic()
+                out = eng.generate([prompt], SamplingParams(max_tokens=96, temperature=0.0))
+                dt = time.monotonic() - tt
+                row = {
+                    "spec_tokens": spec_t,
+                    "async": use_async,
+                    "tok_s": round(len(out[0]) / dt, 2),
+                    "steps": eng.metrics["steps"],
+                    "tokens_per_step": round(len(out[0]) / max(1, eng.metrics["steps"]), 2),
+                }
+                if spec_t:
+                    row["proposed"] = eng.metrics.get("spec_proposed", 0)
+                    row["accepted"] = eng.metrics.get("spec_accepted", 0)
+                    if row["proposed"]:
+                        row["accept_rate"] = round(row["accepted"] / row["proposed"], 3)
+                rows.append(row)
+                log(f"[t+{time.monotonic() - t0:.0f}s] spec_tiny spec={spec_t}: {row}")
+                del eng
+                gc.collect()
+                settle()
+            emit({"metric": "spec_decode_trained_tiny_on_chip", "results": rows})
+        except Exception as e:
+            log(f"spec_tiny phase failed: {type(e).__name__}: {str(e)[:300]}")
+
     if "gmm_ab" in phases:
         try:
             from gpt_oss_vllm_tpu.ops.moe import moe_block
@@ -229,24 +303,27 @@ def main():
             x0 = (jax.random.normal(jax.random.PRNGKey(1), (T, mc.hidden_size))
                   * 0.3).astype(jnp.dtype(mc.dtype))
 
-            def block(x):
+            # weights are jit ARGUMENTS, not closure constants: closed-over
+            # packed experts become HLO constants and the remote-compile
+            # payload blows the helper's body limit (observed HTTP 413)
+            def block(x, ll):
                 return moe_block(
-                    x, l.router_w, l.router_b, l.w_gate_up, l.b_gate_up,
-                    l.w_down, l.b_down, mc, strategy="gmm", backend="pallas",
+                    x, ll.router_w, ll.router_b, ll.w_gate_up, ll.b_gate_up,
+                    ll.w_down, ll.b_down, mc, strategy="gmm", backend="pallas",
                 )
 
             @jax.jit
-            def f_rb(x):
-                return (block(x) * 1e-3 + x0).astype(x.dtype)
+            def f_rb(x, ll):
+                return (block(x, ll) * 1e-3 + x0).astype(x.dtype)
 
             @jax.jit
-            def f_sl(x):
-                outs = [block(x[s : s + 256]) for s in range(0, T, 256)]
+            def f_sl(x, ll):
+                outs = [block(x[s : s + 256], ll) for s in range(0, T, 256)]
                 return (jnp.concatenate(outs, axis=0) * 1e-3 + x0).astype(x.dtype)
 
             def measure(fn, name):
                 tc = time.monotonic()
-                xx = fn(x0)
+                xx = fn(x0, l)
                 np.asarray(xx[:1, :8])
                 log(f"  {name} compile+first: {time.monotonic() - tc:.1f}s")
 
@@ -254,7 +331,7 @@ def main():
                     xx = x0
                     tt = time.monotonic()
                     for _ in range(n):
-                        xx = fn(xx)
+                        xx = fn(xx, l)
                     np.asarray(xx[:1, :8])
                     return time.monotonic() - tt
 

@@ -74,21 +74,24 @@ def main():
     x0 = x0.astype(jnp.dtype(cfg.dtype))
     qb = "pallas" if backend == "tpu" else "xla"
 
-    def block(x):
+    # weights are jit ARGUMENTS, not closure constants: closed-over packed
+    # experts become HLO constants and the remote-compile payload blows the
+    # helper's body limit (observed HTTP 413 / broken pipe)
+    def block(x, ll):
         return moe_block(
-            x, l.router_w, l.router_b, l.w_gate_up, l.b_gate_up,
-            l.w_down, l.b_down, cfg, strategy="gmm", backend=qb,
+            x, ll.router_w, ll.router_b, ll.w_gate_up, ll.b_gate_up,
+            ll.w_down, ll.b_down, cfg, strategy="gmm", backend=qb,
         )
 
     @jax.jit
-    def f_rowblocked(x):
-        y = block(x)
+    def f_rowblocked(x, ll):
+        y = block(x, ll)
         return (y * 1e-3 + x0).astype(x.dtype)  # chain dependency
 
     @jax.jit
-    def f_sliced(x):
+    def f_sliced(x, ll):
         outs = [
-            block(x[s : min(s + args.cap, T)])
+            block(x[s : min(s + args.cap, T)], ll)
             for s in range(0, T, args.cap)
         ]
         y = jnp.concatenate(outs, axis=0)
@@ -96,7 +99,7 @@ def main():
 
     def measure(fn, name):
         t0 = time.monotonic()
-        x = fn(x0)
+        x = fn(x0, l)
         np.asarray(x[:1, :8])
         log(f"  {name} compile+first: {time.monotonic() - t0:.1f}s")
 
@@ -104,7 +107,7 @@ def main():
             xx = x0
             t0 = time.monotonic()
             for _ in range(n):
-                xx = fn(xx)
+                xx = fn(xx, l)
             np.asarray(xx[:1, :8])
             return time.monotonic() - t0
 
