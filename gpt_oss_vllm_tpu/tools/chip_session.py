@@ -78,13 +78,14 @@ def main():
 
     t0 = time.monotonic()
     needs_params = bool(
-        {"serving", "spec", "batched", "ttft", "gmm_ab"} & set(phases)
+        {"serving", "spec", "batched", "ttft", "gmm_ab", "tune"} & set(phases)
     )
     params = prepare_serving_params(mc, quant, seed=0) if needs_params else None
     log(f"[t+{time.monotonic() - t0:.0f}s] serving params "
         f"{'ready' if needs_params else 'skipped'}")
 
-    def make_engine(cmax, spec_tokens=0, max_tokens=96, prompt_len=128):
+    def make_engine(cmax, spec_tokens=0, max_tokens=96, prompt_len=128,
+                    async_depth=8, flush_burst=8):
         blocks_per_seq = (prompt_len + max_tokens + 16 * (1 + spec_tokens)) // 16 + 2
         cfg = EngineConfig(
             model=mc,
@@ -98,7 +99,8 @@ def main():
             scheduler=SchedulerConfig(
                 max_num_seqs=cmax, max_model_len=4096,
                 spec_tokens=spec_tokens,
-                async_decode=True, async_depth=8, async_flush_burst=8,
+                async_decode=True, async_depth=async_depth,
+                async_flush_burst=flush_burst,
             ),
         )
         return InferenceEngine(cfg, params)
@@ -223,6 +225,28 @@ def main():
                   "results": rows})
         except Exception as e:
             log(f"ttft phase failed: {type(e).__name__}: {str(e)[:300]}")
+
+    if "tune" in phases:
+        # async-pipeline shape sweep: (depth, burst) at fixed concurrency —
+        # burst sets how many token readbacks amortize one tunnel sync,
+        # depth how far the device runs ahead of emission
+        try:
+            rows = []
+            for depth, burst, c in ((8, 8, 8), (8, 16, 8), (16, 16, 8),
+                                    (8, 8, 32), (16, 16, 32)):
+                eng = make_engine(c, async_depth=depth, flush_burst=burst)
+                r = run_load(eng, mc.vocab_size, c, 128, 8, seed=99)
+                r = run_load(eng, mc.vocab_size, c, 128, 96)
+                rows.append({"depth": depth, "burst": burst, "concurrency": c,
+                             "tok_s": r["tok_s"], "steady": r["steady_tok_s"]})
+                log(f"[t+{time.monotonic() - t0:.0f}s] tune d={depth} b={burst} "
+                    f"c={c}: {r['tok_s']} ({r['steady_tok_s']} steady)")
+                del eng
+                gc.collect()
+                settle()
+            emit({"metric": "async_pipeline_tune", "results": rows})
+        except Exception as e:
+            log(f"tune phase failed: {type(e).__name__}: {str(e)[:300]}")
 
     if "spec_tiny" in phases:
         # End-to-end speculative decoding ON CHIP with a model whose output

@@ -617,3 +617,78 @@ def test_async_burst_parity_with_slow_tunnel_readbacks():
     want = run(False)
     got = run(True)
     assert got == want
+
+
+def test_engine_async_fuzz_matches_sync():
+    """Adversarial schedule fuzz: random interleave of admissions (mixed
+    sampling modes — greedy, seeded-sampled, penalties and logprobs rows
+    that force sync-path interleaves), aborts, and idle steps. The async
+    burst engine (bucketed program widths, device-chained counters) must
+    emit byte-identical streams to the sync engine for every request.
+    The schedule is a function of step INDEX only, so both engines see the
+    same request arrival/abort sequence regardless of emission timing."""
+    import dataclasses
+
+    rng = np.random.default_rng(1234)
+    cfg = EngineConfig.tiny()
+    params = random_params(cfg.model, cfg.quant, seed=77)
+
+    def sampling_for(j):
+        kind = j % 4
+        if kind == 0:
+            return SamplingParams(max_tokens=4 + (j % 5), temperature=0.0)
+        if kind == 1:
+            return SamplingParams(max_tokens=5, temperature=1.2, seed=1000 + j)
+        if kind == 2:  # penalties force the sync fallback path
+            return SamplingParams(
+                max_tokens=4, temperature=0.9, seed=2000 + j,
+                presence_penalty=0.5,
+            )
+        return SamplingParams(max_tokens=3, temperature=0.0, logprobs=2)
+
+    prompts = [
+        rng.integers(1, cfg.model.vocab_size, rng.integers(2, 9)).tolist()
+        for _ in range(14)
+    ]
+
+    def run(async_decode, depth=3, burst=2):
+        c = dataclasses.replace(
+            cfg,
+            scheduler=dataclasses.replace(
+                cfg.scheduler, async_decode=async_decode, async_depth=depth,
+                async_flush_burst=burst,
+            ),
+        )
+        eng = InferenceEngine(c, params)
+        next_req = 0
+        for step_i in range(120):
+            if step_i % 3 == 0 and next_req < len(prompts):
+                eng.add_request(f"r{next_req}", prompts[next_req],
+                                sampling_for(next_req))
+                next_req += 1
+            if step_i == 17:
+                eng.abort_request("r2")
+            if step_i == 40:
+                eng.abort_request("r9")
+            eng.step()
+            if next_req >= len(prompts) and not eng.has_work():
+                break
+        while eng.has_work():
+            eng.step()
+        return {
+            rid: r.output_token_ids for rid, r in eng.requests.items()
+        }
+
+    want = run(False)
+    got = run(True)
+    # aborted requests may differ in how many tokens landed before the
+    # abort; every completed request must match exactly
+    for rid in want:
+        if rid in ("r2", "r9"):
+            continue
+        assert got[rid] == want[rid], f"{rid}: {got[rid]} != {want[rid]}"
+    got2 = run(True, depth=6, burst=4)
+    for rid in want:
+        if rid in ("r2", "r9"):
+            continue
+        assert got2[rid] == want[rid], f"{rid} (d6b4): {got2[rid]} != {want[rid]}"
