@@ -543,7 +543,10 @@ def build_app(async_engine: AsyncEngine, serving: ServingConfig, max_model_len: 
 
 def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
     quant = QuantConfig(
-        method=args.quant, vocab_int8=getattr(args, "vocab_int8", False)
+        method=args.quant, vocab_int8=getattr(args, "vocab_int8", False),
+        # mxfp4 ships E8M0 exponent-byte scales (decoded in-kernel); storing
+        # them bf16 would double scale bytes for nothing (bench.py parity)
+        scale_dtype="e8m0" if args.quant == "mxfp4" else "bfloat16",
     )
     kv_dtype = getattr(args, "kv_cache_dtype", "bfloat16")
     if args.tiny:
