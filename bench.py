@@ -256,6 +256,25 @@ def main():
         return args.budget - elapsed()
 
     log(f"[t+{elapsed():.0f}s] devices: {jax.devices()}  backend: {jax.default_backend()}")
+    # Heartbeat: the tunnel-attached chip sometimes blocks the FIRST device
+    # op of a fresh process for many minutes (handover stall after a recent
+    # TPU process — observed 450-1040 s; it is the device, not compiles: all
+    # programs were persistent-cache hits on the stalled runs). The
+    # heartbeat makes a stalled log attributable, and the explicit probe
+    # absorbs the stall before any timed phase.
+    import threading
+
+    hb_stop = threading.Event()
+
+    def _heartbeat():
+        while not hb_stop.wait(60.0):
+            log(f"[t+{elapsed():.0f}s] heartbeat (waiting on device/compile)")
+
+    threading.Thread(target=_heartbeat, daemon=True).start()
+    t_probe = time.monotonic()
+    np.asarray(jnp.zeros((8,), jnp.int32) + 1)
+    log(f"[t+{elapsed():.0f}s] device responsive "
+        f"(first-op latency {time.monotonic() - t_probe:.1f}s)")
     on_tpu = jax.default_backend() == "tpu"
     quant_backend = "pallas" if on_tpu else "xla"
     # Full GPT-OSS-20B architecture. tie_word_embeddings: the decode compute

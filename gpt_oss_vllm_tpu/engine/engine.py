@@ -259,7 +259,6 @@ class InferenceEngine:
         self._ctr_dev = None
         # jitted k-ary stack for burst token readbacks (compiled per arity)
         self._stack_toks = None
-        self._stack_arity = -1
         # background token-readback pipeline: (entries, Future) FIFO + a
         # single worker thread that blocks in np.asarray off the dispatch path
         self._rb_q: deque = deque()
@@ -818,12 +817,12 @@ class InferenceEngine:
             and self._pending[0][1].shape[0] == w0
         ):
             entries.append(self._pending.popleft())
-        k = len(entries)
-        if self._stack_toks is None or self._stack_arity != k:
+        if self._stack_toks is None:
             import jax as _jax
 
+            # one jitted stacker for every (arity, width): jax caches a
+            # specialization per call signature
             self._stack_toks = _jax.jit(lambda *xs: jnp.stack(xs))
-            self._stack_arity = k
         stacked = self._stack_toks(*[e[1] for e in entries])
         if self._rb_pool is None:
             from concurrent.futures import ThreadPoolExecutor
