@@ -312,7 +312,16 @@ def main():
                 f"in {time.monotonic() - t0:.1f}s")
             cache_cfg = CacheConfig(block_size=16, num_blocks=160, max_blocks_per_seq=16)
             if not args.skip_decode:
-                tok_s_b1, step_lat = time_decode(c, params, cache_cfg, quant_backend, 1, DECODE_STEPS)
+                # budget nearly gone (device-handover stall ate it): a short
+                # measurement with one rep still beats no JSON at all —
+                # slope timing stays honest, just noisier
+                fast = remaining() < 150
+                if fast:
+                    log(f"[t+{elapsed():.0f}s] budget low: short b1 measurement")
+                tok_s_b1, step_lat = time_decode(
+                    c, params, cache_cfg, quant_backend, 1,
+                    8 if fast else DECODE_STEPS, reps=1 if fast else 3,
+                )
                 log(f"[t+{elapsed():.0f}s] batch=1 decode: {tok_s_b1:.2f} tok/s "
                     f"({step_lat * 1e3:.1f} ms/step)")
                 # HEADLINE OUT FIRST: everything below is secondary evidence;
