@@ -78,14 +78,14 @@ def main():
 
     t0 = time.monotonic()
     needs_params = bool(
-        {"serving", "spec", "batched", "ttft", "gmm_ab", "tune"} & set(phases)
+        {"serving", "spec", "batched", "ttft", "gmm_ab", "tune", "chunk_ab"} & set(phases)
     )
     params = prepare_serving_params(mc, quant, seed=0) if needs_params else None
     log(f"[t+{time.monotonic() - t0:.0f}s] serving params "
         f"{'ready' if needs_params else 'skipped'}")
 
     def make_engine(cmax, spec_tokens=0, max_tokens=96, prompt_len=128,
-                    async_depth=8, flush_burst=8):
+                    async_depth=8, flush_burst=8, prefill_chunk=512):
         blocks_per_seq = (prompt_len + max_tokens + 16 * (1 + spec_tokens)) // 16 + 2
         cfg = EngineConfig(
             model=mc,
@@ -101,6 +101,7 @@ def main():
                 spec_tokens=spec_tokens,
                 async_decode=True, async_depth=async_depth,
                 async_flush_burst=flush_burst,
+                prefill_chunk=prefill_chunk,
             ),
         )
         return InferenceEngine(cfg, params)
@@ -225,6 +226,30 @@ def main():
                   "results": rows})
         except Exception as e:
             log(f"ttft phase failed: {type(e).__name__}: {str(e)[:300]}")
+
+    if "chunk_ab" in phases:
+        # bigger admission chunks at high concurrency: the row-blocked gmm
+        # makes >512-token prefill passes compilable, so burst admission can
+        # pack more rows per pass (fewer weight sweeps before steady decode)
+        try:
+            rows = []
+            for chunk in (512, 1024, 2048):
+                eng = make_engine(32, prefill_chunk=chunk)
+                r = run_load(eng, mc.vocab_size, 32, 128, 8, seed=99)
+                r = run_load(eng, mc.vocab_size, 32, 128, 96)
+                rows.append({"prefill_chunk": chunk, "tok_s": r["tok_s"],
+                             "steady": r["steady_tok_s"],
+                             "ttft_p50_ms": r["ttft_p50_ms"],
+                             "ttft_p99_ms": r["ttft_p99_ms"]})
+                log(f"[t+{time.monotonic() - t0:.0f}s] chunk={chunk} c=32: "
+                    f"{r['tok_s']} tok/s, TTFT p50 {r['ttft_p50_ms']} "
+                    f"p99 {r['ttft_p99_ms']}")
+                del eng
+                gc.collect()
+                settle()
+            emit({"metric": "admission_chunk_ab", "results": rows})
+        except Exception as e:
+            log(f"chunk_ab phase failed: {type(e).__name__}: {str(e)[:300]}")
 
     if "tune" in phases:
         # async-pipeline shape sweep: (depth, burst) at fixed concurrency —
