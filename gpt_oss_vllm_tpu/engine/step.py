@@ -213,8 +213,13 @@ def model_step(
             mesh is not None
             and quant_backend.startswith("pallas")
             and isinstance(layer.w_gate_up, NF4Tensor)
-            and B * T * cfg.experts_per_token <= 2048
         ):
+            # any dispatch size: the per-shard moe_gmm_block selects the
+            # row-blocked grid past GMM_RESIDENT_PAIR_CAP pairs (bounded
+            # VMEM). The old <=2048-pair cap here silently dropped big
+            # prefill chunks into an UNSHARDED pallas_call inside the
+            # mesh-jitted program — unpartitionable, and a hard error for
+            # glu4-sectioned weights.
             # per-shard fused-dequant gmm on the local expert slice + psum
             # combine — packed weights are never gathered (parallel/kernels)
             from gpt_oss_vllm_tpu.parallel.kernels import moe_block_gmm_sharded

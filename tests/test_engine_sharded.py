@@ -245,3 +245,35 @@ def test_120b_memory_budget_fits_v5p():
         CacheConfig(num_blocks=176, block_size=16),
     )
     assert rep20["total_gb"] < CHIP_HBM_GB["v5e"]
+
+
+def test_sharded_engine_big_prefill_chunk(setup):
+    """Prefill dispatches past the old 2048-pair cap must stay on the
+    SHARDED gmm path (the per-shard row-blocked grid handles any size);
+    they used to fall into an unsharded pallas_call inside the mesh-jitted
+    program — unpartitionable, and a hard error for glu4 weights. A long
+    prompt with a big prefill_chunk crosses the boundary (T*k > 2048)."""
+    import dataclasses
+
+    cfg, _ = setup
+    qcfg = dataclasses.replace(
+        cfg,
+        quant=QuantConfig(method="nf4", backend="pallas_interpret"),
+        cache=CacheConfig(block_size=8, num_blocks=256, max_blocks_per_seq=200),
+        scheduler=SchedulerConfig(
+            max_num_seqs=2, max_model_len=2048, prefill_chunk=1536
+        ),
+    )
+    qparams = random_params(qcfg.model, qcfg.quant, seed=37)
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(1, qcfg.model.vocab_size, 1400).tolist()
+    sp = SamplingParams(max_tokens=2, temperature=0.0)
+    want = InferenceEngine(qcfg, qparams, attn_backend="pallas_interpret").generate(
+        [prompt], sp
+    )[0]
+    mesh = make_mesh(ParallelConfig(dp=1, ep=2, tp=2))
+    with mesh:
+        eng = InferenceEngine(qcfg, qparams, attn_backend="pallas_interpret", mesh=mesh)
+        assert eng.params.layers[0].w_gate_up.row_layout == "glu4"
+        got = eng.generate([prompt], sp)[0]
+    assert got == want
