@@ -235,12 +235,75 @@ class InferenceEngine:
             self._decode_spec_fused = jax.jit(spec_step, donate_argnames=("cache",))
             self.metrics["spec_proposed"] = 0
             self.metrics["spec_accepted"] = 0
+
+            K, L = self.spec_tokens, sc.max_model_len
+            mm = sc.spec_min_match
+
+            def spec_async_step(params, cache, hist, hist_len, block_tables):
+                # FULLY device-chained speculative step (greedy rows only):
+                # draft from the per-row token-history ring, feed
+                # [last, draft...], verify by longest greedy prefix, append
+                # the emitted tokens back into the history — the next step
+                # drafts from the updated ring with ZERO host syncs (the
+                # async analog of _decode_spec_fused, which needs a readback
+                # per step because the HOST drafts). Rejected drafts' KV
+                # entries sit beyond the accepted frontier and are
+                # overwritten when the real tokens are fed at those
+                # positions (slot mapping is position-based).
+                from gpt_oss_vllm_tpu.ops.spec_device import (
+                    greedy_accept_counts,
+                    ngram_draft_device,
+                )
+
+                W = hist.shape[0]
+                draft, nd = jax.vmap(
+                    lambda h, n: ngram_draft_device(h, n, k=K, m=mm)
+                )(hist, hist_len)
+                live = hist_len > 0  # pad rows park at hist_len 0
+                nd = jnp.where(live, nd, 0)
+                last = hist[
+                    jnp.arange(W), jnp.clip(hist_len - 1, 0, L - 1)
+                ]
+                tokens = jnp.concatenate([last[:, None], draft], axis=1)
+                win = jnp.arange(1 + K, dtype=jnp.int32)[None, :]
+                base = hist_len[:, None] - 1
+                fed = win <= nd[:, None]
+                positions = jnp.where(fed & live[:, None], base + win, -1)
+                out = spec_fn(
+                    params, cache=cache, tokens=tokens, positions=positions,
+                    block_tables=block_tables,
+                    last_idx=jnp.zeros(W, jnp.int32),
+                )
+                greedy = jnp.argmax(out.logits, axis=-1).astype(jnp.int32)
+                n_acc = greedy_accept_counts(draft, nd, greedy)
+                n_emit = jnp.where(live, n_acc + 1, 0)
+                emit = win < n_emit[:, None]
+                emitted = jnp.where(emit, greedy, -1)
+                w_idx = jnp.where(emit, hist_len[:, None] + win, L)
+                hist = jax.vmap(
+                    lambda h, wi, em: h.at[wi].set(em, mode="drop")
+                )(hist, w_idx, emitted)
+                # payload row: [n_drafted | emitted tokens (-1 pads)] — one
+                # [W, 2+K] readback carries tokens AND the proposal count
+                # (for the acceptance metrics) per flushed step
+                payload = jnp.concatenate([nd[:, None], emitted], axis=1)
+                return out.cache, payload, hist, hist_len + n_emit
+
+            self._decode_spec_async = jax.jit(
+                spec_async_step, donate_argnames=("cache", "hist", "hist_len")
+            )
+            # async-spec device chain: compact [W, L] history + lengths;
+            # None = rebuild from host (which must flush in-flight first —
+            # unknown acceptance counts make host mirrors upper bounds only)
+            self._hist_chain = None
+            self._hlen_chain = None
+            self._spec_key = None
         self._sample = jax.jit(sample_tokens_seeded)
         # overlapped-readback decode (SchedulerConfig.async_decode): one jit
         # fuses step + on-device sampling so sampled tokens feed the next
         # dispatch WITHOUT a host round-trip; the host processes step k's
         # tokens while step k+1 runs on device
-        self.async_decode = sc.async_decode and self.spec_tokens == 0
+        self.async_decode = sc.async_decode
         self.async_depth = max(1, sc.async_depth)
         # FIFO of in-flight async steps: ([(row, req)], dev_tokens)
         self._pending: deque = deque()
@@ -777,9 +840,34 @@ class InferenceEngine:
 
     def _emit_snapshot(self, snapshot, toks) -> List[StepOutput]:
         outputs: List[StepOutput] = []
+        spec = getattr(toks, "ndim", 1) == 2  # [W, 1+nd+K] async-spec payload
         for ci, slot, req in snapshot:
             if req.state != RequestState.RUNNING or req.slot != slot:
                 continue  # finished/aborted/preempted since dispatch
+            if spec:
+                row = toks[ci]
+                self.metrics["spec_proposed"] += int(row[0])
+                n_emitted = 0
+                for tok in row[1:]:
+                    tok = int(tok)
+                    if tok < 0:
+                        break
+                    self.metrics["decode_tokens"] += 1
+                    n_emitted += 1
+                    out = self._append_token(req, tok)
+                    outputs.append(out)
+                    if out.finished:
+                        break
+                    self.last_token[slot] = tok
+                # accepted drafts = emitted tokens minus the bonus draw
+                self.metrics["spec_accepted"] += max(0, n_emitted - 1)
+                if req.state == RequestState.RUNNING:
+                    # optimistic seq_lens bump was the 1+K upper bound per
+                    # dispatched step; correct to exact + the still-in-flight
+                    # steps' margins (they advance by unknown <= 1+K each)
+                    margin = (1 + self.spec_tokens) * self._inflight_steps(slot, req)
+                    self.seq_lens[slot] = req.num_tokens + margin
+                continue
             tok = int(toks[ci])
             self.metrics["decode_tokens"] += 1
             out = self._append_token(req, tok)
@@ -787,6 +875,21 @@ class InferenceEngine:
             if not out.finished:
                 self.last_token[slot] = tok
         return outputs
+
+    def _inflight_steps(self, slot: int, req: Request) -> int:
+        """Dispatched-but-unemitted async steps still carrying this (slot,
+        request) — _pending plus bursts parked at the background reader."""
+        n = 0
+        for snapshot, _ in self._pending:
+            for _ci, s, r in snapshot:
+                if s == slot and r is req:
+                    n += 1
+        for entries, _fut in self._rb_q:
+            for snapshot, _ in entries:
+                for _ci, s, r in snapshot:
+                    if s == slot and r is req:
+                        n += 1
+        return n
 
     def _flush_oldest(self) -> List[StepOutput]:
         """Read back and emit the OLDEST in-flight async step's tokens."""
@@ -806,15 +909,16 @@ class InferenceEngine:
         thread blocks in np.asarray instead (the GIL is released during the
         device wait), the dispatch thread keeps the device fed, and host
         state is only ever mutated here, in dispatch order."""
-        # entries must share a program width (the stacked transfer is [k, W]);
-        # a batch-composition change mid-burst splits the burst at the width
-        # boundary — the remainder flushes on a later call
-        w0 = self._pending[0][1].shape[0]
+        # entries must share a payload shape (the stacked transfer is
+        # [k, W] or [k, W, 2+spec] for async-spec steps); a composition
+        # change or spec/plain switch mid-burst splits the burst at the
+        # shape boundary — the remainder flushes on a later call
+        w0 = self._pending[0][1].shape
         entries = []
         while (
             self._pending
             and len(entries) < k
-            and self._pending[0][1].shape[0] == w0
+            and self._pending[0][1].shape == w0
         ):
             entries.append(self._pending.popleft())
         if self._stack_toks is None:
@@ -1032,12 +1136,21 @@ class InferenceEngine:
         if not running:
             return truncated + self._flush_pending()
         if self.async_decode and all(self._plain_sampling(r) for _, r in running):
-            return truncated + self._decode_async_step(running)
+            if self.spec_tokens > 0:
+                if all(r.sampling.temperature <= 0.0 for _, r in running):
+                    # all-greedy: the fully device-chained speculative path
+                    return truncated + self._decode_async_spec_step(running)
+                # sampled rows need rejection-sampling verification with
+                # host drafts: fall through to the sync spec path below
+            else:
+                return truncated + self._decode_async_step(running)
         # sync fallback (logprobs/penalties/bias/min_tokens or spec decode):
         # host state must be exact before sampling decisions. Positions
         # advance host-side here, so the device position/counter chain is
         # stale even if the batch composition survives — force a rebuild.
         self._pos_dev = None
+        if self.spec_tokens > 0:
+            self._hist_chain = None  # sync steps advance history host-side
         truncated.extend(self._flush_pending())
         running = [(i, r) for i, r in enumerate(self.slots) if r is not None]
         if not running:
@@ -1114,6 +1227,81 @@ class InferenceEngine:
                 jnp.asarray(rows, jnp.int32),
                 jnp.asarray(sampled, jnp.int32),
             )
+        return outputs
+
+    def _decode_async_spec_step(self, running) -> List[StepOutput]:
+        """Device-chained speculative decode (all-greedy batches): drafting,
+        verification and history advance happen inside ONE fused program
+        (``_decode_spec_async``), so consecutive spec steps need no host
+        sync at all — the spec analog of ``_decode_async_step``. Emission
+        lags like the plain async path; each flushed entry carries up to
+        1 + spec_tokens tokens per row (-1 pads)."""
+        K = self.spec_tokens
+        L = self.config.scheduler.max_model_len
+        key = tuple((i, id(r)) for i, r in running)
+        outputs: List[StepOutput] = []
+        if key != self._spec_key or self._hist_chain is None:
+            # acceptance counts of in-flight steps are host-unknown: bring
+            # host state exact before rebuilding the history chain
+            outputs.extend(self._flush_pending())
+            running = [(i, r) for i, r in enumerate(self.slots) if r is not None]
+            if not running:
+                return outputs
+            key = tuple((i, id(r)) for i, r in running)
+            W = min(self.num_slots, _next_bucket(max(1, len(running)), 1))
+            hist = np.zeros((W, L), dtype=np.int32)
+            hlen = np.zeros(W, dtype=np.int32)
+            rows = np.full(W, self.num_slots, dtype=np.int32)
+            for ci, (i, req) in enumerate(running):
+                ctx = req.prompt_token_ids + req.output_token_ids
+                hist[ci, : len(ctx)] = ctx
+                hlen[ci] = len(ctx)
+                rows[ci] = i
+            self._hist_chain = jnp.asarray(hist)
+            self._hlen_chain = jnp.asarray(hlen)
+            self._rows_host = rows
+            self._spec_key = key
+            self._samp_key = None  # plain-async chain must rebuild too
+            self._pos_dev = None
+            self._bt_dev_version = -1
+        W = self._hist_chain.shape[0]
+        if self._bt_dev_version != self._bt_version:
+            bt = np.full((W, self.max_blocks), -1, dtype=np.int32)
+            act = self._rows_host < self.num_slots
+            bt[act] = self.block_tables[self._rows_host[act]]
+            self._bt_dev = jnp.asarray(bt)
+            self._bt_dev_version = self._bt_version
+        _t = time.time()
+        cache, emitted, self._hist_chain, self._hlen_chain = (
+            self._decode_spec_async(
+                self.params, self.cache, self._hist_chain, self._hlen_chain,
+                self._bt_dev,
+            )
+        )
+        self.cache = cache
+        self.timer.record("async_dispatch", time.time() - _t)
+        import os as _os
+
+        if not _os.environ.get("GPT_OSS_NO_COPY_ASYNC"):
+            try:
+                emitted.copy_to_host_async()
+            except Exception:
+                pass
+        self._pending.append(
+            ([(ci, i, r) for ci, (i, r) in enumerate(running)], emitted)
+        )
+        for i, _ in running:
+            # optimistic upper bound (actual advance is n_acc+1, host-
+            # unknown until flush); emission resets to the exact count
+            self.seq_lens[i] += 1 + K
+        while self._pending and len(self._pending[0][0]) == 0:
+            outputs.extend(self._flush_oldest())
+        burst = max(1, self.config.scheduler.async_flush_burst)
+        if len(self._pending) >= self.async_depth + burst:
+            if burst == 1:
+                outputs.extend(self._flush_oldest())
+            else:
+                outputs.extend(self._flush_burst(burst))
         return outputs
 
     def _decode_spec_step(self, running, drafts: Dict[int, list]) -> List[StepOutput]:

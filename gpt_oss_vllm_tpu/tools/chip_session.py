@@ -303,7 +303,9 @@ def main():
             prompt = corpus[:96].tolist()
 
             rows = []
-            for spec_t, use_async in ((0, True), (0, False), (4, False)):
+            for spec_t, use_async in (
+                (0, True), (0, False), (4, False), (4, True),
+            ):
                 ecfg = EngineConfig(
                     model=tcfg,
                     quant=QC(method="none"),
