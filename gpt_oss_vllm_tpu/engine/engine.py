@@ -817,6 +817,12 @@ class InferenceEngine:
         """Ensure block capacity for ``new_tokens`` more tokens."""
         need = self._blocks_for(self.seq_lens[req.slot] + new_tokens)
         while len(req.blocks) < need:
+            if len(req.blocks) >= self.max_blocks:
+                # per-sequence table full. With async-spec optimism this can
+                # be a phantom need (seq_lens is an upper bound until the
+                # in-flight acceptance counts land) — _grow_all flushes
+                # pending and retries before treating it as real exhaustion
+                return False
             if not self.allocator.can_allocate(1):
                 return False
             b = self.allocator.allocate(1)
@@ -864,9 +870,12 @@ class InferenceEngine:
                 if req.state == RequestState.RUNNING:
                     # optimistic seq_lens bump was the 1+K upper bound per
                     # dispatched step; correct to exact + the still-in-flight
-                    # steps' margins (they advance by unknown <= 1+K each)
+                    # steps' margins (they advance by unknown <= 1+K each),
+                    # capped at the request's own maximum (see dispatch)
                     margin = (1 + self.spec_tokens) * self._inflight_steps(slot, req)
-                    self.seq_lens[slot] = req.num_tokens + margin
+                    cap = req.num_prompt_tokens + req.sampling.max_tokens
+                    self.seq_lens[slot] = min(req.num_tokens + margin,
+                                              max(cap, req.num_tokens))
                 continue
             tok = int(toks[ci])
             self.metrics["decode_tokens"] += 1
@@ -1290,10 +1299,14 @@ class InferenceEngine:
         self._pending.append(
             ([(ci, i, r) for ci, (i, r) in enumerate(running)], emitted)
         )
-        for i, _ in running:
+        for i, req in running:
             # optimistic upper bound (actual advance is n_acc+1, host-
-            # unknown until flush); emission resets to the exact count
-            self.seq_lens[i] += 1 + K
+            # unknown until flush); emission resets to the exact count.
+            # Cap at the request's own maximum — tokens past max_tokens are
+            # discarded at emission and their (dropped, bt=-1) KV writes
+            # never matter, so blocks are never needed for them
+            cap = req.num_prompt_tokens + req.sampling.max_tokens
+            self.seq_lens[i] = min(self.seq_lens[i] + 1 + K, max(cap, self.seq_lens[i]))
         while self._pending and len(self._pending[0][0]) == 0:
             outputs.extend(self._flush_oldest())
         burst = max(1, self.config.scheduler.async_flush_burst)

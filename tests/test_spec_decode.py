@@ -344,3 +344,39 @@ def test_async_spec_slow_tunnel_readbacks():
     want = run(False)
     assert run(True) == want
     assert run(True, slow=True) == want
+
+
+def test_async_spec_tight_block_table():
+    """Regression: the async-spec optimistic seq_lens bound (+1+k per
+    in-flight step) must not index past a block table sized for the
+    request's ACTUAL maximum (prompt + max_tokens + verify window) — found
+    on chip as an IndexError in _grow_blocks with a 16-deep pipeline."""
+    import dataclasses
+
+    import numpy as np
+
+    from gpt_oss_vllm_tpu.config import CacheConfig, EngineConfig, QuantConfig
+    from gpt_oss_vllm_tpu.engine.engine import InferenceEngine
+    from gpt_oss_vllm_tpu.engine.request import SamplingParams
+    from gpt_oss_vllm_tpu.models.params import random_params
+
+    cfg = EngineConfig.tiny()
+    params = random_params(cfg.model, QuantConfig(method="none"), seed=11)
+    prompt_len, max_tokens, k, bs = 64, 48, 4, 8
+    blocks = (prompt_len + max_tokens + bs * (1 + k)) // bs + 2
+    c = dataclasses.replace(
+        cfg,
+        cache=CacheConfig(block_size=bs, num_blocks=blocks + 4,
+                          max_blocks_per_seq=blocks),
+        scheduler=dataclasses.replace(
+            cfg.scheduler, spec_tokens=k, async_decode=True,
+            async_depth=8, async_flush_burst=8, max_model_len=512,
+        ),
+    )
+    eng = InferenceEngine(c, params)
+    rng = np.random.default_rng(3)
+    pat = rng.integers(1, cfg.model.vocab_size, 8)
+    prompt = np.tile(pat, 10)[:prompt_len].tolist()
+    out = eng.generate([prompt], SamplingParams(max_tokens=max_tokens, temperature=0.0))
+    assert len(out[0]) == max_tokens or len(out[0]) > 0  # completed, no IndexError
+    assert not eng.has_work()
