@@ -380,3 +380,43 @@ def test_async_spec_tight_block_table():
     out = eng.generate([prompt], SamplingParams(max_tokens=max_tokens, temperature=0.0))
     assert len(out[0]) == max_tokens or len(out[0]) > 0  # completed, no IndexError
     assert not eng.has_work()
+
+
+def test_async_spec_backoff_on_draftless_text():
+    """Non-drafting text (random prompts on a random model) must not pay
+    the widened-window tax forever: after SPEC_MISS_LIMIT draftless steps
+    the engine drops to the plain async chain (and still emits exact greedy
+    streams), re-probing after SPEC_BACKOFF_STEPS."""
+    import dataclasses
+
+    import numpy as np
+
+    from gpt_oss_vllm_tpu.config import EngineConfig, QuantConfig
+    from gpt_oss_vllm_tpu.engine.engine import InferenceEngine
+    from gpt_oss_vllm_tpu.engine.request import SamplingParams
+    from gpt_oss_vllm_tpu.models.params import random_params
+
+    cfg = EngineConfig.tiny()
+    params = random_params(cfg.model, QuantConfig(method="none"), seed=11)
+    c = dataclasses.replace(
+        cfg,
+        scheduler=dataclasses.replace(
+            cfg.scheduler, spec_tokens=4, async_decode=True,
+            async_depth=2, async_flush_burst=1, max_model_len=512,
+        ),
+    )
+    eng = InferenceEngine(c, params)
+    eng.SPEC_MISS_LIMIT = 6
+    rng = np.random.default_rng(12)
+    prompt = rng.integers(1, cfg.model.vocab_size, 30).tolist()
+    out = eng.generate([prompt], SamplingParams(max_tokens=24, temperature=0.0))[0]
+    assert eng._spec_off_until > 0  # backoff engaged mid-run
+    assert eng._async_path == "plain"
+    # exact greedy parity with the no-spec engine regardless
+    plain = dataclasses.replace(
+        cfg, scheduler=dataclasses.replace(cfg.scheduler, async_decode=False)
+    )
+    want = InferenceEngine(plain, params).generate(
+        [prompt], SamplingParams(max_tokens=24, temperature=0.0)
+    )[0]
+    assert out == want
