@@ -239,21 +239,24 @@ class InferenceEngine:
             K, L = self.spec_tokens, sc.max_model_len
             mm = sc.spec_min_match
 
-            def spec_async_step(params, cache, hist, hist_len, block_tables):
-                # FULLY device-chained speculative step (greedy rows only):
-                # draft from the per-row token-history ring, feed
-                # [last, draft...], verify by longest greedy prefix, append
-                # the emitted tokens back into the history — the next step
+            def spec_async_step(params, cache, hist, hist_len, block_tables,
+                                seeds, ctrs, temp, top_p, top_k, min_p):
+                # FULLY device-chained speculative step: draft from the
+                # per-row token-history ring, feed [last, draft...], verify
+                # on device (rejection sampling against each row's exact
+                # target distribution; temperature<=0 rows degrade to greedy
+                # longest-prefix — ops.sampling.spec_verify), append the
+                # emitted tokens back into the history — the next step
                 # drafts from the updated ring with ZERO host syncs (the
                 # async analog of _decode_spec_fused, which needs a readback
-                # per step because the HOST drafts). Rejected drafts' KV
+                # per step because the HOST drafts). Draw counters chain as
+                # ctr += n_emitted, which equals the sync path's
+                # len(output_token_ids) reseed exactly. Rejected drafts' KV
                 # entries sit beyond the accepted frontier and are
                 # overwritten when the real tokens are fed at those
                 # positions (slot mapping is position-based).
-                from gpt_oss_vllm_tpu.ops.spec_device import (
-                    greedy_accept_counts,
-                    ngram_draft_device,
-                )
+                from gpt_oss_vllm_tpu.ops.sampling import spec_verify
+                from gpt_oss_vllm_tpu.ops.spec_device import ngram_draft_device
 
                 W = hist.shape[0]
                 draft, nd = jax.vmap(
@@ -274,11 +277,28 @@ class InferenceEngine:
                     block_tables=block_tables,
                     last_idx=jnp.zeros(W, jnp.int32),
                 )
-                greedy = jnp.argmax(out.logits, axis=-1).astype(jnp.int32)
-                n_acc = greedy_accept_counts(draft, nd, greedy)
+                draft_w = jnp.concatenate(
+                    [draft, jnp.zeros((W, 1), jnp.int32)], axis=1
+                )  # [W, 1+K]: the verify window's draft columns
+                n_acc, final = spec_verify(
+                    out.logits, draft_w, nd, seeds, ctrs, temp, top_p, top_k,
+                    min_p,
+                )
+                n_acc = jnp.minimum(n_acc.astype(jnp.int32), nd)
                 n_emit = jnp.where(live, n_acc + 1, 0)
                 emit = win < n_emit[:, None]
-                emitted = jnp.where(emit, greedy, -1)
+                emitted = jnp.where(
+                    win < n_acc[:, None],
+                    jnp.concatenate(
+                        [draft, jnp.zeros((W, 1), jnp.int32)], axis=1
+                    ),
+                    jnp.where(
+                        win == n_acc[:, None],
+                        final.astype(jnp.int32)[:, None],
+                        -1,
+                    ),
+                )
+                emitted = jnp.where(emit, emitted, -1)
                 w_idx = jnp.where(emit, hist_len[:, None] + win, L)
                 hist = jax.vmap(
                     lambda h, wi, em: h.at[wi].set(em, mode="drop")
@@ -287,7 +307,7 @@ class InferenceEngine:
                 # [W, 2+K] readback carries tokens AND the proposal count
                 # (for the acceptance metrics) per flushed step
                 payload = jnp.concatenate([nd[:, None], emitted], axis=1)
-                return out.cache, payload, hist, hist_len + n_emit
+                return out.cache, payload, hist, hist_len + n_emit, ctrs + n_emit
 
             self._decode_spec_async = jax.jit(
                 spec_async_step, donate_argnames=("cache", "hist", "hist_len")
@@ -1169,41 +1189,39 @@ class InferenceEngine:
         if not running:
             return truncated + self._flush_pending()
         if self.async_decode and all(self._plain_sampling(r) for _, r in running):
-            all_greedy = all(r.sampling.temperature <= 0.0 for _, r in running)
-            if self.spec_tokens > 0 and not all_greedy:
-                # sampled rows need rejection-sampling verification with
-                # host drafts: fall through to the sync spec path below
-                pass
-            else:
-                use_spec = (
-                    self.spec_tokens > 0
-                    and self._step_counter >= self._spec_off_until
-                )
-                path = "spec" if use_spec else "plain"
-                if path != self._async_path:
-                    # the two chains account positions differently (exact
-                    # +1 vs optimistic +1+k); drain before switching
-                    truncated.extend(self._flush_pending())
-                    self._samp_key = None
-                    self._pos_dev = None
-                    if self.spec_tokens > 0:
-                        self._hist_chain = None
-                        # the spec chain advances tokens only in its history
-                        # ring; re-seed the slot-indexed device token array
-                        # the plain chain gathers from (host mirror is exact
-                        # after the flush)
-                        self._dev_last_tok = jnp.asarray(
-                            self.last_token.astype(np.int32)
-                        )
-                    self._async_path = path
-                    running = [
-                        (i, r) for i, r in enumerate(self.slots) if r is not None
-                    ]
-                    if not running:
-                        return truncated
-                if use_spec:
-                    return truncated + self._decode_async_spec_step(running)
-                return truncated + self._decode_async_step(running)
+            # plain rows (greedy OR sampled) stay on device: the fused
+            # spec program verifies sampled rows by rejection sampling with
+            # chained draw counters; greedy rows degrade to longest-prefix
+            # inside the same program
+            use_spec = (
+                self.spec_tokens > 0
+                and self._step_counter >= self._spec_off_until
+            )
+            path = "spec" if use_spec else "plain"
+            if path != self._async_path:
+                # the two chains account positions differently (exact +1 vs
+                # optimistic +1+k); drain before switching
+                truncated.extend(self._flush_pending())
+                self._samp_key = None
+                self._pos_dev = None
+                if self.spec_tokens > 0:
+                    self._hist_chain = None
+                    # the spec chain advances tokens only in its history
+                    # ring; re-seed the slot-indexed device token array the
+                    # plain chain gathers from (host mirror is exact after
+                    # the flush)
+                    self._dev_last_tok = jnp.asarray(
+                        self.last_token.astype(np.int32)
+                    )
+                self._async_path = path
+                running = [
+                    (i, r) for i, r in enumerate(self.slots) if r is not None
+                ]
+                if not running:
+                    return truncated
+            if use_spec:
+                return truncated + self._decode_async_spec_step(running)
+            return truncated + self._decode_async_step(running)
         # sync fallback (logprobs/penalties/bias/min_tokens or spec decode):
         # host state must be exact before sampling decisions. Positions
         # advance host-side here, so the device position/counter chain is
@@ -1312,13 +1330,33 @@ class InferenceEngine:
             hist = np.zeros((W, L), dtype=np.int32)
             hlen = np.zeros(W, dtype=np.int32)
             rows = np.full(W, self.num_slots, dtype=np.int32)
+            ctrs = np.zeros(W, np.int32)
+            seeds = np.zeros(W, np.int32)
+            temp = np.zeros(W, np.float32)
+            top_p = np.ones(W, np.float32)
+            top_k = np.zeros(W, np.int32)
+            min_p = np.zeros(W, np.float32)
             for ci, (i, req) in enumerate(running):
                 ctx = req.prompt_token_ids + req.output_token_ids
                 hist[ci, : len(ctx)] = ctx
                 hlen[ci] = len(ctx)
                 rows[ci] = i
+                sp = req.sampling
+                # host state is exact (flushed above): the draw-counter
+                # chain starts at tokens-emitted and advances by n_emit
+                # on device — identical to the sync path's reseed
+                ctrs[ci] = len(req.output_token_ids)
+                seeds[ci] = req.seed_resolved
+                temp[ci] = sp.temperature
+                top_p[ci] = sp.top_p
+                top_k[ci] = sp.top_k
+                min_p[ci] = sp.min_p
             self._hist_chain = jnp.asarray(hist)
             self._hlen_chain = jnp.asarray(hlen)
+            self._spec_ctr = jnp.asarray(ctrs)
+            self._spec_samp = tuple(
+                jnp.asarray(a) for a in (seeds, temp, top_p, top_k, min_p)
+            )
             self._rows_host = rows
             self._spec_key = key
             self._samp_key = None  # plain-async chain must rebuild too
@@ -1332,10 +1370,12 @@ class InferenceEngine:
             self._bt_dev = jnp.asarray(bt)
             self._bt_dev_version = self._bt_version
         _t = time.time()
-        cache, emitted, self._hist_chain, self._hlen_chain = (
+        seeds_d, temp_d, top_p_d, top_k_d, min_p_d = self._spec_samp
+        cache, emitted, self._hist_chain, self._hlen_chain, self._spec_ctr = (
             self._decode_spec_async(
                 self.params, self.cache, self._hist_chain, self._hlen_chain,
-                self._bt_dev,
+                self._bt_dev, seeds_d, self._spec_ctr, temp_d, top_p_d,
+                top_k_d, min_p_d,
             )
         )
         self.cache = cache

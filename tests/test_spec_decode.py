@@ -100,35 +100,43 @@ def test_spec_engine_accepts_on_looping_output(setup):
         assert eng_on.metrics["steps"] < eng_off.metrics["steps"]
 
 
-def test_spec_mixed_batch_sampled_rows_unaffected(setup):
-    """A seeded sampled request must produce the same stream whether it
-    shares the engine with speculating greedy requests or not."""
+def test_spec_mixed_batch_sampled_rows_composition_independent(setup):
+    """A seeded sampled request under speculation must produce the same
+    stream regardless of BATCH COMPOSITION (its drafts come from its own
+    history, its uniforms from its own (seed, counter) stream). Note the
+    stream legitimately differs from a non-spec engine's: draft-based
+    rejection sampling preserves the DISTRIBUTION, not the byte sequence
+    (vLLM's sampled spec behaves the same); greedy rows stay byte-exact."""
     cfg, params = setup
     spec_cfg = dataclasses.replace(
         cfg, scheduler=dataclasses.replace(cfg.scheduler, spec_tokens=4)
     )
     rep = [7, 8, 9, 10] * 4
+    ssp = SamplingParams(max_tokens=24, temperature=0.9, seed=123)
 
-    def run_pair(c):
+    def run(c, with_peer):
         eng = InferenceEngine(c, params)
-        eng.add_request("g", rep, SamplingParams(max_tokens=24, temperature=0.0))
-        eng.add_request("s", [3, 4, 5, 6], SamplingParams(max_tokens=24, temperature=0.9, seed=123))
+        if with_peer:
+            eng.add_request("g", rep, SamplingParams(max_tokens=24, temperature=0.0))
+        eng.add_request("s", [3, 4, 5, 6], ssp)
         toks = {"g": [], "s": []}
         done = set()
+        want = 2 if with_peer else 1
         for _ in range(600):
             for out in eng.step():
                 if out.token_id >= 0:
                     toks[out.request_id].append(out.token_id)
                 if out.finished:
                     done.add(out.request_id)
-            if len(done) == 2:
+            if len(done) == want:
                 return toks
         raise AssertionError("did not finish")
 
-    a = run_pair(spec_cfg)
-    b = run_pair(cfg)
-    assert a["s"] == b["s"]
-    assert a["g"] == b["g"]
+    mixed = run(spec_cfg, True)
+    solo = run(spec_cfg, False)
+    assert mixed["s"] == solo["s"]
+    base = run(cfg, True)
+    assert mixed["g"] == base["g"]  # greedy stream is spec-invariant
 
 
 def test_spec_verify_greedy_matches_accept_greedy():
@@ -237,13 +245,15 @@ def test_spec_engine_sampled_rows_keep_speedup(setup):
 
 
 def test_async_spec_matches_sync_engines():
-    """The fully device-chained speculative path (async_decode +
-    spec_tokens, all-greedy) must emit byte-identical streams to BOTH the
-    sync spec engine and the plain no-spec engine — greedy verification
-    accepts exactly the greedy tokens, so spec affects speed, never
-    content. Repetitive prompts make drafts fire; random prompts exercise
-    the no-draft path; a sampled request mid-run forces the sync-fallback
-    interleave and chain rebuilds."""
+    """The fully device-chained speculative path must emit byte-identical
+    GREEDY streams to both the sync spec engine and the plain no-spec
+    engine — greedy verification accepts exactly the greedy tokens, so
+    drafts affect speed, never content. A SAMPLED request's stream is
+    draft-dependent (rejection sampling preserves the distribution, not
+    the byte sequence — same as vLLM's sampled spec), so it is asserted
+    reproducible rather than byte-equal. Repetitive prompts make drafts
+    fire; random prompts exercise the no-draft path; the sampled request
+    mid-run forces chain rebuilds."""
     import dataclasses
 
     import numpy as np
@@ -270,25 +280,32 @@ def test_async_spec_matches_sync_engines():
             ),
         )
         eng = InferenceEngine(c, params)
-        outs = []
-        outs += eng.generate([rep_prompt, rnd_prompt],
-                             SamplingParams(max_tokens=24, temperature=0.0))
-        # sampled request: async-spec must fall back and recover
-        outs += eng.generate([rep_prompt[:30]],
-                             SamplingParams(max_tokens=6, temperature=1.1, seed=99))
-        outs += eng.generate([rep_prompt],
-                             SamplingParams(max_tokens=12, temperature=0.0))
-        return outs, eng
+        greedy = []
+        greedy += eng.generate([rep_prompt, rnd_prompt],
+                               SamplingParams(max_tokens=24, temperature=0.0))
+        # sampled request mid-run: draft-dependent stream, rebuilds chains
+        sampled = eng.generate(
+            [rep_prompt[:30]],
+            SamplingParams(max_tokens=6, temperature=1.1, seed=99),
+        )
+        greedy += eng.generate([rep_prompt],
+                               SamplingParams(max_tokens=12, temperature=0.0))
+        return greedy, sampled, eng
 
-    want, _ = run(0, False)
-    got_sync, _ = run(4, False)
-    assert got_sync == want
-    got_async, eng = run(4, True)
-    assert got_async == want
+    want_g, want_s, _ = run(0, False)
+    got_g, _, _ = run(4, False)
+    assert got_g == want_g
+    got_g, got_s, eng = run(4, True)
+    assert got_g == want_g
     # drafts actually fired on the repetitive prompts through the device path
     assert eng.metrics["spec_proposed"] > 0
     assert eng.metrics["spec_accepted"] > 0
     assert not eng.has_work()
+    # sampled stream: deterministic given (seed, counters) — a re-run of the
+    # same engine config reproduces it byte-for-byte
+    got_g2, got_s2, _ = run(4, True)
+    assert got_s2 == got_s and got_g2 == want_g
+    assert len(got_s[0]) == len(want_s[0]) == 6
 
 
 def test_async_spec_slow_tunnel_readbacks():
