@@ -303,8 +303,9 @@ def main():
             prompt = corpus[:96].tolist()
 
             rows = []
-            for spec_t, use_async in (
-                (0, True), (0, False), (4, False), (4, True),
+            for spec_t, use_async, temp in (
+                (0, True, 0.0), (0, False, 0.0), (4, False, 0.0),
+                (4, True, 0.0), (0, True, 0.8), (4, True, 0.8),
             ):
                 ecfg = EngineConfig(
                     model=tcfg,
@@ -317,16 +318,20 @@ def main():
                     ),
                 )
                 eng = InferenceEngine(ecfg, tparams)
-                eng.generate([prompt], SamplingParams(max_tokens=8, temperature=0.0))
+                sp_warm = SamplingParams(max_tokens=8, temperature=temp, seed=5)
+                eng.generate([prompt], sp_warm)
                 eng.metrics["spec_proposed"] = 0
                 eng.metrics["spec_accepted"] = 0
                 eng.metrics["steps"] = 0
                 tt = time.monotonic()
-                out = eng.generate([prompt], SamplingParams(max_tokens=96, temperature=0.0))
+                out = eng.generate(
+                    [prompt], SamplingParams(max_tokens=96, temperature=temp, seed=7)
+                )
                 dt = time.monotonic() - tt
                 row = {
                     "spec_tokens": spec_t,
                     "async": use_async,
+                    "temperature": temp,
                     "tok_s": round(len(out[0]) / dt, 2),
                     "steps": eng.metrics["steps"],
                     "tokens_per_step": round(len(out[0]) / max(1, eng.metrics["steps"]), 2),

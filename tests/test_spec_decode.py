@@ -423,7 +423,7 @@ def test_async_spec_backoff_on_draftless_text():
         ),
     )
     eng = InferenceEngine(c, params)
-    eng.SPEC_MISS_LIMIT = 6
+    eng.SPEC_RATE_WINDOW = 6
     rng = np.random.default_rng(12)
     prompt = rng.integers(1, cfg.model.vocab_size, 30).tolist()
     out = eng.generate([prompt], SamplingParams(max_tokens=24, temperature=0.0))[0]
