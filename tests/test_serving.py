@@ -357,3 +357,52 @@ async def test_completions_echo(client):
     echoed = body["choices"][0]["text"]
     assert echoed.startswith("abc")
     assert echoed == "abc" + plain
+
+
+async def test_http_with_async_spec_engine(aiohttp_client):
+    """The HTTP stack composed with the device-chained speculative engine:
+    a greedy completion must match the plain engine's text exactly, and
+    speculative metrics must surface in /metrics."""
+    import json as _json
+
+    from gpt_oss_vllm_tpu.config import (
+        CacheConfig, EngineConfig, ModelConfig, QuantConfig, SchedulerConfig,
+        ServingConfig,
+    )
+    from gpt_oss_vllm_tpu.engine.engine import InferenceEngine
+    from gpt_oss_vllm_tpu.models.params import random_params
+    from gpt_oss_vllm_tpu.serving.api_server import AsyncEngine, build_app
+    from gpt_oss_vllm_tpu.serving.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer()
+
+    def mk(spec_tokens):
+        cfg = EngineConfig(
+            model=ModelConfig.tiny(vocab_size=512),
+            quant=QuantConfig(method="none"),
+            cache=CacheConfig(block_size=8, num_blocks=128, max_blocks_per_seq=32),
+            scheduler=SchedulerConfig(
+                max_num_seqs=4, max_model_len=256, spec_tokens=spec_tokens,
+                async_decode=True, async_depth=2, async_flush_burst=2,
+            ),
+            serving=ServingConfig(served_model_name="tiny-spec"),
+        )
+        params = random_params(cfg.model, cfg.quant, seed=5)
+        ae = AsyncEngine(InferenceEngine(cfg, params), tok)
+        return ae, build_app(ae, cfg.serving, cfg.scheduler.max_model_len)
+
+    body = {"model": "tiny-spec", "prompt": "abcabcabcabc", "max_tokens": 24,
+            "temperature": 0.0}
+    ae_spec, app_spec = mk(3)
+    c1 = await aiohttp_client(app_spec)
+    r = await c1.post("/v1/completions", json=body)
+    assert r.status == 200
+    spec_text = (await r.json())["choices"][0]["text"]
+    m = _json.loads(await (await c1.get("/metrics")).text())
+    assert m.get("spec_proposed", 0) > 0
+
+    _, app_plain = mk(0)
+    c2 = await aiohttp_client(app_plain)
+    r = await c2.post("/v1/completions", json=body)
+    plain_text = (await r.json())["choices"][0]["text"]
+    assert spec_text == plain_text
