@@ -692,3 +692,72 @@ def test_engine_async_fuzz_matches_sync():
         if rid in ("r2", "r9"):
             continue
         assert got2[rid] == want[rid], f"{rid} (d6b4): {got2[rid]} != {want[rid]}"
+
+
+def test_engine_async_spec_fuzz():
+    """The adversarial schedule fuzz against the async-SPEC engine: greedy
+    requests must match the sync no-spec engine byte-for-byte (speculation
+    never changes greedy content); sampled/post-processed requests are
+    draft-dependent, so the whole engine is instead asserted REPRODUCIBLE
+    (two identical runs emit identical streams for every request)."""
+    import dataclasses
+
+    rng = np.random.default_rng(77)
+    cfg = EngineConfig.tiny()
+    params = random_params(cfg.model, cfg.quant, seed=77)
+
+    def sampling_for(j):
+        kind = j % 3
+        if kind == 0:
+            return SamplingParams(max_tokens=5 + (j % 4), temperature=0.0)
+        if kind == 1:
+            return SamplingParams(max_tokens=5, temperature=1.0, seed=500 + j)
+        return SamplingParams(max_tokens=4, temperature=0.8, seed=600 + j,
+                              presence_penalty=0.4)
+
+    pat = rng.integers(1, cfg.model.vocab_size, 6)
+    prompts = []
+    for i in range(10):
+        if i % 2 == 0:
+            prompts.append(np.tile(pat, 5)[: 10 + i].tolist())  # drafts fire
+        else:
+            prompts.append(rng.integers(1, cfg.model.vocab_size, 5 + i).tolist())
+
+    def run(spec_tokens, async_decode):
+        c = dataclasses.replace(
+            cfg,
+            scheduler=dataclasses.replace(
+                cfg.scheduler, spec_tokens=spec_tokens,
+                async_decode=async_decode, async_depth=3, async_flush_burst=2,
+                max_model_len=256,
+            ),
+        )
+        eng = InferenceEngine(c, params)
+        nxt = 0
+        for step_i in range(200):
+            if step_i % 4 == 0 and nxt < len(prompts):
+                eng.add_request(f"r{nxt}", prompts[nxt], sampling_for(nxt))
+                nxt += 1
+            if step_i == 21:
+                eng.abort_request("r3")
+            eng.step()
+            if nxt >= len(prompts) and not eng.has_work():
+                break
+        while eng.has_work():
+            eng.step()
+        return {rid: r.output_token_ids for rid, r in eng.requests.items()}
+
+    base = run(0, False)
+    spec1 = run(3, True)
+    for rid in base:
+        if rid == "r3":
+            continue
+        j = int(rid[1:])
+        if j % 3 == 0:  # greedy rows: byte-exact under speculation
+            assert spec1[rid] == base[rid], (rid, spec1[rid], base[rid])
+        else:
+            assert len(spec1[rid]) == len(base[rid])
+    spec2 = run(3, True)
+    for rid in spec1:
+        if rid != "r3":
+            assert spec2[rid] == spec1[rid], rid
