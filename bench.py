@@ -382,6 +382,7 @@ def main():
                 retry_cmd = [
                     _sys.executable, __file__, "--layers", str(layers), "--quant", args.quant,
                     "--vocab8" if args.vocab8 else "--no-vocab8",
+                    "--budget", str(max(60, int(remaining()))),
                 ]
                 r = subprocess.run(retry_cmd, stdout=subprocess.PIPE)
                 _sys.stdout.buffer.write(r.stdout)
