@@ -1312,12 +1312,13 @@ class InferenceEngine:
         return outputs
 
     def _decode_async_spec_step(self, running) -> List[StepOutput]:
-        """Device-chained speculative decode (all-greedy batches): drafting,
-        verification and history advance happen inside ONE fused program
-        (``_decode_spec_async``), so consecutive spec steps need no host
-        sync at all — the spec analog of ``_decode_async_step``. Emission
-        lags like the plain async path; each flushed entry carries up to
-        1 + spec_tokens tokens per row (-1 pads)."""
+        """Device-chained speculative decode for plain rows (greedy AND
+        sampled): drafting, verification (rejection sampling / greedy
+        longest-prefix) and history+counter advance happen inside ONE fused
+        program (``_decode_spec_async``), so consecutive spec steps need no
+        host sync at all — the spec analog of ``_decode_async_step``.
+        Emission lags like the plain async path; each flushed entry carries
+        [n_drafted | up to 1 + spec_tokens tokens] per row (-1 pads)."""
         K = self.spec_tokens
         L = self.config.scheduler.max_model_len
         key = tuple((i, id(r)) for i, r in running)
