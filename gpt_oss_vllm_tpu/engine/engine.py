@@ -240,7 +240,8 @@ class InferenceEngine:
             mm = sc.spec_min_match
 
             def spec_async_step(params, cache, hist, hist_len, block_tables,
-                                seeds, ctrs, temp, top_p, top_k, min_p):
+                                pos_cap, seeds, ctrs, temp, top_p, top_k,
+                                min_p):
                 # FULLY device-chained speculative step: draft from the
                 # per-row token-history ring, feed [last, draft...], verify
                 # on device (rejection sampling against each row's exact
@@ -271,7 +272,15 @@ class InferenceEngine:
                 win = jnp.arange(1 + K, dtype=jnp.int32)[None, :]
                 base = hist_len[:, None] - 1
                 fed = win <= nd[:, None]
-                positions = jnp.where(fed & live[:, None], base + win, -1)
+                # per-row position cap: in-flight steps past a request's
+                # finish (stop token or max_tokens, host-unknown until the
+                # flush) keep advancing hist_len; without the cap their
+                # window positions can exceed the block table and the
+                # clamped take_along_axis lookup in the KV slot mapping
+                # would write into the LAST table entry, corrupting legit
+                # KV (ADVICE r3 medium). Position -1 = dropped KV write.
+                ok = fed & live[:, None] & (base + win < pos_cap[:, None])
+                positions = jnp.where(ok, base + win, -1)
                 out = spec_fn(
                     params, cache=cache, tokens=tokens, positions=positions,
                     block_tables=block_tables,
@@ -361,6 +370,8 @@ class InferenceEngine:
         # background token-readback pipeline: (entries, Future) FIFO + a
         # single worker thread that blocks in np.asarray off the dispatch path
         self._rb_q: deque = deque()
+        # (slot, id(req)) -> dispatched-but-unemitted async step count
+        self._inflight: Dict[tuple, int] = {}
         self._rb_pool = None
         self._bt_version = 0
         self._bt_dev = None
@@ -883,7 +894,14 @@ class InferenceEngine:
     def _emit_snapshot(self, snapshot, toks) -> List[StepOutput]:
         outputs: List[StepOutput] = []
         spec = getattr(toks, "ndim", 1) == 2  # [W, 1+nd+K] async-spec payload
+        step_rates: List[int] = []  # per-row emitted counts of THIS step
         for ci, slot, req in snapshot:
+            k = (slot, id(req))
+            n_in = self._inflight.get(k, 0)
+            if n_in <= 1:
+                self._inflight.pop(k, None)
+            else:
+                self._inflight[k] = n_in - 1
             if req.state != RequestState.RUNNING or req.slot != slot:
                 continue  # finished/aborted/preempted since dispatch
             if spec:
@@ -904,17 +922,7 @@ class InferenceEngine:
                     self.last_token[slot] = tok
                 # accepted drafts = emitted tokens minus the bonus draw
                 self.metrics["spec_accepted"] += max(0, n_emitted - 1)
-                # profitability tracking: recent emitted-per-step rate
-                self._spec_rate.append(n_emitted)
-                if (
-                    len(self._spec_rate) >= self.SPEC_RATE_WINDOW
-                    and sum(self._spec_rate) / len(self._spec_rate)
-                    < self.SPEC_MIN_RATE
-                ):
-                    self._spec_off_until = (
-                        self._step_counter + self.SPEC_BACKOFF_STEPS
-                    )
-                    self._spec_rate.clear()
+                step_rates.append(n_emitted)
                 if req.state == RequestState.RUNNING:
                     # optimistic seq_lens bump was the 1+K upper bound per
                     # dispatched step; correct to exact + the still-in-flight
@@ -931,22 +939,34 @@ class InferenceEngine:
             outputs.append(out)
             if not out.finished:
                 self.last_token[slot] = tok
+        if step_rates:
+            # profitability tracking: ONE sample per flushed ENGINE STEP (the
+            # batch mean), not per emitted row — a per-row window at high
+            # concurrency spanned ~2 steps and let one request's draftless
+            # rows switch speculation off for everyone (ADVICE r3 low)
+            self._spec_rate.append(sum(step_rates) / len(step_rates))
+            if (
+                len(self._spec_rate) >= self.SPEC_RATE_WINDOW
+                and sum(self._spec_rate) / len(self._spec_rate)
+                < self.SPEC_MIN_RATE
+            ):
+                self._spec_off_until = (
+                    self._step_counter + self.SPEC_BACKOFF_STEPS
+                )
+                self._spec_rate.clear()
         return outputs
 
     def _inflight_steps(self, slot: int, req: Request) -> int:
         """Dispatched-but-unemitted async steps still carrying this (slot,
-        request) — _pending plus bursts parked at the background reader."""
-        n = 0
-        for snapshot, _ in self._pending:
-            for _ci, s, r in snapshot:
-                if s == slot and r is req:
-                    n += 1
-        for entries, _fut in self._rb_q:
-            for snapshot, _ in entries:
-                for _ci, s, r in snapshot:
-                    if s == slot and r is req:
-                        n += 1
-        return n
+        request) — incrementally maintained (+1 at dispatch, -1 at emission)
+        instead of rescanning _pending and _rb_q per emitted row, which was
+        O(async_depth x batch^2) host work per flush (ADVICE r3 low)."""
+        return self._inflight.get((slot, id(req)), 0)
+
+    def _track_dispatch(self, snapshot) -> None:
+        for _ci, slot, req in snapshot:
+            k = (slot, id(req))
+            self._inflight[k] = self._inflight.get(k, 0) + 1
 
     def _flush_oldest(self) -> List[StepOutput]:
         """Read back and emit the OLDEST in-flight async step's tokens."""
@@ -1097,20 +1117,13 @@ class InferenceEngine:
             ctrs = np.zeros(W, np.int32)
             # in-flight sampled-but-unemitted tokens per (slot, request) —
             # keyed by the REQUEST: a finished request's leftover in-flight
-            # steps must not inflate a slot-reusing newcomer's draw counter
-            inflight: Dict[tuple, int] = {}
-            # in-flight = _pending (dispatched, not yet handed to the reader)
-            # PLUS _rb_q bursts (popped from _pending, readback not landed or
-            # not yet emitted). Missing the latter rebuilt counters too low
-            # and replayed the Gumbel stream when a batch-composition change
+            # steps must not inflate a slot-reusing newcomer's draw counter.
+            # _inflight covers both _pending (dispatched, not yet handed to
+            # the reader) AND _rb_q bursts (readback not landed or not yet
+            # emitted). Missing the latter rebuilt counters too low and
+            # replayed the Gumbel stream when a batch-composition change
             # raced a slow tunnel readback (ADVICE r2 high).
-            for snapshot, _ in self._pending:
-                for _ci, slot, r in snapshot:
-                    inflight[(slot, id(r))] = inflight.get((slot, id(r)), 0) + 1
-            for entries, _fut in self._rb_q:
-                for snapshot, _ in entries:
-                    for _ci, slot, r in snapshot:
-                        inflight[(slot, id(r))] = inflight.get((slot, id(r)), 0) + 1
+            inflight = self._inflight
             for ci, (i, req) in enumerate(running):
                 positions[ci] = self.seq_lens[i] - 1
                 # draw counter = tokens sampled so far, INCLUDING the not-
@@ -1166,9 +1179,9 @@ class InferenceEngine:
                 nxt.copy_to_host_async()
             except Exception:
                 pass  # backend without async host copies: flush pays the RTT
-        self._pending.append(
-            ([(ci, i, r) for ci, (i, r) in enumerate(running)], nxt)
-        )
+        snapshot = [(ci, i, r) for ci, (i, r) in enumerate(running)]
+        self._track_dispatch(snapshot)
+        self._pending.append((snapshot, nxt))
         for i, _ in running:
             self.seq_lens[i] += 1  # optimistic; _release zeroes on finish
         outputs: List[StepOutput] = []
@@ -1341,11 +1354,22 @@ class InferenceEngine:
             top_p = np.ones(W, np.float32)
             top_k = np.zeros(W, np.int32)
             min_p = np.zeros(W, np.float32)
+            # per-row KV-write position cap: a request never legitimately
+            # writes KV at positions >= prompt + max_tokens (tokens there are
+            # discarded at emission), >= max_model_len, or past its block
+            # table's capacity — in-flight zombie steps past a finish are
+            # masked to dropped writes on device (ADVICE r3 medium)
+            pos_cap = np.zeros(W, np.int32)
+            table_cap = self.max_blocks * self.block_size
             for ci, (i, req) in enumerate(running):
                 ctx = req.prompt_token_ids + req.output_token_ids
                 hist[ci, : len(ctx)] = ctx
                 hlen[ci] = len(ctx)
                 rows[ci] = i
+                pos_cap[ci] = min(
+                    req.num_prompt_tokens + req.sampling.max_tokens,
+                    L, table_cap,
+                )
                 sp = req.sampling
                 # host state is exact (flushed above): the draw-counter
                 # chain starts at tokens-emitted and advances by n_emit
@@ -1359,6 +1383,7 @@ class InferenceEngine:
             self._hist_chain = jnp.asarray(hist)
             self._hlen_chain = jnp.asarray(hlen)
             self._spec_ctr = jnp.asarray(ctrs)
+            self._spec_cap = jnp.asarray(pos_cap)
             self._spec_samp = tuple(
                 jnp.asarray(a) for a in (seeds, temp, top_p, top_k, min_p)
             )
@@ -1379,8 +1404,8 @@ class InferenceEngine:
         cache, emitted, self._hist_chain, self._hlen_chain, self._spec_ctr = (
             self._decode_spec_async(
                 self.params, self.cache, self._hist_chain, self._hlen_chain,
-                self._bt_dev, seeds_d, self._spec_ctr, temp_d, top_p_d,
-                top_k_d, min_p_d,
+                self._bt_dev, self._spec_cap, seeds_d, self._spec_ctr,
+                temp_d, top_p_d, top_k_d, min_p_d,
             )
         )
         self.cache = cache
@@ -1392,9 +1417,9 @@ class InferenceEngine:
                 emitted.copy_to_host_async()
             except Exception:
                 pass
-        self._pending.append(
-            ([(ci, i, r) for ci, (i, r) in enumerate(running)], emitted)
-        )
+        snapshot = [(ci, i, r) for ci, (i, r) in enumerate(running)]
+        self._track_dispatch(snapshot)
+        self._pending.append((snapshot, emitted))
         for i, req in running:
             # optimistic upper bound (actual advance is n_acc+1, host-
             # unknown until flush); emission resets to the exact count.

@@ -64,19 +64,3 @@ def ngram_draft_device(
     draft = jax.lax.dynamic_slice(history, (start,), (k,))
     n = jnp.where(any_match, jnp.int32(k), jnp.int32(0))
     return jnp.where(any_match, draft, jnp.zeros((k,), jnp.int32)), n
-
-
-def greedy_accept_counts(
-    draft: jax.Array,  # [W, k] int32
-    n_draft: jax.Array,  # [W] int32
-    greedy: jax.Array,  # [W, 1+k] int32 argmax after each fed position
-) -> jax.Array:
-    """n_acc [W]: longest prefix where draft[i] == greedy[i] (the model's
-    prediction AFTER consuming fed position i), capped at n_draft — the
-    greedy rung of ``engine/spec.accept_greedy``, vectorized."""
-    k = draft.shape[1]
-    pos = jnp.arange(k, dtype=jnp.int32)[None, :]
-    ok = (draft == greedy[:, :k]) & (pos < n_draft[:, None])
-    # longest all-true prefix: cumprod over the boolean row
-    prefix = jnp.cumprod(ok.astype(jnp.int32), axis=1)
-    return jnp.sum(prefix, axis=1).astype(jnp.int32)

@@ -542,11 +542,16 @@ def build_app(async_engine: AsyncEngine, serving: ServingConfig, max_model_len: 
 
 
 def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
+    # mxfp4 ships E8M0 exponent-byte scales (decoded in-kernel); storing
+    # them bf16 would double scale bytes for nothing (bench.py parity).
+    # --scale-dtype overrides for checkpoint serving that wants float32
+    # NF4 absmax scales (the QuantConfig default before r3; ADVICE r3 low).
+    scale_dtype = getattr(args, "scale_dtype", None) or (
+        "e8m0" if args.quant == "mxfp4" else "bfloat16"
+    )
     quant = QuantConfig(
         method=args.quant, vocab_int8=getattr(args, "vocab_int8", False),
-        # mxfp4 ships E8M0 exponent-byte scales (decoded in-kernel); storing
-        # them bf16 would double scale bytes for nothing (bench.py parity)
-        scale_dtype="e8m0" if args.quant == "mxfp4" else "bfloat16",
+        scale_dtype=scale_dtype,
     )
     kv_dtype = getattr(args, "kv_cache_dtype", "bfloat16")
     if args.tiny:
@@ -649,6 +654,13 @@ def main(argv=None):
              "(throughput mode on a high-latency link; raises emission lag)",
     )
     ap.add_argument("--quant", default="nf4", choices=["nf4", "mxfp4", "none"])
+    ap.add_argument(
+        "--scale-dtype", dest="scale_dtype", default=None,
+        choices=["float32", "bfloat16", "e8m0"],
+        help="quant scale storage dtype (default: e8m0 for mxfp4, bfloat16 "
+             "otherwise; float32 restores full-precision NF4 absmax for "
+             "checkpoint serving)",
+    )
     ap.add_argument("--tokenizer", default="o200k_harmony")
     ap.add_argument("--max-model-len", type=int, default=None)
     ap.add_argument(

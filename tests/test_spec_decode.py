@@ -399,6 +399,69 @@ def test_async_spec_tight_block_table():
     assert not eng.has_work()
 
 
+def test_async_spec_exact_table_no_clamped_kv_writes():
+    """Regression (ADVICE r3 medium): with a block table EXACTLY sized to
+    blocks_for(prompt + max_tokens + 1 + K) and fully allocated, in-flight
+    zombie steps past a request's max_tokens finish used to push window
+    positions past the table; the clamped take_along_axis lookup in the KV
+    slot mapping then wrote into the LAST valid block, corrupting legit KV.
+    The fused program now masks positions >= the per-row cap to dropped
+    writes. Staggered second request forces block reuse; greedy streams
+    must stay byte-identical to the sync no-spec engine."""
+    import dataclasses
+
+    import numpy as np
+
+    from gpt_oss_vllm_tpu.config import CacheConfig, EngineConfig, QuantConfig
+    from gpt_oss_vllm_tpu.engine.engine import InferenceEngine
+    from gpt_oss_vllm_tpu.engine.request import SamplingParams
+    from gpt_oss_vllm_tpu.models.params import random_params
+
+    cfg = EngineConfig.tiny()
+    params = random_params(cfg.model, QuantConfig(method="none"), seed=11)
+    prompt_len, max_tokens, k, bs = 40, 16, 4, 8
+    # EXACT sizing: no headroom beyond the request's own maximum + window
+    blocks = -(-(prompt_len + max_tokens + 1 + k) // bs)
+    rng = np.random.default_rng(5)
+    pat = rng.integers(1, cfg.model.vocab_size, 6)
+    prompt = np.tile(pat, 12)[:prompt_len].tolist()
+    prompt2 = np.tile(pat, 12)[:prompt_len - 8].tolist()
+
+    def run(spec, async_decode, depth=8):
+        c = dataclasses.replace(
+            cfg,
+            cache=CacheConfig(block_size=bs, num_blocks=2 * blocks + 2,
+                              max_blocks_per_seq=blocks),
+            scheduler=dataclasses.replace(
+                cfg.scheduler, spec_tokens=spec, async_decode=async_decode,
+                async_depth=depth, async_flush_burst=4, max_model_len=256,
+            ),
+        )
+        eng = InferenceEngine(c, params)
+        toks = {"a": [], "b": []}
+        sp = SamplingParams(max_tokens=max_tokens, temperature=0.0)
+        eng.add_request("a", prompt, sp)
+        steps = 0
+        started_b = False
+        while eng.has_work() or not started_b:
+            for o in eng.step():
+                if o.token_id >= 0:
+                    toks[o.request_id].append(o.token_id)
+            steps += 1
+            if steps == 6 and not started_b:
+                # second request lands while request a's zombie overshoot
+                # steps are still in flight; it reuses a's freed blocks
+                eng.add_request("b", prompt2, sp)
+                started_b = True
+            assert steps < 500
+        assert not eng.has_work()
+        return toks
+
+    want = run(0, False)
+    got = run(4, True)
+    assert got == want
+
+
 def test_async_spec_backoff_on_draftless_text():
     """Non-drafting text (random prompts on a random model) must not pay
     the widened-window tax forever: after SPEC_MISS_LIMIT draftless steps
