@@ -131,11 +131,17 @@ class AsyncEngine:
 # ---------------------------------------------------------------------------
 
 
-def _sampling_from(req, tokenizer: Tokenizer, max_model_len: int) -> SamplingParams:
+def _sampling_from(
+    req, tokenizer: Tokenizer, max_model_len: int, chat: bool = False
+) -> SamplingParams:
     max_tokens = getattr(req, "max_tokens", None) or getattr(req, "max_completion_tokens", None) or 16
     lp = getattr(req, "logprobs", None)
     if isinstance(lp, bool):  # chat API: logprobs: true + top_logprobs: N
         lp = (getattr(req, "top_logprobs", None) or 1) if lp else None
+    # chat on a harmony model must NOT stop at <|end|> (it closes one channel
+    # message; generation continues into the final channel) — only at
+    # <|return|>/<|call|>/eos
+    stop_ids = tokenizer.chat_stop_ids if chat else tokenizer.stop_ids
     return SamplingParams(
         max_tokens=min(max_tokens, max_model_len),
         temperature=req.temperature,
@@ -143,7 +149,7 @@ def _sampling_from(req, tokenizer: Tokenizer, max_model_len: int) -> SamplingPar
         top_k=req.top_k,
         min_p=getattr(req, "min_p", 0.0) or 0.0,
         min_tokens=getattr(req, "min_tokens", 0) or 0,
-        stop_token_ids=tuple(tokenizer.stop_ids),
+        stop_token_ids=tuple(stop_ids),
         seed=req.seed,
         logprobs=lp,
         presence_penalty=getattr(req, "presence_penalty", 0.0) or 0.0,
@@ -306,7 +312,7 @@ class Server:
             )
         prompt_ids = self.ae.tokenizer.render_chat([m.model_dump() for m in req.messages])
         try:
-            sampling = _sampling_from(req, self.ae.tokenizer, self.max_model_len)
+            sampling = _sampling_from(req, self.ae.tokenizer, self.max_model_len, chat=True)
             if req.stream:
                 return await self._stream_completion(request, req, prompt_ids, sampling, chat=True)
             return await self._full_completion(req, prompt_ids, sampling, chat=True)
@@ -331,8 +337,12 @@ class Server:
         n = max(1, getattr(req, "n", 1) or 1)
 
         async def one_choice(i: int):
+            from gpt_oss_vllm_tpu.serving.harmony import HarmonyStreamParser
+
             detok = IncrementalDetokenizer(self.ae.tokenizer)
+            parser = HarmonyStreamParser(self.ae.tokenizer) if chat else None
             text = ""
+            reasoning = ""
             finish_reason = None
             n_tokens = 0
             lp = proto.LogProbs() if sampling.logprobs is not None and not chat else None
@@ -350,7 +360,22 @@ class Server:
                         }
                     )
                     lp.text_offset.append(len(text))
-                if out.token_id >= 0 and out.token_id not in self.ae.tokenizer.stop_ids:
+                if chat:
+                    # harmony channel routing: final -> content, analysis/
+                    # commentary -> reasoning; markers consumed by the parser
+                    if out.token_id >= 0:
+                        for dest, d in parser.push(out.token_id, final=out.finished):
+                            if dest == "content":
+                                text += d
+                            else:
+                                reasoning += d
+                    if out.finished:
+                        for dest, d in parser.finish():
+                            if dest == "content":
+                                text += d
+                            else:
+                                reasoning += d
+                elif out.token_id >= 0 and out.token_id not in self.ae.tokenizer.stop_ids:
                     text += detok.push(out.token_id, final=out.finished)
                 if out.finished:
                     finish_reason = out.finish_reason
@@ -358,12 +383,12 @@ class Server:
                     if s and s in text:
                         text = text[: text.index(s)]
                         finish_reason = "stop"
-            return text, finish_reason, n_tokens, lp
+            return text, reasoning, finish_reason, n_tokens, lp
 
         # n>1 choices run concurrently through the engine's continuous batch;
         # the prefix cache makes the shared prompt's KV a one-time cost
         results = await asyncio.gather(*(one_choice(i) for i in range(n)))
-        total_completion = sum(r[2] for r in results)
+        total_completion = sum(r[3] for r in results)
         usage = proto.Usage(
             prompt_tokens=len(prompt_ids),
             completion_tokens=total_completion,
@@ -375,10 +400,12 @@ class Server:
                 choices=[
                     proto.ChatChoice(
                         index=i,
-                        message=proto.ChatChoiceMessage(content=text),
+                        message=proto.ChatChoiceMessage(
+                            content=text, reasoning_content=reasoning or None
+                        ),
                         finish_reason=finish_reason or "stop",
                     )
-                    for i, (text, finish_reason, _, _) in enumerate(results)
+                    for i, (text, reasoning, finish_reason, _, _) in enumerate(results)
                 ],
                 usage=usage,
             )
@@ -392,7 +419,7 @@ class Server:
                         index=i, text=prefix + text,
                         finish_reason=finish_reason or "stop", logprobs=lp
                     )
-                    for i, (text, finish_reason, _, lp) in enumerate(results)
+                    for i, (text, _, finish_reason, _, lp) in enumerate(results)
                 ],
                 usage=usage,
             )
@@ -437,7 +464,10 @@ class Server:
         DONE = object()
 
         async def pump(i: int):
+            from gpt_oss_vllm_tpu.serving.harmony import HarmonyStreamParser
+
             detok = IncrementalDetokenizer(self.ae.tokenizer)
+            parser = HarmonyStreamParser(self.ae.tokenizer) if chat else None
             emitted = ""
             stopped = False
             n_tokens = 0
@@ -447,44 +477,65 @@ class Server:
                 ):
                     if out.token_id >= 0:
                         n_tokens += 1
-                    delta = ""
-                    if out.token_id >= 0 and out.token_id not in self.ae.tokenizer.stop_ids:
-                        delta = detok.push(out.token_id, final=out.finished)
-                    if stops and delta:
-                        candidate = emitted + delta
+                    # (dest, delta) pairs; completions emit content only
+                    deltas = []
+                    if chat:
+                        if out.token_id >= 0:
+                            deltas = parser.push(out.token_id, final=out.finished)
+                        if out.finished:
+                            deltas = deltas + parser.finish()
+                    elif out.token_id >= 0 and out.token_id not in self.ae.tokenizer.stop_ids:
+                        d = detok.push(out.token_id, final=out.finished)
+                        if d:
+                            deltas = [("content", d)]
+                    content_delta = ""
+                    reason_delta = ""
+                    for dest, d in deltas:
+                        if dest == "content":
+                            content_delta += d
+                        else:
+                            reason_delta += d
+                    # stop strings match user-visible content only
+                    if stops and content_delta:
+                        candidate = emitted + content_delta
                         hit = next((s for s in stops if s and s in candidate), None)
                         if hit:
-                            delta = candidate[: candidate.index(hit)][len(emitted) :]
+                            content_delta = candidate[: candidate.index(hit)][len(emitted) :]
                             stopped = True
-                    emitted += delta
+                    emitted += content_delta
                     finish = out.finish_reason if out.finished else ("stop" if stopped else None)
-                    if delta or finish:
-                        await queue.put((i, delta, finish))
+                    if reason_delta:
+                        await queue.put((i, "reasoning", reason_delta, None))
+                    if content_delta or finish:
+                        await queue.put((i, "content", content_delta, finish))
                     if stopped and not out.finished:
                         break  # generator cleanup aborts the engine request
             finally:
-                await queue.put((i, DONE, n_tokens))
+                await queue.put((i, "done", DONE, n_tokens))
 
         tasks = [asyncio.create_task(pump(i)) for i in range(n)]
         done = 0
         completion_tokens = 0
         try:
             while done < n:
-                i, delta, finish = await queue.get()
+                i, dest, delta, finish = await queue.get()
                 if delta is DONE:
                     done += 1
                     completion_tokens += finish  # pump's final token count
                     continue
                 if chat:
+                    dm = (
+                        proto.DeltaMessage(reasoning_content=delta)
+                        if dest == "reasoning"
+                        else proto.DeltaMessage(content=delta or None)
+                    )
                     await send(
                         proto.ChatCompletionChunk(
                             id=rid,
                             model=req.model,
                             choices=[
                                 proto.ChatChunkChoice(
-                                    index=i,
-                                    delta=proto.DeltaMessage(content=delta or None),
-                                    finish_reason=finish,
+                                    index=i, delta=dm, finish_reason=finish,
                                 )
                             ],
                         )
@@ -555,7 +606,10 @@ def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
     )
     kv_dtype = getattr(args, "kv_cache_dtype", "bfloat16")
     if args.tiny:
-        tokenizer = get_tokenizer("byte")
+        # --tokenizer byte-harmony serves the tiny model through the full
+        # channel protocol stack (chat parser, reasoning_content routing)
+        tok_spec = getattr(args, "tokenizer", "") or ""
+        tokenizer = get_tokenizer(tok_spec if tok_spec.startswith("byte") else "byte")
         model_cfg = ModelConfig.tiny(vocab_size=max(512, tokenizer.vocab_size))
         config = EngineConfig(
             model=model_cfg,

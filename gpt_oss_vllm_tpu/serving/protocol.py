@@ -107,6 +107,9 @@ class CompletionResponse(BaseModel):
 class ChatChoiceMessage(BaseModel):
     role: str = "assistant"
     content: str = ""
+    # harmony analysis/commentary channels (chain-of-thought); the de-facto
+    # OpenAI-extension field name used by reasoning-model servers
+    reasoning_content: Optional[str] = None
 
 
 class ChatChoice(BaseModel):
@@ -127,6 +130,7 @@ class ChatCompletionResponse(BaseModel):
 class DeltaMessage(BaseModel):
     role: Optional[str] = None
     content: Optional[str] = None
+    reasoning_content: Optional[str] = None
 
 
 class ChatChunkChoice(BaseModel):

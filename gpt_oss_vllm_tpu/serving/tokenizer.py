@@ -22,11 +22,22 @@ from typing import Dict, List, Optional, Sequence
 
 
 class Tokenizer:
-    """Uniform interface over the backends."""
+    """Uniform interface over the backends.
+
+    ``harmony`` marks tokenizers whose chat stack speaks the full GPT-OSS
+    channel protocol: assistant turns carry a ``<|channel|>`` header
+    (``analysis`` for chain-of-thought, ``final`` for the user-visible
+    reply, ``commentary`` for tool preambles) and generation stops at
+    ``<|return|>``/``<|call|>``, NOT at ``<|end|>`` (which only closes one
+    channeled message — the model continues into the next channel). The
+    reference inherits this from vLLM's harmony-aware OpenAI server
+    (``gpt_oss_server.py:64-67``); here rendering is first-class below and
+    parsing lives in ``serving.harmony``."""
 
     name: str
     eos_id: int
     stop_ids: Sequence[int]
+    harmony: bool = False
 
     def encode(self, text: str) -> List[int]:
         raise NotImplementedError
@@ -43,20 +54,43 @@ class Tokenizer:
     def special(self, name: str) -> int:
         raise NotImplementedError
 
+    @property
+    def chat_stop_ids(self) -> Sequence[int]:
+        """Stop ids for CHAT generation. Harmony: <|return|> (+ <|call|>)
+        only — <|end|> merely closes one channel message and generation
+        must continue into the next channel."""
+        if not self.harmony:
+            return self.stop_ids
+        ids = [self.special("return"), self.eos_id]
+        try:
+            ids.append(self.special("call"))
+        except KeyError:
+            pass
+        return tuple(dict.fromkeys(ids))
+
     def render_chat(self, messages: List[Dict[str, str]]) -> List[int]:
-        """Harmony framing: each message is
-        <|start|>{role}<|message|>{content}<|end|>, then the assistant
-        header is opened for generation."""
+        """Harmony message framing. Non-harmony (plain) tokenizers render
+        ``<|start|>{role}<|message|>{content}<|end|>`` per message and open
+        the assistant header THROUGH ``<|message|>`` (content follows
+        directly). Harmony tokenizers render assistant history into the
+        ``final`` channel and end the prompt at ``<|start|>assistant`` —
+        the model itself emits ``<|channel|>analysis<|message|>...`` (the
+        o200k_harmony generation contract)."""
         ids: List[int] = []
         for m in messages:
+            role = m.get("role", "user")
             ids.append(self.special("start"))
-            ids.extend(self.encode(m.get("role", "user")))
+            ids.extend(self.encode(role))
+            if self.harmony and role == "assistant":
+                ids.append(self.special("channel"))
+                ids.extend(self.encode("final"))
             ids.append(self.special("message"))
             ids.extend(self.encode(m.get("content", "") or ""))
             ids.append(self.special("end"))
         ids.append(self.special("start"))
         ids.extend(self.encode("assistant"))
-        ids.append(self.special("message"))
+        if not self.harmony:
+            ids.append(self.special("message"))
         return ids
 
 
@@ -67,10 +101,11 @@ class ByteTokenizer(Tokenizer):
     hermetic default for tests/benches in this egress-free environment.
     """
 
-    SPECIALS = ("pad", "start", "message", "end", "return", "eos")
+    SPECIALS = ("pad", "start", "message", "end", "return", "eos", "channel", "call")
 
-    def __init__(self, name: str = "byte"):
+    def __init__(self, name: str = "byte", harmony: bool = False):
         self.name = name
+        self.harmony = harmony
         self._special_ids = {s: 256 + i for i, s in enumerate(self.SPECIALS)}
         self.eos_id = self._special_ids["eos"]
         self.stop_ids = (self._special_ids["return"], self._special_ids["end"], self.eos_id)
@@ -96,6 +131,8 @@ class TiktokenTokenizer(Tokenizer):
         "message": "<|message|>",
         "end": "<|end|>",
         "return": "<|return|>",
+        "channel": "<|channel|>",
+        "call": "<|call|>",
     }
 
     def __init__(self, encoding: str):
@@ -108,6 +145,9 @@ class TiktokenTokenizer(Tokenizer):
         for k, tok in self._HARMONY_SPECIALS.items():
             if tok in specials:
                 self._special_ids[k] = specials[tok]
+        # an encoding that ships <|channel|> (o200k_harmony) speaks the
+        # full channel protocol
+        self.harmony = "channel" in self._special_ids
         self.eos_id = self._special_ids.get("return", max(specials.values(), default=self._enc.n_vocab - 1))
         self.stop_ids = tuple(
             v for k, v in self._special_ids.items() if k in ("return", "end")
@@ -135,13 +175,20 @@ class HFTokenizer(Tokenizer):
         self._tok = AutoTokenizer.from_pretrained(path)
         self.eos_id = self._tok.eos_token_id or 0
         self.stop_ids = (self.eos_id,)
+        try:
+            self.harmony = self.special("channel") >= 0
+        except KeyError:
+            self.harmony = False
 
     @property
     def vocab_size(self) -> int:
         return len(self._tok)
 
     def special(self, name: str) -> int:
-        mapping = {"start": "<|start|>", "message": "<|message|>", "end": "<|end|>", "return": "<|return|>"}
+        mapping = {
+            "start": "<|start|>", "message": "<|message|>", "end": "<|end|>",
+            "return": "<|return|>", "channel": "<|channel|>", "call": "<|call|>",
+        }
         tid = self._tok.convert_tokens_to_ids(mapping[name])
         if tid is None or tid < 0:
             raise KeyError(name)
@@ -157,6 +204,10 @@ class HFTokenizer(Tokenizer):
 def get_tokenizer(spec: str) -> Tokenizer:
     if spec == "byte" or spec == "test":
         return ByteTokenizer()
+    if spec == "byte-harmony":
+        # byte backend speaking the full channel protocol: what harmony
+        # chat tests use in this egress-free environment
+        return ByteTokenizer(name="byte-harmony", harmony=True)
     if spec.startswith("hf:"):
         return HFTokenizer(spec[3:])
     if spec.startswith("tiktoken:"):
@@ -185,6 +236,14 @@ class IncrementalDetokenizer:
         text = self._tok.decode(self._ids)
         if not final and text.endswith("�"):
             return ""
+        delta = text[self._emitted :]
+        self._emitted = len(text)
+        return delta
+
+    def flush(self) -> str:
+        """Drain text held back as a possibly-partial multi-byte codepoint
+        (segment/stream end: nothing more is coming)."""
+        text = self._tok.decode(self._ids)
         delta = text[self._emitted :]
         self._emitted = len(text)
         return delta

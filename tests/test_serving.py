@@ -20,7 +20,7 @@ def test_byte_tokenizer_roundtrip():
     t = ByteTokenizer()
     s = "hello, wörld! 你好"
     assert t.decode(t.encode(s)) == s
-    assert t.vocab_size == 262
+    assert t.vocab_size == 264  # 256 bytes + 8 specials (incl. channel/call)
     assert t.special("start") == 257
 
 
