@@ -175,6 +175,19 @@ class ParallelConfig:
     # collectives (all-to-all, reduce-scatter) ride ICI within a slice and
     # only gradient/replica traffic crosses hosts (SURVEY.md §2.3 NCCL row)
     dcn_dp: int = 1
+    # MoE dispatch under an expert-sharded mesh:
+    #   "implicit" — tokens replicated over the expert axes, per-shard gmm +
+    #     psum combine (weight bytes stay put; right for decode-sized T);
+    #   "a2a"      — explicit capacity-bucketed ``lax.all_to_all`` token
+    #     dispatch (ops.moe_ep): activation bytes travel instead of logits
+    #     being psum-combined — the memory/bandwidth-scalable form for big
+    #     prefill batches and multi-host EP (SURVEY.md §2.4, "core of the
+    #     multi-host config").
+    moe_dispatch: str = "implicit"
+    # a2a per-destination send capacity factor; <= 0 = lossless (factor=ep,
+    # bit-exact vs the implicit path), > 0 trades exactness on hot experts
+    # for bounded buffers (standard MoE overflow-drop semantics)
+    ep_capacity_factor: float = 0.0
 
     @property
     def world_size(self) -> int:

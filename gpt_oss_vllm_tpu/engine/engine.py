@@ -184,14 +184,23 @@ class InferenceEngine:
             tp = mesh.shape.get("model", 1) if mesh is not None else 1
             head_aligned = cfg.num_kv_heads % tp == 0 and (128 // cfg.head_dim or 1) > 0
             attn_backend = "pallas" if (on_tpu and head_aligned) else "xla"
+        # MoE dispatch under a mesh: implicit GSPMD (psum combine) or the
+        # explicit all-to-all product path (ParallelConfig.moe_dispatch)
+        moe_strategy = "auto"
+        if mesh is not None and config.parallel.moe_dispatch == "a2a":
+            from gpt_oss_vllm_tpu.parallel.kernels import expert_shard_axes
+
+            if expert_shard_axes(mesh, cfg.num_experts):
+                moe_strategy = "ep_a2a"
         step_fn = partial(
             model_step,
             cfg=cfg,
-            moe_strategy="auto",
+            moe_strategy=moe_strategy,
             attn_backend=attn_backend,
             quant_backend=qb,
             lm_head_backend=lm_backend,
             mesh=mesh,
+            ep_capacity_factor=config.parallel.ep_capacity_factor,
         )
         self._prefill = jax.jit(step_fn, donate_argnames=("cache",))
         self._decode = jax.jit(step_fn, donate_argnames=("cache",))
@@ -200,12 +209,13 @@ class InferenceEngine:
             spec_fn = partial(
                 model_step,
                 cfg=cfg,
-                moe_strategy="auto",
+                moe_strategy=moe_strategy,
                 attn_backend=attn_backend,
                 quant_backend=qb,
                 all_logits=True,
                 lm_head_backend=lm_backend,
                 mesh=mesh,
+                ep_capacity_factor=config.parallel.ep_capacity_factor,
             )
             from gpt_oss_vllm_tpu.ops.sampling import spec_verify
 

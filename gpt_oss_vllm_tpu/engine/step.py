@@ -185,6 +185,7 @@ def model_step(
     all_logits: bool = False,
     lm_head_backend: Optional[str] = None,
     mesh=None,
+    ep_capacity_factor: float = 0.0,
 ) -> StepOut:
     # the lm_head backend is selected independently of the expert-quant
     # backend: the fused int8 kernel wants TPU and no mesh (pallas_call is
@@ -209,7 +210,29 @@ def model_step(
         flat = rms_norm(x, layer.mlp_norm, cfg.rms_norm_eps).reshape(B * T, -1)
         from gpt_oss_vllm_tpu.quant.tensor import NF4Tensor
 
-        if (
+        if mesh is not None and moe_strategy == "ep_a2a":
+            # explicit capacity-bucketed all-to-all token dispatch over the
+            # expert shards (ParallelConfig.moe_dispatch == "a2a"): tokens
+            # travel to their expert's device and back over ICI instead of
+            # every shard computing every token (SURVEY.md §2.4 — the core
+            # of the multi-host config). Lossless at the default capacity
+            # (factor = ep), so greedy streams match the implicit path.
+            from gpt_oss_vllm_tpu.ops.moe_ep import moe_block_ep
+
+            moe = moe_block_ep(
+                flat,
+                layer.router_w,
+                layer.router_b,
+                layer.w_gate_up,
+                layer.b_gate_up,
+                layer.w_down,
+                layer.b_down,
+                cfg,
+                mesh,
+                capacity_factor=ep_capacity_factor,
+                backend=quant_backend,
+            )
+        elif (
             mesh is not None
             and quant_backend.startswith("pallas")
             and isinstance(layer.w_gate_up, NF4Tensor)

@@ -210,7 +210,11 @@ def moe_block(
     cfg: ModelConfig,
     strategy: str = "auto",
     backend: str = "xla",
+    return_indices: bool = False,
 ) -> jax.Array:
+    # return_indices: also return the [T, k] routed expert ids (the bench's
+    # routing-entropy census — batched random-weight throughput is only
+    # interpretable alongside the distinct-expert count, CLAUDE.md)
     # "pallas_interpret" runs the kernel paths through the Pallas interpreter
     # (CPU tests of kernel-selection logic, incl. under shard_map meshes)
     interpret = backend == "pallas_interpret"
@@ -262,7 +266,7 @@ def moe_block(
 
         if not isinstance(w_gate_up, NF4Tensor):
             raise ValueError("gmm strategy requires NF4-packed expert weights")
-        return moe_gmm_block(
+        y = moe_gmm_block(
             x,
             routing.weights,
             routing.indices,
@@ -274,5 +278,7 @@ def moe_block(
             act_pair_fn=functools.partial(glu_pair, cfg=cfg),
             interpret=interpret,
         )
+        return (y, routing.indices) if return_indices else y
     fn = moe_gather if strategy == "gather" else moe_all_experts
-    return fn(x, routing, w_gate_up, b_gate_up, w_down, b_down, cfg, backend=backend)
+    y = fn(x, routing, w_gate_up, b_gate_up, w_down, b_down, cfg, backend=backend)
+    return (y, routing.indices) if return_indices else y

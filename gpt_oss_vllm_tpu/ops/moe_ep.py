@@ -77,7 +77,8 @@ def _apply_local_experts(
         weights=jnp.ones((R, 1), jnp.float32), indices=expert_ids[:, None]
     )
     local_cfg = cfg  # num_experts only drives all_experts' one_hot width
-    if backend == "pallas" and isinstance(w_gate_up, NF4Tensor):
+    if backend.startswith("pallas") and isinstance(w_gate_up, NF4Tensor):
+        from gpt_oss_vllm_tpu.ops.moe import glu_pair
         from gpt_oss_vllm_tpu.ops.moe_gmm import moe_gmm_block
 
         return moe_gmm_block(
@@ -89,6 +90,8 @@ def _apply_local_experts(
             w_down,
             b_down,
             act_fn=functools.partial(expert_act, cfg=cfg),
+            act_pair_fn=functools.partial(glu_pair, cfg=cfg),
+            interpret=backend == "pallas_interpret",
         )
     if R < El:
         return moe_gather(x, routing, w_gate_up, b_gate_up, w_down, b_down, local_cfg, backend)
@@ -101,7 +104,7 @@ def _apply_local_experts(
 
 
 def moe_block_ep(
-    x: jax.Array,  # [T, H] tokens, sharded over `axis` (T % ep == 0)
+    x: jax.Array,  # [T, H] tokens (any T; padded to the shard count inside)
     router_w: jax.Array,  # [E, H] f32, replicated
     router_b: Optional[jax.Array],
     w_gate_up,  # [E, 2FF, H] NF4Tensor or dense, expert-sharded over `axis`
@@ -110,24 +113,46 @@ def moe_block_ep(
     b_down: Optional[jax.Array],
     cfg: ModelConfig,
     mesh: Mesh,
-    axis: str = "expert",
-    capacity_factor: float = 2.0,
+    axis=None,  # axis name or tuple; None = expert_shard_axes(mesh, E)
+    capacity_factor: float = 0.0,  # <= 0 means LOSSLESS (factor = ep)
     backend: str = "xla",
 ) -> jax.Array:
     """EP MoE block over ``mesh[axis]``: all-to-all dispatch + return.
 
-    Returns [T, H] with the same (token-sharded) layout as ``x``.
+    Returns [T, H] with the same layout as ``x``. ``axis`` may be a tuple of
+    mesh axes (the combined expert sharding of ``parallel.sharding`` — the
+    all_to_all flattens them), so the ENGINE's expert-sharded params are
+    consumed as-is with no resharding. This is the product path for
+    ``ParallelConfig.moe_dispatch == 'a2a'`` (SURVEY.md §2.4: all-to-all
+    token dispatch as the core of the multi-host config).
     """
-    ep = mesh.shape[axis]
     E = cfg.num_experts
+    if axis is None:
+        from gpt_oss_vllm_tpu.parallel.kernels import expert_shard_axes
+
+        axis = expert_shard_axes(mesh, E)
+        if not axis:
+            raise ValueError(
+                f"num_experts {E} not shardable over mesh {dict(mesh.shape)}"
+            )
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    ep = 1
+    for a in axes:
+        ep *= mesh.shape[a]
     if E % ep:
         raise ValueError(f"num_experts {E} not divisible by ep {ep}")
     El = E // ep
+    T0 = x.shape[0]
+    pad = (-T0) % ep
+    if pad:
+        # zero rows route like real tokens (uniform logits) but their
+        # outputs are sliced off below — exactness is unaffected
+        x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0)
     T = x.shape[0]
-    if T % ep:
-        raise ValueError(f"token count {T} not divisible by ep {ep}")
     k = cfg.experts_per_token
     P_local = (T // ep) * k
+    if capacity_factor <= 0:
+        capacity_factor = float(ep)  # every pair can go to one shard: lossless
     C = ep_capacity(P_local, ep, capacity_factor)
 
     def shard_fn(xl, rw, rb, wgu, bgu, wdn, bdn):
@@ -154,14 +179,14 @@ def moe_block_ep(
         )[:, :C]
         # all-to-all: row block d goes to shard d; received row block s is
         # from shard s (XLA emits the ICI collective, SURVEY.md §2.3)
-        recv_x = jax.lax.all_to_all(send_x, axis, 0, 0, tiled=False)
-        recv_e = jax.lax.all_to_all(send_e, axis, 0, 0, tiled=False)
+        recv_x = jax.lax.all_to_all(send_x, axes, 0, 0, tiled=False)
+        recv_e = jax.lax.all_to_all(send_e, axes, 0, 0, tiled=False)
         y = _apply_local_experts(
             recv_x.reshape(ep * C, H),
             recv_e.reshape(ep * C),
             wgu, bgu, wdn, bdn, cfg, backend,
         ).reshape(ep, C, H)
-        back = jax.lax.all_to_all(y.astype(jnp.float32), axis, 0, 0, tiled=False)
+        back = jax.lax.all_to_all(y.astype(jnp.float32), axes, 0, 0, tiled=False)
         # back[d, c] is the processed send[d, c]; gather each kept pair's row,
         # weight it, and segment-sum per local token
         flat_back = back.reshape(ep * C, H)
@@ -180,32 +205,34 @@ def moe_block_ep(
     def wspec(w, parallel_dim=None):
         if isinstance(w, NF4Tensor):
             return NF4Tensor(
-                qdata=P(axis, None, None),
-                scales=P(axis, None, None),
+                qdata=P(axes, None, None),
+                scales=P(axes, None, None),
                 out_features=w.out_features,
                 in_features=w.in_features,
                 blocksize=w.blocksize,
                 codebook=w.codebook,
+                row_layout=w.row_layout,
             )
-        return P(axis, None, None)
+        return P(axes, None, None)
 
     def opt(v, spec):
         return spec if v is not None else None
 
     in_specs = (
-        P(axis, None),  # x: token-sharded
+        P(axes, None),  # x: token-sharded
         P(None, None),  # router_w replicated
         opt(router_b, P(None)),
         wspec(w_gate_up),
-        opt(b_gate_up, P(axis, None)),
+        opt(b_gate_up, P(axes, None)),
         wspec(w_down),
-        opt(b_down, P(axis, None)),
+        opt(b_down, P(axes, None)),
     )
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=in_specs,
-        out_specs=P(axis, None),
+        out_specs=P(axes, None),
         check_vma=False,
     )
-    return fn(x, router_w, router_b, w_gate_up, b_gate_up, w_down, b_down)
+    out = fn(x, router_w, router_b, w_gate_up, b_gate_up, w_down, b_down)
+    return out[:T0] if pad else out

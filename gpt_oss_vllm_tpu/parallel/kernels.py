@@ -42,9 +42,9 @@ def expert_shard_axes(mesh: Mesh, num_experts: int) -> Tuple[str, ...]:
     """Mesh axes the expert dim shards over: ('expert','model') combined when
     the expert count divides their product, else 'expert' alone."""
     ep, tp = mesh.shape.get("expert", 1), mesh.shape.get("model", 1)
-    if num_experts % (ep * tp) == 0:
+    if "model" in mesh.shape and num_experts % (ep * tp) == 0:
         return ("expert", "model")
-    if num_experts % ep == 0:
+    if "expert" in mesh.shape and num_experts % ep == 0:
         return ("expert",)
     return ()
 

@@ -39,7 +39,7 @@ from gpt_oss_vllm_tpu.config import CacheConfig, ModelConfig, QuantConfig
 from gpt_oss_vllm_tpu.models.params import fuse_qkv, random_params_on_device
 
 
-def _attn_proj_only(p, cfg, layer_idx, x, positions, cache, block_tables, backend):
+def _attn_proj_only(p, cfg, layer_idx, x, positions, cache, block_tables, backend, mesh=None):
     """qkv+rope+write+o without the context read / attention math."""
     from gpt_oss_vllm_tpu.engine.kv_cache import slot_mapping, write_kv
     from gpt_oss_vllm_tpu.ops.linear import dense_linear
@@ -65,7 +65,7 @@ def apply_variant(name: str):
     if name.startswith("full"):  # fullN repeats gauge run-to-run variance
         return
     if name == "noattn":
-        def fake_attn(p, cfg, li, x, positions, cache, bt, backend):
+        def fake_attn(p, cfg, li, x, positions, cache, bt, backend, mesh=None):
             return jnp.zeros_like(x), cache
 
         step_mod._cached_attention = fake_attn
@@ -248,7 +248,12 @@ def main():
         params = section_glu_experts(params)
     time.sleep(2.0)
     print(f"params ready ({args.layers}L, {args.layout}) in {time.monotonic() - t0:.1f}s", flush=True)
-    cache_cfg = CacheConfig(block_size=16, num_blocks=160, max_blocks_per_seq=16)
+    # size the KV pool for the requested batch (11 blocks/seq at the bench's
+    # 128-token prompt + 24 steps)
+    cache_cfg = CacheConfig(
+        block_size=16, num_blocks=max(160, 12 * args.batch + 16),
+        max_blocks_per_seq=16,
+    )
 
     import gpt_oss_vllm_tpu.ops.moe_ffn_fused as ff
     import gpt_oss_vllm_tpu.ops.moe_gmm as gm
