@@ -154,6 +154,52 @@ def time_decode(cfg, params, cache_cfg, quant_backend, batch, n_steps, reps=3):
     return batch / best, best
 
 
+def route_census(cfg, params, cache_cfg, quant_backend, batch, n_steps=6):
+    """Distinct activated experts per layer under the SAME diverse token
+    stream the batched timing feeds (the stated-entropy requirement for any
+    batched random-weight number, CLAUDE.md / VERDICT r3 next #1): batched
+    gmm cost is proportional to distinct experts per layer, and random
+    weights can concentrate routing differently per quant format."""
+    cache = KVCache.create(cfg, cache_cfg)
+    mb = cache_cfg.max_blocks_per_seq
+    bt = np.full((batch, mb), -1, dtype=np.int32)
+    per_seq = (PREFILL_LEN + n_steps + cache_cfg.block_size) // cache_cfg.block_size + 1
+    blk = 0
+    for b in range(batch):
+        bt[b, :per_seq] = np.arange(blk, blk + per_seq)
+        blk += per_seq
+    bt = jnp.asarray(bt)
+
+    @functools.partial(jax.jit, donate_argnames=("cache",))
+    def census_step(params, cache, block_tables, tok, pos):
+        B = tok.shape[0]
+        out = model_step(
+            params, cfg, cache, tok[:, None], pos[:, None], block_tables,
+            jnp.zeros(B, jnp.int32), moe_strategy="auto", attn_backend="xla",
+            quant_backend=quant_backend, collect_routing=True,
+        )
+        nxt = jnp.argmax(out.logits, axis=-1).astype(jnp.int32)
+        distinct = jax.vmap(
+            lambda idx: jnp.zeros(cfg.num_experts, jnp.int32)
+            .at[idx.reshape(-1)]
+            .set(1, mode="drop")
+            .sum()
+        )(out.routing)  # [L]
+        return out.cache, nxt, pos + 1, distinct
+
+    rtok = jax.random.randint(
+        jax.random.PRNGKey(7), (64, batch), 0, cfg.vocab_size, dtype=jnp.int32
+    )
+    pos = jnp.full((batch,), PREFILL_LEN, jnp.int32)
+    counts = []
+    tok = rtok[0]
+    for i in range(n_steps):
+        cache, tok, pos, distinct = census_step(params, cache, bt, rtok[i % 64], pos)
+        counts.append(np.asarray(distinct))
+    c = np.stack(counts[1:])  # drop step 0 (identical position state)
+    return float(c.mean()), int(c.min()), int(c.max())
+
+
 def time_prefill(cfg, params, cache_cfg, quant_backend, attn_backend="xla",
                  prefill_len=PREFILL_LEN):
     cache = KVCache.create(cfg, cache_cfg)
@@ -338,7 +384,7 @@ def main():
                     ),
                     flush=True,
                 )
-                for bb in (8, 64):
+                for bb in (8, 64, 128):
                     if remaining() < 90:
                         log(f"[t+{elapsed():.0f}s] budget: skipping batch={bb}")
                         continue
@@ -348,6 +394,17 @@ def main():
                         )
                         tok_s_bb, _ = time_decode(c, params, cc_b, quant_backend, bb, DECODE_STEPS)
                         log(f"[t+{elapsed():.0f}s] batch={bb} decode: {tok_s_bb:.2f} tok/s total")
+                        if remaining() > 150:
+                            # stated routing entropy for the batched number
+                            # (natural routing on random weights; CLAUDE.md)
+                            mean_d, min_d, max_d = route_census(
+                                c, params, cc_b, quant_backend, bb
+                            )
+                            log(
+                                f"[t+{elapsed():.0f}s] batch={bb} routing: "
+                                f"{mean_d:.1f} distinct experts/layer "
+                                f"(min {min_d}, max {max_d} of {c.num_experts})"
+                            )
                     except Exception as e:
                         log(f"batch={bb} decode failed: {type(e).__name__}: {str(e)[:200]}")
             ttft = None

@@ -251,7 +251,9 @@ class InferenceEngine:
 
             def spec_async_step(params, cache, hist, hist_len, block_tables,
                                 pos_cap, seeds, ctrs, temp, top_p, top_k,
-                                min_p):
+                                min_p, bias_ids, bias_vals, stop_ids,
+                                min_toks, counts, pres, freq, rep,
+                                post="none"):
                 # FULLY device-chained speculative step: draft from the
                 # per-row token-history ring, feed [last, draft...], verify
                 # on device (rejection sampling against each row's exact
@@ -299,8 +301,26 @@ class InferenceEngine:
                 draft_w = jnp.concatenate(
                     [draft, jnp.zeros((W, 1), jnp.int32)], axis=1
                 )  # [W, 1+K]: the verify window's draft columns
+                logits = out.logits
+                if post != "none":
+                    # host-sampler post-processing ON DEVICE (logit_bias /
+                    # min_tokens stop masking / penalties with the
+                    # within-window count cascade) so these rows keep the
+                    # zero-sync chain instead of forfeiting it to the sync
+                    # path (VERDICT r3 next #5)
+                    from gpt_oss_vllm_tpu.ops.sampling import (
+                        spec_postprocess_logits,
+                    )
+
+                    logits = spec_postprocess_logits(
+                        logits, draft, ctrs,
+                        bias_ids=bias_ids, bias_vals=bias_vals,
+                        stop_ids=stop_ids, min_tokens=min_toks,
+                        counts=counts if post == "full" else None,
+                        presence=pres, frequency=freq, repetition=rep,
+                    )
                 n_acc, final = spec_verify(
-                    out.logits, draft_w, nd, seeds, ctrs, temp, top_p, top_k,
+                    logits, draft_w, nd, seeds, ctrs, temp, top_p, top_k,
                     min_p,
                 )
                 n_acc = jnp.minimum(n_acc.astype(jnp.int32), nd)
@@ -326,10 +346,21 @@ class InferenceEngine:
                 # [W, 2+K] readback carries tokens AND the proposal count
                 # (for the acceptance metrics) per flushed step
                 payload = jnp.concatenate([nd[:, None], emitted], axis=1)
-                return out.cache, payload, hist, hist_len + n_emit, ctrs + n_emit
+                if post == "full":
+                    # occurrence counts chain with the emitted tokens (pads
+                    # scatter out of bounds and drop)
+                    Vv = counts.shape[1]
+                    counts = counts.at[
+                        jnp.arange(W, dtype=jnp.int32)[:, None],
+                        jnp.where(emitted >= 0, emitted, Vv),
+                    ].add(1, mode="drop")
+                return (out.cache, payload, hist, hist_len + n_emit,
+                        ctrs + n_emit, counts)
 
             self._decode_spec_async = jax.jit(
-                spec_async_step, donate_argnames=("cache", "hist", "hist_len")
+                spec_async_step,
+                donate_argnames=("cache", "hist", "hist_len", "counts"),
+                static_argnames=("post",),
             )
             # async-spec device chain: compact [W, L] history + lengths;
             # None = rebuild from host (which must flush in-flight first —
@@ -337,6 +368,11 @@ class InferenceEngine:
             self._hist_chain = None
             self._hlen_chain = None
             self._spec_key = None
+            self._spec_post = "none"
+            self._spec_postargs = (None,) * 4
+            self._spec_counts = None
+            self._spec_pen = (None,) * 3
+            self._needs_counts_reseed = False
             # adaptive backoff: a spec step computes the full 1+k window
             # (all-position logits) — ~2x a plain step (measured 33.6 vs
             # 63.6 tok/s c=1 draftless; 60.7 vs 78.9 at 38.6% sampled
@@ -1215,15 +1251,20 @@ class InferenceEngine:
         running = [(i, r) for i, r in enumerate(self.slots) if r is not None]
         if not running:
             return truncated + self._flush_pending()
-        if self.async_decode and all(self._plain_sampling(r) for _, r in running):
+        # the async-spec program absorbs host post-processing on device
+        # (logit_bias, min_tokens stop masking, penalties with a chained
+        # count state) — only logprobs rows still need the host sampler
+        # (VERDICT r3 next #5)
+        spec_capable = self.spec_tokens > 0 and all(
+            r.sampling.logprobs is None for _, r in running
+        )
+        plain_ok = all(self._plain_sampling(r) for _, r in running)
+        use_spec = spec_capable and self._step_counter >= self._spec_off_until
+        if self.async_decode and (use_spec or plain_ok):
             # plain rows (greedy OR sampled) stay on device: the fused
             # spec program verifies sampled rows by rejection sampling with
             # chained draw counters; greedy rows degrade to longest-prefix
             # inside the same program
-            use_spec = (
-                self.spec_tokens > 0
-                and self._step_counter >= self._spec_off_until
-            )
             path = "spec" if use_spec else "plain"
             if path != self._async_path:
                 # the two chains account positions differently (exact +1 vs
@@ -1260,6 +1301,17 @@ class InferenceEngine:
         running = [(i, r) for i, r in enumerate(self.slots) if r is not None]
         if not running:
             return truncated
+        if getattr(self, "_needs_counts_reseed", False):
+            # the full-post spec chain owned the occurrence counts; re-seed
+            # the host-side rows from the (now exact) request contexts
+            # before any sync-path penalty sampling reads them
+            for i, r in running:
+                if r.sampling.has_penalties:
+                    ctx = r.prompt_token_ids + r.output_token_ids
+                    self.token_counts = self._counts_seed(
+                        self._counts(), i, jnp.asarray(ctx, jnp.int32)
+                    )
+            self._needs_counts_reseed = False
         # prompt-lookup drafts (greedy, no logprobs/penalties rows only)
         drafts: Dict[int, list] = {}
         if self.spec_tokens > 0:
@@ -1344,7 +1396,20 @@ class InferenceEngine:
         [n_drafted | up to 1 + spec_tokens tokens] per row (-1 pads)."""
         K = self.spec_tokens
         L = self.config.scheduler.max_model_len
-        key = tuple((i, id(r)) for i, r in running)
+        # post-processing level of this batch: "full" chains occurrence
+        # counts for penalties; "bias" covers logit_bias + min_tokens stop
+        # masking; "none" is the plain program (no regression for the
+        # common case — separate jit specializations per level)
+        if any(r.sampling.has_penalties for _, r in running):
+            post = "full"
+        elif any(
+            r.sampling.logit_bias or r.sampling.min_tokens > 0
+            for _, r in running
+        ):
+            post = "bias"
+        else:
+            post = "none"
+        key = (post,) + tuple((i, id(r)) for i, r in running)
         outputs: List[StepOutput] = []
         if key != self._spec_key or self._hist_chain is None:
             # acceptance counts of in-flight steps are host-unknown: bring
@@ -1353,7 +1418,7 @@ class InferenceEngine:
             running = [(i, r) for i, r in enumerate(self.slots) if r is not None]
             if not running:
                 return outputs
-            key = tuple((i, id(r)) for i, r in running)
+            key = (post,) + tuple((i, id(r)) for i, r in running)
             W = min(self.num_slots, _next_bucket(max(1, len(running)), 1))
             hist = np.zeros((W, L), dtype=np.int32)
             hlen = np.zeros(W, dtype=np.int32)
@@ -1364,6 +1429,18 @@ class InferenceEngine:
             top_p = np.ones(W, np.float32)
             top_k = np.zeros(W, np.int32)
             min_p = np.zeros(W, np.float32)
+            # post-processing state (logit_bias / stop-mask-under-min_tokens
+            # / penalty counts); pad rows keep neutral values
+            M = max(
+                [len(r.sampling.logit_bias or ()) for _, r in running] + [1]
+            )
+            S = max(
+                [len(r.sampling.stop_token_ids) for _, r in running] + [1]
+            )
+            bias_ids = np.full((W, M), -1, np.int32)
+            bias_vals = np.zeros((W, M), np.float32)
+            stop_ids = np.full((W, S), -1, np.int32)
+            min_toks = np.zeros(W, np.int32)
             # per-row KV-write position cap: a request never legitimately
             # writes KV at positions >= prompt + max_tokens (tokens there are
             # discarded at emission), >= max_model_len, or past its block
@@ -1390,6 +1467,10 @@ class InferenceEngine:
                 top_p[ci] = sp.top_p
                 top_k[ci] = sp.top_k
                 min_p[ci] = sp.min_p
+                for j, (t, v) in enumerate(sp.logit_bias or ()):
+                    bias_ids[ci, j], bias_vals[ci, j] = t, v
+                stop_ids[ci, : len(sp.stop_token_ids)] = sp.stop_token_ids
+                min_toks[ci] = sp.min_tokens
             self._hist_chain = jnp.asarray(hist)
             self._hlen_chain = jnp.asarray(hlen)
             self._spec_ctr = jnp.asarray(ctrs)
@@ -1397,6 +1478,38 @@ class InferenceEngine:
             self._spec_samp = tuple(
                 jnp.asarray(a) for a in (seeds, temp, top_p, top_k, min_p)
             )
+            self._spec_post = post
+            if post == "none":
+                self._spec_postargs = (None,) * 4
+                self._spec_counts = None
+                self._spec_pen = (None,) * 3
+            else:
+                self._spec_postargs = tuple(
+                    jnp.asarray(a) for a in (bias_ids, bias_vals, stop_ids, min_toks)
+                )
+                if post == "full":
+                    # occurrence-count chain rows seeded from exact host ctx
+                    V = self.config.model.vocab_size
+                    cnt = jnp.zeros((W, V), jnp.int32)
+                    for ci, (i, req) in enumerate(running):
+                        ctx = req.prompt_token_ids + req.output_token_ids
+                        cnt = cnt.at[ci, jnp.asarray(ctx, jnp.int32)].add(1)
+                    self._spec_counts = cnt
+                    pres = np.array(
+                        [r.sampling.presence_penalty for _, r in running]
+                        + [0.0] * (W - len(running)), np.float32)
+                    freq = np.array(
+                        [r.sampling.frequency_penalty for _, r in running]
+                        + [0.0] * (W - len(running)), np.float32)
+                    rep = np.array(
+                        [r.sampling.repetition_penalty for _, r in running]
+                        + [1.0] * (W - len(running)), np.float32)
+                    self._spec_pen = tuple(
+                        jnp.asarray(a) for a in (pres, freq, rep)
+                    )
+                else:
+                    self._spec_counts = None
+                    self._spec_pen = (None,) * 3
             self._rows_host = rows
             self._spec_key = key
             self._samp_key = None  # plain-async chain must rebuild too
@@ -1411,14 +1524,23 @@ class InferenceEngine:
             self._bt_dev_version = self._bt_version
         _t = time.time()
         seeds_d, temp_d, top_p_d, top_k_d, min_p_d = self._spec_samp
-        cache, emitted, self._hist_chain, self._hlen_chain, self._spec_ctr = (
-            self._decode_spec_async(
-                self.params, self.cache, self._hist_chain, self._hlen_chain,
-                self._bt_dev, self._spec_cap, seeds_d, self._spec_ctr,
-                temp_d, top_p_d, top_k_d, min_p_d,
-            )
+        bias_ids_d, bias_vals_d, stop_ids_d, min_toks_d = self._spec_postargs
+        pres_d, freq_d, rep_d = self._spec_pen
+        (cache, emitted, self._hist_chain, self._hlen_chain, self._spec_ctr,
+         self._spec_counts) = self._decode_spec_async(
+            self.params, self.cache, self._hist_chain, self._hlen_chain,
+            self._bt_dev, self._spec_cap, seeds_d, self._spec_ctr,
+            temp_d, top_p_d, top_k_d, min_p_d,
+            bias_ids_d, bias_vals_d, stop_ids_d, min_toks_d,
+            self._spec_counts, pres_d, freq_d, rep_d,
+            post=self._spec_post,
         )
         self.cache = cache
+        if self._spec_post == "full":
+            # the device chain now owns the occurrence counts; host-side
+            # token_counts rows for these requests are stale until re-seeded
+            # (sync-path transition below)
+            self._needs_counts_reseed = True
         self.timer.record("async_dispatch", time.time() - _t)
         import os as _os
 

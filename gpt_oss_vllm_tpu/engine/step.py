@@ -36,6 +36,8 @@ class StepOut(NamedTuple):
     logits: jax.Array  # [B, V] f32 at each row's last valid position
     #        (or [B, T, V] when all_logits — the speculative-verify path)
     cache: KVCache
+    # [L, B*T, k] routed expert ids when collect_routing (bench census)
+    routing: Optional[jax.Array] = None
 
 
 def _embed(embedding, tokens: jax.Array) -> jax.Array:
@@ -186,6 +188,7 @@ def model_step(
     lm_head_backend: Optional[str] = None,
     mesh=None,
     ep_capacity_factor: float = 0.0,
+    collect_routing: bool = False,
 ) -> StepOut:
     # the lm_head backend is selected independently of the expert-quant
     # backend: the fused int8 kernel wants TPU and no mesh (pallas_call is
@@ -194,6 +197,7 @@ def model_step(
     lm_backend = lm_head_backend if lm_head_backend is not None else quant_backend
     B, T = tokens.shape
     x = _embed(params.embedding, tokens)
+    routed = [] if collect_routing else None
     for li, layer in enumerate(params.layers):
         attn_out, cache = _cached_attention(
             layer,
@@ -271,8 +275,13 @@ def model_step(
                 cfg,
                 strategy=moe_strategy,
                 backend=quant_backend,
+                return_indices=collect_routing,
             )
+            if collect_routing:
+                moe, idx = moe
+                routed.append(idx)
         x = x + moe.reshape(B, T, -1)
+    routing_out = jnp.stack(routed) if routed else None
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
     head = params.embedding if params.lm_head is None else params.lm_head
     if all_logits:
@@ -286,15 +295,17 @@ def model_step(
             logits = jax.lax.dot_general(
                 head, h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ).T.reshape(B, T, -1)
-        return StepOut(logits=logits.astype(jnp.float32), cache=cache)
+        return StepOut(logits=logits.astype(jnp.float32), cache=cache,
+                       routing=routing_out)
     # only the last valid position's hidden state reaches the LM head
     h_last = jnp.take_along_axis(x, last_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
     if isinstance(head, Int8Vocab):
         logits = lm_head_logits(head, h_last, backend=lm_backend)[:, : cfg.vocab_size]
-        return StepOut(logits=logits, cache=cache)
+        return StepOut(logits=logits, cache=cache, routing=routing_out)
     # contract over the head table's MINOR dim (head @ h^T) — the x @ W^T form
     # makes XLA:TPU relayout the 1.1 GB vocab table into a transposed copy
     logits = jax.lax.dot_general(
         head, h_last, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ).T
-    return StepOut(logits=logits.astype(jnp.float32), cache=cache)
+    return StepOut(logits=logits.astype(jnp.float32), cache=cache,
+                   routing=routing_out)

@@ -163,6 +163,71 @@ def apply_penalties(
     return jnp.where(seen, rep_applied, out)
 
 
+def spec_postprocess_logits(
+    logits: jax.Array,  # [B, W, V] f32 — window logits (W = 1 + K)
+    drafts: jax.Array,  # [B, K] int32 draft tokens (ignored where not fed)
+    counters: jax.Array,  # [B] int32 tokens emitted BEFORE this window
+    bias_ids: jax.Array = None,  # [B, M] int32 (-1 = unused)
+    bias_vals: jax.Array = None,  # [B, M] f32
+    stop_ids: jax.Array = None,  # [B, S] int32 (-1 = unused)
+    min_tokens: jax.Array = None,  # [B] int32
+    counts: jax.Array = None,  # [B, V] int32 occurrence counts at window start
+    presence: jax.Array = None,  # [B] f32
+    frequency: jax.Array = None,  # [B] f32
+    repetition: jax.Array = None,  # [B] f32
+) -> jax.Array:
+    """Host-sampler post-processing applied PER WINDOW POSITION so spec
+    verification targets the exact distribution the non-speculative engine
+    would sample from at that point (``engine._sample_row`` semantics):
+
+    - ``logit_bias``: static per request, broadcast over the window;
+    - ``min_tokens``: stop ids masked to -inf while the would-be output
+      index (counter + window position) is below min_tokens;
+    - penalties: window position j sees ``counts`` plus the one-hots of the
+      j would-be-emitted draft tokens BEFORE it — the within-window cascade
+      that makes multi-token spec steps byte-identical to token-at-a-time
+      sync sampling (position j only matters when drafts 0..j-1 were all
+      accepted, in which case exactly those tokens precede it).
+    """
+    B, W, V = logits.shape
+    out = logits
+    win = jnp.arange(W, dtype=jnp.int32)[None, :]  # [1, W]
+    if bias_ids is not None:
+        ids = jnp.where((bias_ids < 0) | (bias_ids > V), V, bias_ids)  # V = dropped
+        flatb = jnp.zeros((B, V + 1), jnp.float32).at[
+            jnp.arange(B, dtype=jnp.int32)[:, None], ids
+        ].add(bias_vals)[:, :V]
+        out = out + flatb[:, None, :]
+    if stop_ids is not None and min_tokens is not None:
+        sids = jnp.where((stop_ids < 0) | (stop_ids > V), V, stop_ids)
+        stop_mask = jnp.zeros((B, V + 1), jnp.bool_).at[
+            jnp.arange(B, dtype=jnp.int32)[:, None], sids
+        ].set(True)[:, :V]  # [B, V]
+        unmet = (counters[:, None] + win) < min_tokens[:, None]  # [B, W]
+        out = jnp.where(
+            stop_mask[:, None, :] & unmet[:, :, None], NEG_INF, out
+        )
+    if counts is not None:
+        K = drafts.shape[1]
+        dr = jnp.clip(drafts, 0, V - 1)
+        oh = jax.nn.one_hot(dr, V, dtype=jnp.int8)  # [B, K, V]
+        before = (win.T > jnp.arange(K, dtype=jnp.int32)[None, :]).astype(
+            jnp.int8
+        )  # [W, K]: draft i precedes window j iff i < j
+        extra = jnp.einsum("jk,bkv->bjv", before, oh).astype(jnp.int32)
+        c = counts[:, None, :] + extra  # [B, W, V]
+        seen = c > 0
+        out = (
+            out
+            - presence[:, None, None] * seen
+            - frequency[:, None, None] * c
+        )
+        rep = repetition[:, None, None]
+        rep_applied = jnp.where(out > 0, out / rep, out * rep)
+        out = jnp.where(seen, rep_applied, out)
+    return out
+
+
 def spec_verify(
     logits: jax.Array,  # [B, W, V] f32 — logits at every fed window position
     drafts: jax.Array,  # [B, W] int32 — draft token verified at position j
