@@ -86,39 +86,50 @@ def main():
     jax.profiler.stop_trace()
     print("trace done; parsing", flush=True)
 
-    # parse xplane: aggregate device-op self times
+    # parse the chrome-trace export: aggregate device-op durations per pid
+    # (device lanes carry the XLA op/fusion events)
+    import gzip
+    import json as _json
+
     paths = sorted(
-        glob.glob(os.path.join(args.out, "**", "*.xplane.pb"), recursive=True),
+        glob.glob(os.path.join(args.out, "**", "*.trace.json.gz"), recursive=True),
         key=os.path.getmtime,
     )
     if not paths:
-        raise SystemExit("no xplane found")
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
-
-    xs = xplane_pb2.XSpace()
-    with open(paths[-1], "rb") as f:
-        xs.ParseFromString(f.read())
+        raise SystemExit("no trace.json.gz found")
+    with gzip.open(paths[-1], "rt") as f:
+        tr = _json.load(f)
+    events = tr["traceEvents"]
+    # pid/tid names
+    pid_name = {}
+    tid_name = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_name[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_name[(e["pid"], e["tid"])] = e["args"].get("name", "")
     agg = {}
-    total = 0
-    for plane in xs.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+    lane_tot = {}
+    for e in events:
+        if e.get("ph") != "X":
             continue
-        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
-        for line in plane.lines:
-            lname = line.name.lower()
-            # device compute lines only (skip host threads / steps)
-            if "xla op" in lname or "step" == lname:
-                continue
-            for ev in line.events:
-                name = ev_meta.get(ev.metadata_id, "?")
-                dur = ev.duration_ps / 1e6  # us
-                agg[name] = agg.get(name, 0.0) + dur
-                total += dur
+        pn = pid_name.get(e["pid"], "")
+        if "TPU" not in pn and "Device" not in pn:
+            continue
+        tn = tid_name.get((e["pid"], e["tid"]), "")
+        if "Steps" in tn or "step" == tn.lower():
+            continue
+        name = e.get("name", "?")
+        dur = e.get("dur", 0)  # us
+        agg[(tn, name)] = agg.get((tn, name), 0.0) + dur
+        lane_tot[tn] = lane_tot.get(tn, 0.0) + dur
+    print("\nlane totals (us/step):")
+    for tn, us in sorted(lane_tot.items(), key=lambda kv: -kv[1])[:8]:
+        print(f"  {us/args.steps:9.1f}  {tn}")
     items = sorted(agg.items(), key=lambda kv: -kv[1])
-    print(f"\ntotal device-event time: {total/1e3:.3f} ms over {args.steps} steps "
-          f"({total/1e3/args.steps:.3f} ms/step-ish; lines may overlap)")
-    for name, us in items[: args.top]:
-        print(f"{us/args.steps:9.1f} us/step  {100*us/max(total,1):5.1f}%  {name[:120]}")
+    print(f"\ntop ops (us/step over {args.steps} steps):")
+    for (tn, name), us in items[: args.top]:
+        print(f"{us/args.steps:9.1f} us/step  [{tn[:20]:20s}] {name[:110]}")
 
 
 if __name__ == "__main__":

@@ -599,13 +599,80 @@ def test_async_spec_backoff_on_draftless_text():
     rng = np.random.default_rng(12)
     prompt = rng.integers(1, cfg.model.vocab_size, 30).tolist()
     out = eng.generate([prompt], SamplingParams(max_tokens=24, temperature=0.0))[0]
-    assert eng._spec_off_until > 0  # backoff engaged mid-run
-    assert eng._async_path == "plain"
+    # the full-k window was unprofitable: the engine either settled on a
+    # smaller profitable window (looping tiny-model output accepts at k<=2)
+    # or backed off to the plain chain entirely
+    assert eng._spec_off_until > 0 or eng._spec_k < 4
     # exact greedy parity with the no-spec engine regardless
     plain = dataclasses.replace(
         cfg, scheduler=dataclasses.replace(cfg.scheduler, async_decode=False)
     )
     want = InferenceEngine(plain, params).generate(
         [prompt], SamplingParams(max_tokens=24, temperature=0.0)
+    )[0]
+    assert out == want
+
+
+def test_async_spec_adaptive_k_descends_before_backoff():
+    """VERDICT r3 weak #4: on unprofitable windows the engine first HALVES
+    the draft length (cheaper window, profitable at lower acceptance — the
+    sampled-temperature regime) and only backs off entirely at k=1, with
+    the next probe restarting at full k. Policy unit-checked directly;
+    end-to-end greedy parity holds across the k switches."""
+    import dataclasses
+
+    import numpy as np
+
+    from gpt_oss_vllm_tpu.config import EngineConfig, QuantConfig
+    from gpt_oss_vllm_tpu.engine.engine import InferenceEngine
+    from gpt_oss_vllm_tpu.engine.request import SamplingParams
+    from gpt_oss_vllm_tpu.models.params import random_params
+
+    cfg = EngineConfig.tiny()
+    params = random_params(cfg.model, QuantConfig(method="none"), seed=11)
+    c = dataclasses.replace(
+        cfg,
+        scheduler=dataclasses.replace(
+            cfg.scheduler, spec_tokens=4, async_decode=True,
+            async_depth=2, async_flush_burst=1, max_model_len=512,
+        ),
+    )
+    eng = InferenceEngine(c, params)
+    eng.SPEC_RATE_WINDOW = 4
+    # draftless rates: k must halve 4 -> 2 -> 1, then back off and reset
+    for _ in range(4):
+        eng._spec_rate_update(1.0)
+    assert eng._spec_k == 2 and eng._spec_off_until == 0
+    for _ in range(4):
+        eng._spec_rate_update(1.0)
+    assert eng._spec_k == 1 and eng._spec_off_until == 0
+    for _ in range(4):
+        eng._spec_rate_update(1.0)
+    assert eng._spec_off_until > 0
+    assert eng._spec_k == 4  # next probe restarts at full k
+    # profitable rates at a small k do NOT trigger further descent: at k=2
+    # the bar is 1.25, so a 1.4-token/step stream stays speculative
+    eng2 = InferenceEngine(c, params)
+    eng2.SPEC_RATE_WINDOW = 4
+    for _ in range(4):
+        eng2._spec_rate_update(1.0)
+    assert eng2._spec_k == 2
+    for _ in range(16):
+        eng2._spec_rate_update(1.4)
+    assert eng2._spec_k == 2 and eng2._spec_off_until == 0
+
+    # end-to-end: greedy byte parity with the plain engine holds across the
+    # adaptive k switches (random prompt forces at least one descent)
+    rng = np.random.default_rng(12)
+    prompt = rng.integers(1, cfg.model.vocab_size, 30).tolist()
+    eng3 = InferenceEngine(c, params)
+    eng3.SPEC_RATE_WINDOW = 5
+    out = eng3.generate([prompt], SamplingParams(max_tokens=40, temperature=0.0))[0]
+    assert eng3._spec_off_until > 0 or eng3._spec_k < 4
+    plain = dataclasses.replace(
+        cfg, scheduler=dataclasses.replace(cfg.scheduler, async_decode=False)
+    )
+    want = InferenceEngine(plain, params).generate(
+        [prompt], SamplingParams(max_tokens=40, temperature=0.0)
     )[0]
     assert out == want
