@@ -74,7 +74,7 @@ def dataclasses_replace_tied(cfg):
     return dataclasses.replace(cfg, tie_word_embeddings=True)
 
 
-def build_decode_step(cfg: ModelConfig, quant_backend: str):
+def build_decode_step(cfg: ModelConfig, quant_backend: str, attn_backend="xla"):
     """One decode step as its own program, chained by async dispatch.
 
     Deliberately NOT a lax.fori_loop: XLA:TPU's memory-bound loop optimizer
@@ -96,16 +96,20 @@ def build_decode_step(cfg: ModelConfig, quant_backend: str):
             block_tables,
             jnp.zeros(B, jnp.int32),
             moe_strategy="auto",
-            attn_backend="xla",
+            attn_backend=attn_backend,
             quant_backend=quant_backend,
+            greedy_head=True,
         )
+        if out.greedy_tok is not None:
+            return out.cache, out.greedy_tok, pos + 1
         nxt = jnp.argmax(out.logits, axis=-1).astype(jnp.int32)
         return out.cache, nxt, pos + 1
 
     return decode_step
 
 
-def time_decode(cfg, params, cache_cfg, quant_backend, batch, n_steps, reps=3):
+def time_decode(cfg, params, cache_cfg, quant_backend, batch, n_steps, reps=3,
+                attn_backend="xla"):
     cache = KVCache.create(cfg, cache_cfg)
     mb = cache_cfg.max_blocks_per_seq
     bt = np.full((batch, mb), -1, dtype=np.int32)
@@ -116,7 +120,7 @@ def time_decode(cfg, params, cache_cfg, quant_backend, batch, n_steps, reps=3):
         blk += per_seq
     assert blk <= cache_cfg.num_blocks, "cache too small for bench"
     bt = jnp.asarray(bt)
-    step = build_decode_step(cfg, quant_backend)
+    step = build_decode_step(cfg, quant_backend, attn_backend=attn_backend)
     # DIVERSE token ids per slot per step: identical tokens make every slot
     # route to the same experts (with random weights, ~5 distinct experts per
     # layer instead of up to 32), under-counting expert reads + dequants and
@@ -364,9 +368,11 @@ def main():
                 fast = remaining() < 150
                 if fast:
                     log(f"[t+{elapsed():.0f}s] budget low: short b1 measurement")
+                attn_dec = "pallas" if quant_backend == "pallas" else "xla"
                 tok_s_b1, step_lat = time_decode(
                     c, params, cache_cfg, quant_backend, 1,
                     8 if fast else DECODE_STEPS, reps=1 if fast else 3,
+                    attn_backend=attn_dec,
                 )
                 log(f"[t+{elapsed():.0f}s] batch=1 decode: {tok_s_b1:.2f} tok/s "
                     f"({step_lat * 1e3:.1f} ms/step)")
@@ -392,7 +398,9 @@ def main():
                         cc_b = CacheConfig(
                             block_size=16, num_blocks=12 * bb + 16, max_blocks_per_seq=16
                         )
-                        tok_s_bb, _ = time_decode(c, params, cc_b, quant_backend, bb, DECODE_STEPS)
+                        tok_s_bb, _ = time_decode(c, params, cc_b, quant_backend,
+                                                  bb, DECODE_STEPS,
+                                                  attn_backend=attn_dec)
                         log(f"[t+{elapsed():.0f}s] batch={bb} decode: {tok_s_bb:.2f} tok/s total")
                         if remaining() > 150:
                             # stated routing entropy for the batched number

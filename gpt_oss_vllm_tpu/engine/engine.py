@@ -469,6 +469,7 @@ class InferenceEngine:
                     params, cache=cache, tokens=tokens[:, None],
                     positions=positions[:, None], block_tables=block_tables,
                     last_idx=jnp.zeros(tokens.shape[0], jnp.int32),
+                    greedy_head=mode == "greedy",
                 )
                 # static sampler specialization: the full path costs two
                 # [B, 201k] sorts + cumsum + Gumbel generation EVERY step
@@ -476,9 +477,14 @@ class InferenceEngine:
                 # for the common cases (measured: engine device step 18 ms
                 # vs the 10.5 ms kernel chain before this).
                 #   greedy: every running request is temperature 0 -> argmax
+                #           (fused into the lm_head sweep on the int8 path)
                 #   plain:  default top_p/top_k/min_p -> Gumbel only, no sorts
                 if mode == "greedy":
-                    nxt = jnp.argmax(out.logits, axis=-1).astype(jnp.int32)
+                    nxt = (
+                        out.greedy_tok
+                        if out.greedy_tok is not None
+                        else jnp.argmax(out.logits, axis=-1).astype(jnp.int32)
+                    )
                 elif mode == "plain":
                     from gpt_oss_vllm_tpu.ops.sampling import _row_gumbel
 

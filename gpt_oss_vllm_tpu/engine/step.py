@@ -34,10 +34,14 @@ from gpt_oss_vllm_tpu.quant.vocab8 import Int8Vocab, embed_rows
 
 class StepOut(NamedTuple):
     logits: jax.Array  # [B, V] f32 at each row's last valid position
-    #        (or [B, T, V] when all_logits — the speculative-verify path)
+    #        (or [B, T, V] when all_logits — the speculative-verify path;
+    #         None when greedy_head short-circuits the logits)
     cache: KVCache
     # [L, B*T, k] routed expert ids when collect_routing (bench census)
     routing: Optional[jax.Array] = None
+    # [B] int32 greedy tokens when greedy_head (fused argmax lm_head sweep:
+    # the [B, 201k] logits are never materialized)
+    greedy_tok: Optional[jax.Array] = None
 
 
 def _embed(embedding, tokens: jax.Array) -> jax.Array:
@@ -189,6 +193,7 @@ def model_step(
     mesh=None,
     ep_capacity_factor: float = 0.0,
     collect_routing: bool = False,
+    greedy_head: bool = False,
 ) -> StepOut:
     # the lm_head backend is selected independently of the expert-quant
     # backend: the fused int8 kernel wants TPU and no mesh (pallas_call is
@@ -299,6 +304,22 @@ def model_step(
                        routing=routing_out)
     # only the last valid position's hidden state reaches the LM head
     h_last = jnp.take_along_axis(x, last_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    if greedy_head and mesh is None:
+        # greedy decode: the argmax folds into the lm_head sweep (int8
+        # kernel never materializes [B, 201k] logits; bit-identical to
+        # argmax of the logits path)
+        from gpt_oss_vllm_tpu.ops.lm_head import lm_head_greedy
+
+        if isinstance(head, Int8Vocab):
+            tok = lm_head_greedy(head, h_last, backend=lm_backend)
+        else:
+            logits = jax.lax.dot_general(
+                head, h_last, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).T
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return StepOut(logits=None, cache=cache, routing=routing_out,
+                       greedy_tok=tok)
     if isinstance(head, Int8Vocab):
         logits = lm_head_logits(head, h_last, backend=lm_backend)[:, : cfg.vocab_size]
         return StepOut(logits=logits, cache=cache, routing=routing_out)

@@ -77,7 +77,7 @@ def _ffn_kernel(
     def dequant(q_ref, s_ref, kp, nb, tile_cols, scale_sel_tile):
         q = q_ref[0].astype(jnp.int32)
         low = q & 0x0F
-        high = (q >> 4) & 0x0F
+        high = q >> 4  # zero-extended u8: already in [0, 16), no mask needed
         mmdt = _scales_mm_dtype(s_ref.dtype)
         block_j = kp // nb
         col_block = jax.lax.broadcasted_iota(jnp.int32, (nb, kp), 1) // block_j

@@ -220,7 +220,7 @@ def _dequant_expert_tile(q_ref, s_ref, jn, *, tn, kp, nb, block_j, full_scales,
     row-blocked kernel (into scratch, on each group's first row tile)."""
     q = q_ref[0][:].astype(jnp.int32)
     low = q & 0x0F
-    high = (q >> 4) & 0x0F
+    high = q >> 4  # zero-extended u8: already in [0, 16), no mask needed
     # 0/1 expansion matrices have one nonzero per output column, so the
     # scale matmuls are exact in bf16 when scales are bf16/E8M0-stored —
     # 4x the f32 MXU rate (see ops.nf4_matmul._scales_mm_dtype)

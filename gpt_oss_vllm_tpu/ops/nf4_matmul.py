@@ -149,13 +149,15 @@ def _lut_fp4_bitasm(idx: jax.Array) -> jax.Array:
     (mag >> 1) + 126 rebias lands exactly); codes 0/1 are 0.0 / 0.5; the
     sign is bit 3 shifted to bit 31. Bit-exact vs FP4_CODE incl. -0.0.
 
-    Measured on-chip at 8L/b8 (r2 A/B): this form 22.9 ms/step, a
-    select-instead-of-multiply variant 23.5, the select TREE (below) 33.0 —
-    bit assembly is the best fp4 decode; the nf4-vs-mxfp4 batched gap is
-    routing-distribution, not decode (see docs/STATUS.md)."""
+    ``small`` reuses ``mag``: it is only selected when mag < 2, where
+    mag == idx & 1 — one fewer VPU op on the batched-decode-dominating
+    chain. Measured on-chip at 8L/b8 (r2 A/B): this form beat a
+    select-instead-of-multiply variant and the select tree (33.0 ms/step);
+    the nf4-vs-mxfp4 batched gap is routing-distribution, not decode
+    (see docs/STATUS.md)."""
     mag = idx & 7
     normal = (mag + 252) << 22
-    small = (idx & 1) * 0x3F000000
+    small = mag * 0x3F000000  # == (idx & 1) * 0.5f-bits whenever selected
     bits = jnp.where(mag < 2, small, normal) | ((idx & 8) << 28)
     return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
@@ -215,7 +217,7 @@ def _nf4_matmul_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, *, block_j: int,
     # int32 first: Mosaic cannot legalize shifts on 8-bit vectors (arith.shrui)
     q = q_ref[:].astype(jnp.int32)
     low = q & 0x0F
-    high = (q >> 4) & 0x0F
+    high = q >> 4  # zero-extended u8: already in [0, 16), no mask needed
     # Expand per-block scales to per-column on the MXU: s^T expansion via
     # B[b, j] = (j // block_j == b). Lane-wise repeat via reshape is an
     # unsupported shape cast in Mosaic; this one extra small matmul is free

@@ -310,7 +310,12 @@ class Server:
             return web.json_response(
                 proto.ErrorResponse.make(f"invalid request: {e}").model_dump(), status=400
             )
-        prompt_ids = self.ae.tokenizer.render_chat([m.model_dump() for m in req.messages])
+        tools = None
+        if req.tools and req.tool_choice != "none":
+            tools = [t.model_dump() for t in req.tools]
+        prompt_ids = self.ae.tokenizer.render_chat(
+            [m.model_dump() for m in req.messages], tools=tools
+        )
         try:
             sampling = _sampling_from(req, self.ae.tokenizer, self.max_model_len, chat=True)
             if req.stream:
@@ -343,8 +348,20 @@ class Server:
             parser = HarmonyStreamParser(self.ae.tokenizer) if chat else None
             text = ""
             reasoning = ""
+            tool_parts: dict = {}  # seg -> [name, arguments]
             finish_reason = None
             n_tokens = 0
+
+            def route(dest: str, d: str):
+                nonlocal text, reasoning
+                if dest == "content":
+                    text += d
+                elif dest.startswith("tool:"):
+                    _, seg, name = dest.split(":", 2)
+                    tool_parts.setdefault(int(seg), [name, ""])[1] += d
+                else:
+                    reasoning += d
+
             lp = proto.LogProbs() if sampling.logprobs is not None and not chat else None
             async for out in self.ae.stream_tokens(prompt_ids, self._nth_sampling(sampling, i)):
                 n_tokens += 1
@@ -362,19 +379,14 @@ class Server:
                     lp.text_offset.append(len(text))
                 if chat:
                     # harmony channel routing: final -> content, analysis/
-                    # commentary -> reasoning; markers consumed by the parser
+                    # commentary -> reasoning, function-addressed commentary
+                    # -> tool_calls; markers consumed by the parser
                     if out.token_id >= 0:
                         for dest, d in parser.push(out.token_id, final=out.finished):
-                            if dest == "content":
-                                text += d
-                            else:
-                                reasoning += d
+                            route(dest, d)
                     if out.finished:
                         for dest, d in parser.finish():
-                            if dest == "content":
-                                text += d
-                            else:
-                                reasoning += d
+                            route(dest, d)
                 elif out.token_id >= 0 and out.token_id not in self.ae.tokenizer.stop_ids:
                     text += detok.push(out.token_id, final=out.finished)
                 if out.finished:
@@ -383,12 +395,18 @@ class Server:
                     if s and s in text:
                         text = text[: text.index(s)]
                         finish_reason = "stop"
-            return text, reasoning, finish_reason, n_tokens, lp
+            tool_calls = [
+                proto.ToolCall(function=proto.FunctionCall(name=n, arguments=a))
+                for _, (n, a) in sorted(tool_parts.items())
+            ] or None
+            if tool_calls and finish_reason in (None, "stop"):
+                finish_reason = "tool_calls"
+            return text, reasoning, tool_calls, finish_reason, n_tokens, lp
 
         # n>1 choices run concurrently through the engine's continuous batch;
         # the prefix cache makes the shared prompt's KV a one-time cost
         results = await asyncio.gather(*(one_choice(i) for i in range(n)))
-        total_completion = sum(r[3] for r in results)
+        total_completion = sum(r[4] for r in results)
         usage = proto.Usage(
             prompt_tokens=len(prompt_ids),
             completion_tokens=total_completion,
@@ -401,11 +419,13 @@ class Server:
                     proto.ChatChoice(
                         index=i,
                         message=proto.ChatChoiceMessage(
-                            content=text, reasoning_content=reasoning or None
+                            content=text,
+                            reasoning_content=reasoning or None,
+                            tool_calls=tool_calls,
                         ),
                         finish_reason=finish_reason or "stop",
                     )
-                    for i, (text, reasoning, finish_reason, _, _) in enumerate(results)
+                    for i, (text, reasoning, tool_calls, finish_reason, _, _) in enumerate(results)
                 ],
                 usage=usage,
             )
@@ -419,7 +439,7 @@ class Server:
                         index=i, text=prefix + text,
                         finish_reason=finish_reason or "stop", logprobs=lp
                     )
-                    for i, (text, _, finish_reason, _, lp) in enumerate(results)
+                    for i, (text, _, _, finish_reason, _, lp) in enumerate(results)
                 ],
                 usage=usage,
             )
@@ -490,9 +510,12 @@ class Server:
                             deltas = [("content", d)]
                     content_delta = ""
                     reason_delta = ""
+                    tool_deltas = []
                     for dest, d in deltas:
                         if dest == "content":
                             content_delta += d
+                        elif dest.startswith("tool:"):
+                            tool_deltas.append((dest, d))
                         else:
                             reason_delta += d
                     # stop strings match user-visible content only
@@ -504,8 +527,12 @@ class Server:
                             stopped = True
                     emitted += content_delta
                     finish = out.finish_reason if out.finished else ("stop" if stopped else None)
+                    if finish == "stop" and chat and parser._tool_seg >= 0:
+                        finish = "tool_calls"
                     if reason_delta:
                         await queue.put((i, "reasoning", reason_delta, None))
+                    for dest, d in tool_deltas:
+                        await queue.put((i, dest, d, None))
                     if content_delta or finish:
                         await queue.put((i, "content", content_delta, finish))
                     if stopped and not out.finished:
@@ -516,6 +543,7 @@ class Server:
         tasks = [asyncio.create_task(pump(i)) for i in range(n)]
         done = 0
         completion_tokens = 0
+        tool_ids: dict = {}  # (choice, seg) -> stable call id
         try:
             while done < n:
                 # drain everything already queued and ship ONE transport
@@ -536,11 +564,28 @@ class Server:
                         completion_tokens += finish  # pump's final token count
                         continue
                     if chat:
-                        dm = (
-                            proto.DeltaMessage(reasoning_content=delta)
-                            if dest == "reasoning"
-                            else proto.DeltaMessage(content=delta or None)
-                        )
+                        if dest.startswith("tool:"):
+                            # OpenAI tool-call stream contract: first delta
+                            # of an index carries id+name, later ones only
+                            # argument increments
+                            _, seg, name = dest.split(":", 2)
+                            seg = int(seg)
+                            first = (i, seg) not in tool_ids
+                            if first:
+                                tool_ids[(i, seg)] = proto._id("call")
+                            dm = proto.DeltaMessage(tool_calls=[
+                                proto.ToolCall(
+                                    id=tool_ids[(i, seg)], index=seg,
+                                    function=proto.FunctionCall(
+                                        name=name if first else "",
+                                        arguments=delta,
+                                    ),
+                                )
+                            ])
+                        elif dest == "reasoning":
+                            dm = proto.DeltaMessage(reasoning_content=delta)
+                        else:
+                            dm = proto.DeltaMessage(content=delta or None)
                         obj = proto.ChatCompletionChunk(
                             id=rid,
                             model=req.model,

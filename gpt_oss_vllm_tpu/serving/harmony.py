@@ -65,14 +65,24 @@ class HarmonyStreamParser:
         self._detok = IncrementalDetokenizer(tok)
         self._seen_marker = False
         self._seen_header_text = False
+        self._tool_seg = -1  # index of the current tool-call segment
 
     @property
     def channel(self) -> str:
         return self._channel or "final"
 
     def _dest(self) -> str:
+        """Routing for the current segment: ``content`` (final channel),
+        ``tool:{seg}:{name}`` (commentary addressed to a function — the
+        OpenAI tool_calls surface) or ``reasoning`` (analysis / plain
+        commentary)."""
         ch = (self._channel or "final").strip()
-        return "content" if ch.startswith("final") else "reasoning"
+        if ch.startswith("final"):
+            return "content"
+        if " to=functions." in f" {ch}" or ch.startswith("functions."):
+            name = ch.split("functions.", 1)[1].split()[0].strip()
+            return f"tool:{self._tool_seg}:{name}"
+        return "reasoning"
 
     def push(self, token_id: int, final: bool = False) -> List[Tuple[str, str]]:
         out: List[Tuple[str, str]] = []
@@ -92,6 +102,8 @@ class HarmonyStreamParser:
                 self._channel = self._tok.decode(self._name_ids).strip() or "final"
             elif self._channel is None:
                 self._channel = "final"  # channel-less message header
+            if "functions." in (self._channel or ""):
+                self._tool_seg += 1
             self._state = "body"
             self._detok = IncrementalDetokenizer(self._tok)
             self._seen_marker = True

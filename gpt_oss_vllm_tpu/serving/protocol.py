@@ -47,14 +47,44 @@ class CompletionRequest(BaseModel):
     logit_bias: Optional[Dict[str, float]] = None  # {token_id: bias}
 
 
+class FunctionCall(BaseModel):
+    name: str = ""
+    arguments: str = ""
+
+
+class ToolCall(BaseModel):
+    id: str = Field(default_factory=lambda: _id("call"))
+    type: str = "function"
+    function: FunctionCall = Field(default_factory=FunctionCall)
+    index: Optional[int] = None  # set on streaming deltas
+
+
+class FunctionDef(BaseModel):
+    name: str
+    description: Optional[str] = None
+    parameters: Optional[Dict] = None
+
+
+class ToolDef(BaseModel):
+    type: str = "function"
+    function: FunctionDef
+
+
 class ChatMessage(BaseModel):
     role: str
     content: Optional[str] = None
+    # assistant turns that issued tool calls; role="tool" results carry
+    # tool_call_id (+ optional name) back to the model
+    tool_calls: Optional[List[ToolCall]] = None
+    tool_call_id: Optional[str] = None
+    name: Optional[str] = None
 
 
 class ChatCompletionRequest(BaseModel):
     model: str
     messages: List[ChatMessage]
+    tools: Optional[List[ToolDef]] = None
+    tool_choice: Optional[Union[str, Dict]] = None  # "auto" (default) | "none"
     max_tokens: Optional[int] = None
     max_completion_tokens: Optional[int] = None
     temperature: float = 1.0
@@ -110,6 +140,7 @@ class ChatChoiceMessage(BaseModel):
     # harmony analysis/commentary channels (chain-of-thought); the de-facto
     # OpenAI-extension field name used by reasoning-model servers
     reasoning_content: Optional[str] = None
+    tool_calls: Optional[List[ToolCall]] = None
 
 
 class ChatChoice(BaseModel):
@@ -131,6 +162,7 @@ class DeltaMessage(BaseModel):
     role: Optional[str] = None
     content: Optional[str] = None
     reasoning_content: Optional[str] = None
+    tool_calls: Optional[List[ToolCall]] = None
 
 
 class ChatChunkChoice(BaseModel):

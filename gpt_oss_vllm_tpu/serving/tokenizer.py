@@ -68,25 +68,70 @@ class Tokenizer:
             pass
         return tuple(dict.fromkeys(ids))
 
-    def render_chat(self, messages: List[Dict[str, str]]) -> List[int]:
+    def render_chat(
+        self, messages: List[Dict[str, str]], tools: Optional[List[Dict]] = None
+    ) -> List[int]:
         """Harmony message framing. Non-harmony (plain) tokenizers render
         ``<|start|>{role}<|message|>{content}<|end|>`` per message and open
         the assistant header THROUGH ``<|message|>`` (content follows
         directly). Harmony tokenizers render assistant history into the
         ``final`` channel and end the prompt at ``<|start|>assistant`` —
         the model itself emits ``<|channel|>analysis<|message|>...`` (the
-        o200k_harmony generation contract)."""
+        o200k_harmony generation contract).
+
+        Tool calling (harmony only): ``tools`` render into a developer
+        message's ``# Tools / namespace functions`` section; assistant
+        history turns with ``tool_calls`` render as
+        ``<|channel|>commentary to=functions.NAME<|message|>{args}<|call|>``
+        and ``role == "tool"`` results come back as
+        ``<|start|>functions.NAME to=assistant<|channel|>commentary``."""
         ids: List[int] = []
-        for m in messages:
-            role = m.get("role", "user")
+
+        def msg(role: str, content: str, channel: Optional[str] = None,
+                terminator: str = "end"):
             ids.append(self.special("start"))
             ids.extend(self.encode(role))
-            if self.harmony and role == "assistant":
+            if self.harmony and channel is not None:
                 ids.append(self.special("channel"))
-                ids.extend(self.encode("final"))
+                ids.extend(self.encode(channel))
             ids.append(self.special("message"))
-            ids.extend(self.encode(m.get("content", "") or ""))
-            ids.append(self.special("end"))
+            ids.extend(self.encode(content))
+            ids.append(self.special(terminator))
+
+        if self.harmony and tools:
+            lines = ["# Tools", "", "## functions", "", "namespace functions {", ""]
+            import json as _json
+
+            for t in tools:
+                fn = t.get("function", t)
+                if fn.get("description"):
+                    lines.append(f"// {fn['description']}")
+                params = fn.get("parameters")
+                sig = _json.dumps(params) if params else "{}"
+                lines.append(f"type {fn.get('name', 'tool')} = (_: {sig}) => any;")
+                lines.append("")
+            lines.append("} // namespace functions")
+            msg("developer", "\n".join(lines))
+        for m in messages:
+            role = m.get("role", "user")
+            content = m.get("content", "") or ""
+            if self.harmony and role == "assistant" and m.get("tool_calls"):
+                if content:
+                    msg("assistant", content, channel="final")
+                for tc in m["tool_calls"]:
+                    fn = tc.get("function", {}) or {}
+                    msg(
+                        "assistant",
+                        fn.get("arguments", "") or "",
+                        channel=f"commentary to=functions.{fn.get('name', '')}",
+                        terminator="call",
+                    )
+                continue
+            if self.harmony and role == "tool":
+                name = m.get("name") or "tool"
+                msg(f"functions.{name} to=assistant", content, channel="commentary")
+                continue
+            msg(role, content, channel="final" if self.harmony and role == "assistant" else None)
         ids.append(self.special("start"))
         ids.extend(self.encode("assistant"))
         if not self.harmony:

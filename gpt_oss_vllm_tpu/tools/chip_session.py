@@ -273,6 +273,85 @@ def main():
         except Exception as e:
             log(f"tune phase failed: {type(e).__name__}: {str(e)[:300]}")
 
+    if "http" in phases:
+        # HTTP tax: the SAME engine measured through the real aiohttp server
+        # (in-process, one TPU process) vs the raw engine loop. The serving
+        # phase's engine-loop numbers are the denominator; the target is a
+        # <=5% delta (VERDICT r3 weak #3; SSE writes are batched per wakeup).
+        try:
+            import asyncio
+            import threading
+            import urllib.request
+
+            from gpt_oss_vllm_tpu.config import ServingConfig
+            from gpt_oss_vllm_tpu.serving.api_server import AsyncEngine, build_app
+            from gpt_oss_vllm_tpu.serving.tokenizer import get_tokenizer
+
+            eng = make_engine(16)
+            tok = get_tokenizer("byte")
+            ae = AsyncEngine(eng, tok)
+            app = build_app(ae, ServingConfig(served_model_name="m"), 4096)
+            loop = asyncio.new_event_loop()
+            ready = threading.Event()
+
+            def serve():
+                asyncio.set_event_loop(loop)
+
+                async def start():
+                    from aiohttp import web
+
+                    runner = web.AppRunner(app)
+                    await runner.setup()
+                    site = web.TCPSite(runner, "127.0.0.1", 8799)
+                    await site.start()
+                    ready.set()
+
+                loop.run_until_complete(start())
+                loop.run_forever()
+
+            threading.Thread(target=serve, daemon=True).start()
+            ready.wait(30)
+
+            import concurrent.futures
+            import json as _json
+
+            def one_request(i, max_tokens=64):
+                body = _json.dumps({
+                    "model": "m", "prompt": "x" * 128, "max_tokens": max_tokens,
+                    "temperature": 0.0, "stream": True,
+                }).encode()
+                req = urllib.request.Request(
+                    "http://127.0.0.1:8799/v1/completions", data=body,
+                    headers={"Content-Type": "application/json"},
+                )
+                n = 0
+                with urllib.request.urlopen(req, timeout=300) as r:
+                    for line in r:
+                        if line.startswith(b"data: ") and b"[DONE]" not in line:
+                            n += 1
+                return n
+
+            rows = []
+            for c in (1, 8):
+                one_request(0, max_tokens=8)  # warm
+                tt = time.monotonic()
+                with concurrent.futures.ThreadPoolExecutor(c) as ex:
+                    counts = list(ex.map(one_request, range(c)))
+                dt = time.monotonic() - tt
+                # chunks may batch tokens; count completion tokens = 64 * c
+                tok_s = 64 * c / dt
+                rows.append({"concurrency": c, "tok_s": round(tok_s, 2),
+                             "wall_s": round(dt, 2), "sse_events": sum(counts)})
+                log(f"[t+{time.monotonic() - t0:.0f}s] http c={c}: "
+                    f"{tok_s:.1f} tok/s ({sum(counts)} SSE events)")
+            emit({"metric": "http_serving", "results": rows})
+            loop.call_soon_threadsafe(loop.stop)
+            del eng, ae
+            gc.collect()
+            settle()
+        except Exception as e:
+            log(f"http phase failed: {type(e).__name__}: {str(e)[:300]}")
+
     if "spec_tiny" in phases:
         # End-to-end speculative decoding ON CHIP with a model whose output
         # is actually self-similar (the TRAINED tiny Markov model from

@@ -106,15 +106,24 @@ def test_parser_lenient_plain_stream():
     assert got2["content"] == "abc"
 
 
-def test_parser_commentary_and_tool_channels_route_to_reasoning():
+def test_parser_commentary_channel_routing():
     t = h()
     ch, msg, ret = t.special("channel"), t.special("message"), t.special("return")
+    # function-addressed commentary -> a tool segment, not reasoning
     ids = (
         [ch] + t.encode("commentary to=functions.look_up") + [msg]
         + t.encode('{"q": 1}') + [ret]
     )
-    got = _collect(HarmonyStreamParser(t), ids)
-    assert got["reasoning"] == '{"q": 1}'
+    p = HarmonyStreamParser(t)
+    seen = []
+    for tok in ids:
+        seen += p.push(tok)
+    assert {d for d, _ in seen} == {"tool:0:look_up"}
+    assert "".join(x for _, x in seen) == '{"q": 1}'
+    # PLAIN commentary (tool preamble text) -> reasoning
+    ids2 = [ch] + t.encode("commentary") + [msg] + t.encode("checking…") + [ret]
+    got = _collect(HarmonyStreamParser(t), ids2)
+    assert got["reasoning"] == "checking…"
     assert got["content"] == ""
 
 
@@ -240,3 +249,134 @@ async def test_chat_stream_routes_deltas(harmony_client):
             reasoning += d.get("reasoning_content") or ""
     assert content == "Hello!"
     assert reasoning == "Think hard…"
+
+
+def _tool_script(t):
+    ch, msg, end, call = (
+        t.special("channel"), t.special("message"), t.special("end"), t.special("call"),
+    )
+    return (
+        [ch] + t.encode("analysis") + [msg] + t.encode("Need the weather.")
+        + [end, t.special("start")] + t.encode("assistant")
+        + [ch] + t.encode("commentary to=functions.get_weather") + [msg]
+        + t.encode('{"city": "SF"}') + [call]
+    )
+
+
+def test_render_chat_tools_and_tool_turns():
+    t = h()
+    ids = t.render_chat(
+        [
+            {"role": "user", "content": "weather?"},
+            {
+                "role": "assistant",
+                "content": "",
+                "tool_calls": [
+                    {"id": "call_1", "type": "function",
+                     "function": {"name": "get_weather", "arguments": '{"city": "SF"}'}}
+                ],
+            },
+            {"role": "tool", "name": "get_weather", "tool_call_id": "call_1",
+             "content": '{"temp": 18}'},
+        ],
+        tools=[{"type": "function",
+                "function": {"name": "get_weather", "description": "Get weather",
+                             "parameters": {"type": "object"}}}],
+    )
+    text = t.decode([i for i in ids if i < 256])
+    # developer tools section rendered
+    assert "namespace functions" in text and "get_weather" in text
+    # tool-call turn rendered into the commentary channel, ending in <|call|>
+    assert t.special("call") in ids
+    # tool RESULT framed as functions.NAME to=assistant
+    assert "functions.get_weather to=assistant" in text
+
+
+def test_parser_tool_call_segments():
+    t = h()
+    got = {"content": "", "reasoning": ""}
+    tools = {}
+    p = HarmonyStreamParser(t)
+    ids = _tool_script(t)
+    for i, tok in enumerate(ids):
+        for dest, d in p.push(tok, final=i == len(ids) - 1):
+            if dest.startswith("tool:"):
+                _, seg, name = dest.split(":", 2)
+                tools.setdefault((int(seg), name), "")
+                tools[(int(seg), name)] += d
+            else:
+                got[dest] += d
+    assert got["reasoning"] == "Need the weather."
+    assert got["content"] == ""
+    assert tools == {(0, "get_weather"): '{"city": "SF"}'}
+
+
+@pytest.fixture()
+def tool_client(aiohttp_client):
+    from gpt_oss_vllm_tpu.config import ServingConfig
+    from gpt_oss_vllm_tpu.serving.api_server import AsyncEngine, build_app
+
+    tok = h()
+    eng = _ScriptedEngine(_tool_script(tok))
+    ae = AsyncEngine(eng, tok)
+    app = build_app(ae, ServingConfig(served_model_name="tiny-harmony"), 96)
+    return aiohttp_client(app)
+
+
+async def test_chat_tool_calls_non_stream(tool_client):
+    client = await tool_client
+    r = await client.post(
+        "/v1/chat/completions",
+        json={
+            "model": "t",
+            "messages": [{"role": "user", "content": "weather?"}],
+            "tools": [{"type": "function", "function": {"name": "get_weather"}}],
+            "max_tokens": 90,
+            "temperature": 0.0,
+        },
+    )
+    assert r.status == 200
+    body = await r.json()
+    choice = body["choices"][0]
+    assert choice["finish_reason"] == "tool_calls"
+    tcs = choice["message"]["tool_calls"]
+    assert len(tcs) == 1
+    assert tcs[0]["function"]["name"] == "get_weather"
+    assert tcs[0]["function"]["arguments"] == '{"city": "SF"}'
+    assert choice["message"]["reasoning_content"] == "Need the weather."
+    assert choice["message"]["content"] == ""
+
+
+async def test_chat_tool_calls_stream(tool_client):
+    client = await tool_client
+    r = await client.post(
+        "/v1/chat/completions",
+        json={
+            "model": "t",
+            "messages": [{"role": "user", "content": "weather?"}],
+            "max_tokens": 90,
+            "temperature": 0.0,
+            "stream": True,
+        },
+    )
+    assert r.status == 200
+    raw = (await r.read()).decode()
+    name = ""
+    args = ""
+    call_ids = set()
+    finishes = []
+    for line in raw.splitlines():
+        if not line.startswith("data: ") or line == "data: [DONE]":
+            continue
+        chunk = json.loads(line[len("data: "):])
+        for c in chunk["choices"]:
+            if c.get("finish_reason"):
+                finishes.append(c["finish_reason"])
+            for tc in (c.get("delta", {}).get("tool_calls") or []):
+                call_ids.add(tc["id"])
+                name += tc["function"]["name"] or ""
+                args += tc["function"]["arguments"] or ""
+    assert name == "get_weather"  # name sent exactly once
+    assert args == '{"city": "SF"}'
+    assert len(call_ids) == 1
+    assert "tool_calls" in finishes

@@ -125,3 +125,34 @@ def test_num_params_counts_int8_once():
     V, H = cfg.vocab_size, cfg.hidden_size
     Vp, Hp = _pad_to(V, VOCAB_TILE), _pad_to(H, _LANE)
     assert q8.num_params() == dense.num_params() + 2 * (Vp * Hp + Vp - V * H)
+
+
+def test_lm_head_argmax_fused_matches_logits_argmax():
+    """The fused argmax sweep must be bit-identical to argmax over the int8
+    logits kernel (same f32 accumulator, first-index tie rule), with vocab
+    pad lanes excluded."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpt_oss_vllm_tpu.ops.lm_head import lm_head_argmax_int8, lm_head_int8
+    from gpt_oss_vllm_tpu.quant.vocab8 import int8_vocab_from_dense
+
+    rng = np.random.default_rng(7)
+    V, H, B = 500, 128, 5  # V pads to the vocab tile; pad lanes must lose
+    table = jnp.asarray(rng.normal(0, 1, (V, H)).astype(np.float32) * 0.05)
+    vocab = int8_vocab_from_dense(table.astype(jnp.bfloat16))
+    h = jnp.asarray(rng.normal(0, 1, (B, H)).astype(np.float32)).astype(jnp.bfloat16)
+    # negative-max rows: force logits below zero so 0-valued pad lanes would
+    # win if unmasked
+    h = h.at[0].set(-jnp.abs(h[0]) * 0 - 1.0)
+    want = jnp.argmax(lm_head_int8(h, vocab, interpret=True)[:, :V], axis=-1)
+    got = lm_head_argmax_int8(h, vocab, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # tie handling: duplicate rows in the table -> first index wins
+    table2 = table.at[7].set(table[300])
+    vocab2 = int8_vocab_from_dense(table2.astype(jnp.bfloat16))
+    want2 = jnp.argmax(lm_head_int8(h, vocab2, interpret=True)[:, :V], axis=-1)
+    got2 = lm_head_argmax_int8(h, vocab2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(want2))
