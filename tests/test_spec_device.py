@@ -5,7 +5,19 @@ import numpy as np
 import jax.numpy as jnp
 
 from gpt_oss_vllm_tpu.engine.spec import propose_ngram
-from gpt_oss_vllm_tpu.ops.spec_device import greedy_accept_counts, ngram_draft_device
+from gpt_oss_vllm_tpu.ops.spec_device import ngram_draft_device
+
+
+def greedy_accept_counts(draft, n_draft, greedy):
+    """Vectorized greedy-acceptance oracle (longest prefix where draft[i]
+    equals the model's prediction after consuming fed position i, capped at
+    n_draft) — lives here as the test oracle; the production path verifies
+    through ops.sampling.spec_verify (ADVICE r3 low)."""
+    k = draft.shape[1]
+    pos = jnp.arange(k, dtype=jnp.int32)[None, :]
+    ok = (draft == greedy[:, :k]) & (pos < n_draft[:, None])
+    prefix = jnp.cumprod(ok.astype(jnp.int32), axis=1)
+    return jnp.sum(prefix, axis=1).astype(jnp.int32)
 
 
 def _draft(tokens, k, m=2, L=64):
