@@ -175,15 +175,17 @@ class Server:
 
     # -- helpers -----------------------------------------------------------
 
-    def _encode_prompt(self, prompt) -> List[int]:
+    def _encode_prompts(self, prompt) -> List[List[int]]:
+        """OpenAI completions accept one prompt or a LIST of prompts (each
+        producing its own choice(s), prompt-major index order)."""
         if isinstance(prompt, str):
-            return self.ae.tokenizer.encode(prompt)
+            return [self.ae.tokenizer.encode(prompt)]
         if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
-            return list(prompt)
+            return [list(prompt)]
         if isinstance(prompt, list) and prompt and isinstance(prompt[0], str):
-            return self.ae.tokenizer.encode(prompt[0])  # n=1 batch for now
+            return [self.ae.tokenizer.encode(p) for p in prompt]
         if isinstance(prompt, list) and prompt and isinstance(prompt[0], list):
-            return list(prompt[0])
+            return [list(p) for p in prompt]
         raise web.HTTPBadRequest(
             text=proto.ErrorResponse.make("invalid prompt").model_dump_json(),
             content_type="application/json",
@@ -294,12 +296,12 @@ class Server:
             return web.json_response(
                 proto.ErrorResponse.make(f"invalid request: {e}").model_dump(), status=400
             )
-        prompt_ids = self._encode_prompt(req.prompt)
+        prompts = self._encode_prompts(req.prompt)
         try:
             sampling = _sampling_from(req, self.ae.tokenizer, self.max_model_len)
             if req.stream:
-                return await self._stream_completion(request, req, prompt_ids, sampling, chat=False)
-            return await self._full_completion(req, prompt_ids, sampling, chat=False)
+                return await self._stream_completion(request, req, prompts, sampling, chat=False)
+            return await self._full_completion(req, prompts, sampling, chat=False)
         except ValueError as e:
             return web.json_response(proto.ErrorResponse.make(str(e)).model_dump(), status=400)
 
@@ -319,8 +321,8 @@ class Server:
         try:
             sampling = _sampling_from(req, self.ae.tokenizer, self.max_model_len, chat=True)
             if req.stream:
-                return await self._stream_completion(request, req, prompt_ids, sampling, chat=True)
-            return await self._full_completion(req, prompt_ids, sampling, chat=True)
+                return await self._stream_completion(request, req, [prompt_ids], sampling, chat=True)
+            return await self._full_completion(req, [prompt_ids], sampling, chat=True)
         except ValueError as e:
             return web.json_response(proto.ErrorResponse.make(str(e)).model_dump(), status=400)
 
@@ -337,11 +339,11 @@ class Server:
 
         return dataclasses.replace(sampling, seed=sampling.seed + i)
 
-    async def _full_completion(self, req, prompt_ids, sampling, chat: bool) -> web.Response:
+    async def _full_completion(self, req, prompts, sampling, chat: bool) -> web.Response:
         stops = _stop_strings(req.stop)
         n = max(1, getattr(req, "n", 1) or 1)
 
-        async def one_choice(i: int):
+        async def one_choice(prompt_ids, i: int):
             from gpt_oss_vllm_tpu.serving.harmony import HarmonyStreamParser
 
             detok = IncrementalDetokenizer(self.ae.tokenizer)
@@ -403,14 +405,18 @@ class Server:
                 finish_reason = "tool_calls"
             return text, reasoning, tool_calls, finish_reason, n_tokens, lp
 
-        # n>1 choices run concurrently through the engine's continuous batch;
-        # the prefix cache makes the shared prompt's KV a one-time cost
-        results = await asyncio.gather(*(one_choice(i) for i in range(n)))
+        # prompt-major choice order across the prompt list (OpenAI multi-
+        # prompt completions); n>1 choices run concurrently through the
+        # engine's continuous batch and the prefix cache shares prompt KV
+        results = await asyncio.gather(
+            *(one_choice(p, j) for p in prompts for j in range(n))
+        )
         total_completion = sum(r[4] for r in results)
+        total_prompt = sum(len(p) for p in prompts)
         usage = proto.Usage(
-            prompt_tokens=len(prompt_ids),
+            prompt_tokens=total_prompt,
             completion_tokens=total_completion,
-            total_tokens=len(prompt_ids) + total_completion,
+            total_tokens=total_prompt + total_completion,
         )
         if chat:
             resp = proto.ChatCompletionResponse(
@@ -430,13 +436,15 @@ class Server:
                 usage=usage,
             )
         else:
-            # OpenAI `echo`: prepend the prompt text to each choice
-            prefix = self.ae.tokenizer.decode(prompt_ids) if getattr(req, "echo", False) else ""
+            # OpenAI `echo`: prepend each choice's OWN prompt text
+            echo = getattr(req, "echo", False)
             resp = proto.CompletionResponse(
                 model=req.model,
                 choices=[
                     proto.CompletionChoice(
-                        index=i, text=prefix + text,
+                        index=i,
+                        text=(self.ae.tokenizer.decode(prompts[i // n]) if echo else "")
+                        + text,
                         finish_reason=finish_reason or "stop", logprobs=lp
                     )
                     for i, (text, _, _, finish_reason, _, lp) in enumerate(results)
@@ -446,7 +454,7 @@ class Server:
         return web.json_response(resp.model_dump())
 
     async def _stream_completion(
-        self, http_request, req, prompt_ids, sampling, chat: bool
+        self, http_request, req, prompts, sampling, chat: bool
     ) -> web.StreamResponse:
         resp = web.StreamResponse(
             status=200,
@@ -483,7 +491,7 @@ class Server:
         queue: asyncio.Queue = asyncio.Queue()
         DONE = object()
 
-        async def pump(i: int):
+        async def pump(prompt_ids, i: int):
             from gpt_oss_vllm_tpu.serving.harmony import HarmonyStreamParser
 
             detok = IncrementalDetokenizer(self.ae.tokenizer)
@@ -493,7 +501,7 @@ class Server:
             n_tokens = 0
             try:
                 async for out in self.ae.stream_tokens(
-                    prompt_ids, self._nth_sampling(sampling, i)
+                    prompt_ids, self._nth_sampling(sampling, i % n)
                 ):
                     if out.token_id >= 0:
                         n_tokens += 1
@@ -540,12 +548,17 @@ class Server:
             finally:
                 await queue.put((i, "done", DONE, n_tokens))
 
-        tasks = [asyncio.create_task(pump(i)) for i in range(n)]
+        tasks = [
+            asyncio.create_task(pump(pids, pi * n + j))
+            for pi, pids in enumerate(prompts)
+            for j in range(n)
+        ]
+        total_choices = len(prompts) * n
         done = 0
         completion_tokens = 0
         tool_ids: dict = {}  # (choice, seg) -> stable call id
         try:
-            while done < n:
+            while done < total_choices:
                 # drain everything already queued and ship ONE transport
                 # write: the engine's burst flush emits several tokens per
                 # wakeup, and per-token write()+event-loop hops were most of
@@ -612,9 +625,9 @@ class Server:
         opts = getattr(req, "stream_options", None)
         if opts is not None and opts.include_usage:
             usage = proto.Usage(
-                prompt_tokens=len(prompt_ids),
+                prompt_tokens=sum(len(p) for p in prompts),
                 completion_tokens=completion_tokens,
-                total_tokens=len(prompt_ids) + completion_tokens,
+                total_tokens=sum(len(p) for p in prompts) + completion_tokens,
             )
             cls = proto.ChatCompletionChunk if chat else proto.CompletionChunk
             await send(cls(id=rid, model=req.model, choices=[], usage=usage))

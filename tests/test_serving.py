@@ -406,3 +406,33 @@ async def test_http_with_async_spec_engine(aiohttp_client):
     r = await c2.post("/v1/completions", json=body)
     plain_text = (await r.json())["choices"][0]["text"]
     assert spec_text == plain_text
+
+
+async def test_completions_multi_prompt_list(client):
+    """OpenAI multi-prompt completions: a LIST of prompts produces one
+    choice per prompt (prompt-major index order), usage sums prompts."""
+    r = await client.post(
+        "/v1/completions",
+        json={"model": "gpt-oss-tiny", "prompt": ["abc", "defg"],
+              "max_tokens": 3, "temperature": 0.0},
+    )
+    assert r.status == 200
+    body = await r.json()
+    assert [c["index"] for c in body["choices"]] == [0, 1]
+    assert body["usage"]["prompt_tokens"] == 7  # 3 + 4 bytes
+    assert body["usage"]["completion_tokens"] == 6
+
+    # streaming: both indices appear, [DONE] terminates
+    r = await client.post(
+        "/v1/completions",
+        json={"model": "gpt-oss-tiny", "prompt": ["abc", "defg"],
+              "max_tokens": 2, "temperature": 0.0, "stream": True},
+    )
+    raw = (await r.read()).decode()
+    assert raw.rstrip().endswith("data: [DONE]")
+    idxs = set()
+    for line in raw.splitlines():
+        if line.startswith("data: ") and line != "data: [DONE]":
+            for c in json.loads(line[6:])["choices"]:
+                idxs.add(c["index"])
+    assert idxs == {0, 1}
