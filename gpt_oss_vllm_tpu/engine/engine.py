@@ -447,6 +447,9 @@ class InferenceEngine:
         self._rb_q: deque = deque()
         # (slot, id(req)) -> dispatched-but-unemitted async step count
         self._inflight: Dict[tuple, int] = {}
+        # host-side token_counts rows stale while a device count chain owns
+        # them (async post="full"); re-seeded on the sync transition
+        self._needs_counts_reseed = False
         self._rb_pool = None
         self._bt_version = 0
         self._bt_dev = None
@@ -455,7 +458,10 @@ class InferenceEngine:
 
             def fused_step(params, cache, full_tok, rows, positions,
                            block_tables, seeds, ctrs, temp, top_p, top_k,
-                           min_p, mode="full"):
+                           min_p, bias_ids=None, bias_vals=None,
+                           stop_ids=None, min_toks=None, counts=None,
+                           pres=None, freq=None, rep=None, mode="full",
+                           post="none"):
                 # COMPACT batch: the program width W = rows.shape[0] is the
                 # bucketed count of RUNNING requests, not max_num_seqs — a
                 # c=1 stream on a 32-slot engine decodes through a width-1
@@ -469,8 +475,29 @@ class InferenceEngine:
                     params, cache=cache, tokens=tokens[:, None],
                     positions=positions[:, None], block_tables=block_tables,
                     last_idx=jnp.zeros(tokens.shape[0], jnp.int32),
-                    greedy_head=mode == "greedy",
+                    greedy_head=mode == "greedy" and post == "none",
                 )
+                logits = out.logits
+                if post != "none":
+                    # host-sampler post-processing ON DEVICE (logit_bias /
+                    # min_tokens stop masking / penalties with a chained
+                    # [W, V] count state): penalized/biased rows keep the
+                    # zero-sync plain chain with spec OFF too (the serving
+                    # default), mirroring the async-spec program
+                    from gpt_oss_vllm_tpu.ops.sampling import (
+                        spec_postprocess_logits,
+                    )
+
+                    W = rows.shape[0]
+                    logits = spec_postprocess_logits(
+                        logits[:, None, :],
+                        jnp.zeros((W, 1), jnp.int32),  # window of 1: no cascade
+                        ctrs,
+                        bias_ids=bias_ids, bias_vals=bias_vals,
+                        stop_ids=stop_ids, min_tokens=min_toks,
+                        counts=counts if post == "full" else None,
+                        presence=pres, frequency=freq, repetition=rep,
+                    )[:, 0, :]
                 # static sampler specialization: the full path costs two
                 # [B, 201k] sorts + cumsum + Gumbel generation EVERY step
                 # (jnp.where computes both sides) — ~6 ms/step of pure waste
@@ -479,24 +506,31 @@ class InferenceEngine:
                 #   greedy: every running request is temperature 0 -> argmax
                 #           (fused into the lm_head sweep on the int8 path)
                 #   plain:  default top_p/top_k/min_p -> Gumbel only, no sorts
-                if mode == "greedy":
+                if mode == "greedy" and post == "none":
                     nxt = (
                         out.greedy_tok
                         if out.greedy_tok is not None
-                        else jnp.argmax(out.logits, axis=-1).astype(jnp.int32)
+                        else jnp.argmax(logits, axis=-1).astype(jnp.int32)
                     )
+                elif mode == "greedy":
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 elif mode == "plain":
                     from gpt_oss_vllm_tpu.ops.sampling import _row_gumbel
 
-                    greedy = jnp.argmax(out.logits, axis=-1).astype(jnp.int32)
+                    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                     t = jnp.maximum(temp, 1e-6)[:, None]
-                    g = _row_gumbel(seeds, ctrs, out.logits.shape[1])
-                    sampled = jnp.argmax(out.logits / t + g, axis=-1).astype(jnp.int32)
+                    g = _row_gumbel(seeds, ctrs, logits.shape[1])
+                    sampled = jnp.argmax(logits / t + g, axis=-1).astype(jnp.int32)
                     nxt = jnp.where(temp <= 0.0, greedy, sampled)
                 else:
                     nxt = sample_tokens_seeded(
-                        out.logits, seeds, ctrs, temp, top_p, top_k, min_p
+                        logits, seeds, ctrs, temp, top_p, top_k, min_p
                     )
+                if post == "full":
+                    W = rows.shape[0]
+                    counts = counts.at[
+                        jnp.arange(W, dtype=jnp.int32), nxt
+                    ].add(1)
                 # chain positions/counters ON DEVICE: between batch-
                 # composition changes every running row advances by exactly
                 # one token per step, so the host never re-uploads them —
@@ -509,12 +543,17 @@ class InferenceEngine:
                 # rows drop); admissions/sync steps write it by slot, the
                 # next chain rebuild gathers from it
                 full_upd = full_tok.at[rows].set(nxt, mode="drop")
-                return out.cache, nxt, full_upd, new_pos, ctrs + 1
+                return out.cache, nxt, full_upd, new_pos, ctrs + 1, counts
 
             self._decode_fused = jax.jit(
-                fused_step, donate_argnames=("cache", "full_tok"),
-                static_argnames=("mode",),
+                fused_step, donate_argnames=("cache", "full_tok", "counts"),
+                static_argnames=("mode", "post"),
             )
+            # plain-chain post-processing state (mirrors the spec chain)
+            self._plain_post = "none"
+            self._plain_postargs = (None,) * 4
+            self._plain_counts = None
+            self._plain_pen = (None,) * 3
             self._dev_last_tok = jnp.zeros((self.num_slots,), jnp.int32)
             # device-chained decode state; None = must rebuild from host
             # mirrors (composition change, sync-path interleave, preemption)
@@ -975,18 +1014,6 @@ class InferenceEngine:
             req.blocks.extend(b)
         return True
 
-    @staticmethod
-    def _plain_sampling(req: Request) -> bool:
-        """True when the request's sampling is fully expressible on-device
-        (the fused async-decode program): no logprobs, penalties or logit
-        bias, and no stop-token masking while min_tokens is unmet."""
-        sp = req.sampling
-        return (
-            sp.logprobs is None
-            and not sp.has_penalties
-            and not sp.logit_bias
-            and len(req.output_token_ids) >= sp.min_tokens
-        )
 
     def _emit_snapshot(self, snapshot, toks) -> List[StepOutput]:
         outputs: List[StepOutput] = []
@@ -1199,8 +1226,32 @@ class InferenceEngine:
         # dispatch does zero host->device uploads (block tables excepted, once
         # per crossed block boundary). The program width is BUCKETED to the
         # running count (compact rows), not max_num_seqs.
-        key = tuple((i, id(r)) for i, r in running)
+        # post-processing level (mirrors the spec chain): "full" chains a
+        # [W, V] occurrence-count state for penalties, "bias" covers
+        # logit_bias + min_tokens stop masking, "none" is the unchanged
+        # common-case program
+        if any(r.sampling.has_penalties for _, r in running):
+            post = "full"
+        elif any(
+            r.sampling.logit_bias or r.sampling.min_tokens > 0
+            for _, r in running
+        ):
+            post = "bias"
+        else:
+            post = "none"
+        flushed: List[StepOutput] = []
+        key = (post,) + tuple((i, id(r)) for i, r in running)
         if key != self._samp_key:
+            if post == "full":
+                # count rows are seeded from request contexts, which are
+                # exact only after the in-flight pipeline lands
+                flushed = self._flush_pending()
+                running = [
+                    (i, r) for i, r in enumerate(self.slots) if r is not None
+                ]
+                if not running:
+                    return flushed
+                key = (post,) + tuple((i, id(r)) for i, r in running)
             W = min(S, _next_bucket(max(1, len(running)), 1))
             rows = np.full(W, S, dtype=np.int32)  # pad sentinel = S
             seeds = np.zeros(W, np.int32)
@@ -1208,6 +1259,16 @@ class InferenceEngine:
             top_p = np.ones(W, np.float32)
             top_k = np.zeros(W, np.int32)
             min_p = np.zeros(W, np.float32)
+            M = max(
+                [len(r.sampling.logit_bias or ()) for _, r in running] + [1]
+            )
+            SS = max(
+                [len(r.sampling.stop_token_ids) for _, r in running] + [1]
+            )
+            bias_ids = np.full((W, M), -1, np.int32)
+            bias_vals = np.zeros((W, M), np.float32)
+            stop_ids = np.full((W, SS), -1, np.int32)
+            min_toks = np.zeros(W, np.int32)
             for ci, (i, req) in enumerate(running):
                 sp = req.sampling
                 rows[ci] = i
@@ -1216,11 +1277,47 @@ class InferenceEngine:
                 top_p[ci] = sp.top_p
                 top_k[ci] = sp.top_k
                 min_p[ci] = sp.min_p
+                for j, (t, v) in enumerate(sp.logit_bias or ()):
+                    bias_ids[ci, j], bias_vals[ci, j] = t, v
+                stop_ids[ci, : len(sp.stop_token_ids)] = sp.stop_token_ids
+                min_toks[ci] = sp.min_tokens
             self._rows_host = rows
             self._rows_dev = jnp.asarray(rows)
             self._samp_dev = tuple(
                 jnp.asarray(a) for a in (seeds, temp, top_p, top_k, min_p)
             )
+            self._plain_post = post
+            if post == "none":
+                self._plain_postargs = (None,) * 4
+                self._plain_counts = None
+                self._plain_pen = (None,) * 3
+            else:
+                self._plain_postargs = tuple(
+                    jnp.asarray(a)
+                    for a in (bias_ids, bias_vals, stop_ids, min_toks)
+                )
+                if post == "full":
+                    V = self.config.model.vocab_size
+                    cnt = jnp.zeros((W, V), jnp.int32)
+                    for ci, (i, req) in enumerate(running):
+                        ctx = req.prompt_token_ids + req.output_token_ids
+                        cnt = cnt.at[ci, jnp.asarray(ctx, jnp.int32)].add(1)
+                    self._plain_counts = cnt
+                    pres = np.array(
+                        [r.sampling.presence_penalty for _, r in running]
+                        + [0.0] * (W - len(running)), np.float32)
+                    freq = np.array(
+                        [r.sampling.frequency_penalty for _, r in running]
+                        + [0.0] * (W - len(running)), np.float32)
+                    rep = np.array(
+                        [r.sampling.repetition_penalty for _, r in running]
+                        + [1.0] * (W - len(running)), np.float32)
+                    self._plain_pen = tuple(
+                        jnp.asarray(a) for a in (pres, freq, rep)
+                    )
+                else:
+                    self._plain_counts = None
+                    self._plain_pen = (None,) * 3
             self._samp_key = key
             self._pos_dev = None  # composition changed: rebuild the chain
             self._bt_dev_version = -1  # block tables re-slice to new rows
@@ -1263,7 +1360,10 @@ class InferenceEngine:
         else:
             mode = "full"
         _t_dispatch = time.time()
-        cache, nxt, self._dev_last_tok, self._pos_dev, self._ctr_dev = self._decode_fused(
+        bias_ids_d, bias_vals_d, stop_ids_d, min_toks_d = self._plain_postargs
+        pres_d, freq_d, rep_d = self._plain_pen
+        (cache, nxt, self._dev_last_tok, self._pos_dev, self._ctr_dev,
+         self._plain_counts) = self._decode_fused(
             self.params,
             self.cache,
             self._dev_last_tok,
@@ -1276,9 +1376,14 @@ class InferenceEngine:
             top_p_d,
             top_k_d,
             min_p_d,
+            bias_ids_d, bias_vals_d, stop_ids_d, min_toks_d,
+            self._plain_counts, pres_d, freq_d, rep_d,
             mode=mode,
+            post=self._plain_post,
         )
         self.cache = cache
+        if self._plain_post == "full":
+            self._needs_counts_reseed = True
         self.timer.record("async_dispatch", time.time() - _t_dispatch)
         # start the device->host transfer NOW: by next step's flush the value
         # has already crossed the (tunnel) link, so np.asarray returns
@@ -1297,7 +1402,7 @@ class InferenceEngine:
         self._pending.append((snapshot, nxt))
         for i, _ in running:
             self.seq_lens[i] += 1  # optimistic; _release zeroes on finish
-        outputs: List[StepOutput] = []
+        outputs: List[StepOutput] = list(flushed)
         _t_flush = time.time()
         # snapshots with no live rows cost nothing to drain eagerly
         while self._pending and len(self._pending[0][0]) == 0:
@@ -1318,16 +1423,14 @@ class InferenceEngine:
         running = [(i, r) for i, r in enumerate(self.slots) if r is not None]
         if not running:
             return truncated + self._flush_pending()
-        # the async-spec program absorbs host post-processing on device
+        # BOTH async programs absorb host post-processing on device
         # (logit_bias, min_tokens stop masking, penalties with a chained
         # count state) — only logprobs rows still need the host sampler
         # (VERDICT r3 next #5)
-        spec_capable = self.spec_tokens > 0 and all(
-            r.sampling.logprobs is None for _, r in running
-        )
-        plain_ok = all(self._plain_sampling(r) for _, r in running)
+        async_ok = all(r.sampling.logprobs is None for _, r in running)
+        spec_capable = self.spec_tokens > 0 and async_ok
         use_spec = spec_capable and self._step_counter >= self._spec_off_until
-        if self.async_decode and (use_spec or plain_ok):
+        if self.async_decode and (use_spec or async_ok):
             # plain rows (greedy OR sampled) stay on device: the fused
             # spec program verifies sampled rows by rejection sampling with
             # chained draw counters; greedy rows degrade to longest-prefix
@@ -1357,11 +1460,14 @@ class InferenceEngine:
             if use_spec:
                 return truncated + self._decode_async_spec_step(running)
             return truncated + self._decode_async_step(running)
-        # sync fallback (logprobs/penalties/bias/min_tokens or spec decode):
-        # host state must be exact before sampling decisions. Positions
-        # advance host-side here, so the device position/counter chain is
-        # stale even if the batch composition survives — force a rebuild.
+        # sync fallback (logprobs rows, or async off): host state must be
+        # exact before sampling decisions. Positions advance host-side here,
+        # so the device position/counter chain is stale even if the batch
+        # composition survives — force a rebuild; a penalized plain chain
+        # must also re-seed its count state.
         self._pos_dev = None
+        if getattr(self, "_plain_post", "none") == "full":
+            self._samp_key = None
         if self.spec_tokens > 0:
             self._hist_chain = None  # sync steps advance history host-side
         truncated.extend(self._flush_pending())

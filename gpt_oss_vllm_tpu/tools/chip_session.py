@@ -312,38 +312,44 @@ def main():
             threading.Thread(target=serve, daemon=True).start()
             ready.wait(30)
 
-            import concurrent.futures
-            import json as _json
+            # client runs as COROUTINES in the server's own loop: blocking
+            # urllib threads starved the 2-CPU host's event loop and
+            # serialized responses (the r4 first-cut measurement artifact);
+            # aiohttp requests interleave with the SSE writes instead
+            import aiohttp as _aiohttp
 
-            def one_request(i, max_tokens=64):
-                body = _json.dumps({
-                    "model": "m", "prompt": "x" * 128, "max_tokens": max_tokens,
-                    "temperature": 0.0, "stream": True,
-                }).encode()
-                req = urllib.request.Request(
-                    "http://127.0.0.1:8799/v1/completions", data=body,
-                    headers={"Content-Type": "application/json"},
-                )
-                n = 0
-                with urllib.request.urlopen(req, timeout=300) as r:
-                    for line in r:
+            async def one_request(sess, max_tokens=64):
+                n_tok = 0
+                async with sess.post(
+                    "http://127.0.0.1:8799/v1/completions",
+                    json={"model": "m", "prompt": "x" * 128,
+                          "max_tokens": max_tokens, "temperature": 0.0,
+                          "stream": True},
+                ) as r:
+                    async for line in r.content:
                         if line.startswith(b"data: ") and b"[DONE]" not in line:
-                            n += 1
-                return n
+                            n_tok += 1
+                return n_tok
+
+            async def bench(c, max_tokens=64):
+                async with _aiohttp.ClientSession() as sess:
+                    tt = time.monotonic()
+                    counts = await asyncio.gather(
+                        *(one_request(sess, max_tokens) for _ in range(c))
+                    )
+                    return time.monotonic() - tt, sum(counts)
 
             rows = []
             for c in (1, 8):
-                one_request(0, max_tokens=8)  # warm
-                tt = time.monotonic()
-                with concurrent.futures.ThreadPoolExecutor(c) as ex:
-                    counts = list(ex.map(one_request, range(c)))
-                dt = time.monotonic() - tt
-                # chunks may batch tokens; count completion tokens = 64 * c
+                asyncio.run_coroutine_threadsafe(bench(c, 8), loop).result(120)
+                dt, events = asyncio.run_coroutine_threadsafe(
+                    bench(c), loop
+                ).result(600)
                 tok_s = 64 * c / dt
                 rows.append({"concurrency": c, "tok_s": round(tok_s, 2),
-                             "wall_s": round(dt, 2), "sse_events": sum(counts)})
+                             "wall_s": round(dt, 2), "sse_events": events})
                 log(f"[t+{time.monotonic() - t0:.0f}s] http c={c}: "
-                    f"{tok_s:.1f} tok/s ({sum(counts)} SSE events)")
+                    f"{tok_s:.1f} tok/s ({events} SSE events)")
             emit({"metric": "http_serving", "results": rows})
             loop.call_soon_threadsafe(loop.stop)
             del eng, ae
@@ -397,7 +403,16 @@ def main():
                     ),
                 )
                 eng = InferenceEngine(ecfg, tparams)
-                sp_warm = SamplingParams(max_tokens=8, temperature=temp, seed=5)
+                if spec_t and temp > 0:
+                    # the adaptive-k descent compiles k=2/k=1 programs
+                    # mid-run at this acceptance rate; converge DURING the
+                    # warm (short rate window) so the timed run measures the
+                    # settled operating point, not remote-compile time
+                    eng.SPEC_RATE_WINDOW = 8
+                    warm_toks = 96
+                else:
+                    warm_toks = 8
+                sp_warm = SamplingParams(max_tokens=warm_toks, temperature=temp, seed=5)
                 eng.generate([prompt], sp_warm)
                 eng.metrics["spec_proposed"] = 0
                 eng.metrics["spec_accepted"] = 0
@@ -418,6 +433,8 @@ def main():
                 if spec_t:
                     row["proposed"] = eng.metrics.get("spec_proposed", 0)
                     row["accepted"] = eng.metrics.get("spec_accepted", 0)
+                    row["final_k"] = eng._spec_k
+                    row["spec_off"] = eng._spec_off_until > eng._step_counter
                     if row["proposed"]:
                         row["accept_rate"] = round(row["accepted"] / row["proposed"], 3)
                 rows.append(row)

@@ -796,3 +796,55 @@ def test_adaptive_prefill_chunk_policy(ecfg, params):
     want = [InferenceEngine(c, params).generate([p], sp)[0] for p in prompts]
     got = InferenceEngine(c, params).generate(prompts, sp)
     assert got == want
+
+
+def test_plain_async_postprocessed_rows_byte_parity(ecfg, params):
+    """With speculation OFF (the serving default), penalized / biased /
+    min_tokens rows now ride the PLAIN device chain too — the fused decode
+    program applies the post-processing on device with a chained count
+    state. Greedy streams must be byte-identical to the sync engine; only
+    logprobs rows fall back."""
+    import dataclasses
+
+    import numpy as np
+
+    from gpt_oss_vllm_tpu.engine.engine import InferenceEngine
+    from gpt_oss_vllm_tpu.engine.request import SamplingParams
+
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(1, 500, 24).tolist()
+    sps = [
+        SamplingParams(max_tokens=14, temperature=0.0, repetition_penalty=1.4),
+        SamplingParams(max_tokens=10, temperature=0.0, presence_penalty=0.7,
+                       frequency_penalty=0.3),
+        SamplingParams(max_tokens=8, temperature=0.0,
+                       logit_bias=((int(prompt[0]), 5.0),)),
+        SamplingParams(max_tokens=9, temperature=0.0, min_tokens=7,
+                       stop_token_ids=(int(prompt[1]),)),
+        SamplingParams(max_tokens=12, temperature=0.0),
+    ]
+
+    def run(async_decode):
+        c = dataclasses.replace(
+            ecfg,
+            scheduler=dataclasses.replace(
+                ecfg.scheduler, spec_tokens=0, async_decode=async_decode,
+                async_depth=3, async_flush_burst=2, max_model_len=256,
+                max_num_seqs=8,
+            ),
+        )
+        eng = InferenceEngine(c, params)
+        for j, sp in enumerate(sps):
+            eng.add_request(f"p{j}", prompt[: 16 + j], sp)
+        toks = {f"p{j}": [] for j in range(len(sps))}
+        while eng.has_work():
+            for o in eng.step():
+                if o.token_id >= 0:
+                    toks[o.request_id].append(o.token_id)
+        # solo runs too (sync interleave/reseed path)
+        solo = [eng.generate([prompt], sp)[0] for sp in sps[:2]]
+        return [toks[f"p{j}"] for j in range(len(sps))], solo
+
+    want = run(False)
+    got = run(True)
+    assert got == want
