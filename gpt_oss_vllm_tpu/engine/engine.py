@@ -461,7 +461,7 @@ class InferenceEngine:
                            min_p, bias_ids=None, bias_vals=None,
                            stop_ids=None, min_toks=None, counts=None,
                            pres=None, freq=None, rep=None, mode="full",
-                           post="none"):
+                           post="none", n_lp=0):
                 # COMPACT batch: the program width W = rows.shape[0] is the
                 # bucketed count of RUNNING requests, not max_num_seqs — a
                 # c=1 stream on a 32-slot engine decodes through a width-1
@@ -506,7 +506,31 @@ class InferenceEngine:
                 #   greedy: every running request is temperature 0 -> argmax
                 #           (fused into the lm_head sweep on the int8 path)
                 #   plain:  default top_p/top_k/min_p -> Gumbel only, no sorts
-                if mode == "greedy" and post == "none":
+                payload = None
+                if mode == "lp":
+                    # logprobs ON the chain: the payload row packs
+                    # [token | chosen logprob | top ids | top vals] as f32
+                    # (ids < 2^24 are exact) — one readback carries
+                    # everything the OpenAI logprobs surface needs, so even
+                    # logprobs rows keep the zero-sync pipeline
+                    from gpt_oss_vllm_tpu.ops.sampling import (
+                        sample_with_logprobs,
+                    )
+
+                    nxt, chosen, ids, vals = sample_with_logprobs(
+                        logits, seeds, ctrs, temp, top_p, top_k, n_lp,
+                        min_p=min_p,
+                    )
+                    payload = jnp.concatenate(
+                        [
+                            nxt[:, None].astype(jnp.float32),
+                            chosen[:, None].astype(jnp.float32),
+                            ids.astype(jnp.float32),
+                            vals.astype(jnp.float32),
+                        ],
+                        axis=1,
+                    )
+                elif mode == "greedy" and post == "none":
                     nxt = (
                         out.greedy_tok
                         if out.greedy_tok is not None
@@ -543,11 +567,14 @@ class InferenceEngine:
                 # rows drop); admissions/sync steps write it by slot, the
                 # next chain rebuild gathers from it
                 full_upd = full_tok.at[rows].set(nxt, mode="drop")
-                return out.cache, nxt, full_upd, new_pos, ctrs + 1, counts
+                if payload is None:
+                    payload = nxt
+                return (out.cache, nxt, payload, full_upd, new_pos, ctrs + 1,
+                        counts)
 
             self._decode_fused = jax.jit(
                 fused_step, donate_argnames=("cache", "full_tok", "counts"),
-                static_argnames=("mode", "post"),
+                static_argnames=("mode", "post", "n_lp"),
             )
             # plain-chain post-processing state (mirrors the spec chain)
             self._plain_post = "none"
@@ -1017,7 +1044,12 @@ class InferenceEngine:
 
     def _emit_snapshot(self, snapshot, toks) -> List[StepOutput]:
         outputs: List[StepOutput] = []
-        spec = getattr(toks, "ndim", 1) == 2  # [W, 1+nd+K] async-spec payload
+        # payload kinds by shape+dtype: 1-D int = plain tokens; 2-D int =
+        # async-spec [W, 1+nd+K]; 2-D FLOAT = logprobs rows
+        # [W, tok | chosen | top ids | top vals] (ids exact in f32)
+        two_d = getattr(toks, "ndim", 1) == 2
+        is_lp = two_d and np.issubdtype(np.asarray(toks).dtype, np.floating)
+        spec = two_d and not is_lp
         step_rates: List[int] = []  # per-row emitted counts of THIS step
         for ci, slot, req in snapshot:
             k = (slot, id(req))
@@ -1057,6 +1089,21 @@ class InferenceEngine:
                     self.seq_lens[slot] = min(req.num_tokens + margin,
                                               max(cap, req.num_tokens))
                 continue
+            if is_lp:
+                row = np.asarray(toks[ci])
+                tok = int(row[0])
+                n = (row.shape[0] - 2) // 2
+                lpdata = (
+                    row[1:2],
+                    row[2 : 2 + n].astype(np.int64)[None],
+                    row[2 + n :][None],
+                )
+                self.metrics["decode_tokens"] += 1
+                out = self._append_token(req, tok, lpdata, 0)
+                outputs.append(out)
+                if not out.finished:
+                    self.last_token[slot] = tok
+                continue
             tok = int(toks[ci])
             self.metrics["decode_tokens"] += 1
             out = self._append_token(req, tok)
@@ -1082,17 +1129,23 @@ class InferenceEngine:
         self._spec_rate.append(rate)
         k = self._spec_k
         thresh = 1.0 + (self.SPEC_MIN_RATE - 1.0) * k / max(1, self.spec_tokens)
-        if (
-            len(self._spec_rate) >= self.SPEC_RATE_WINDOW
-            and sum(self._spec_rate) / len(self._spec_rate) < thresh
-        ):
+        if len(self._spec_rate) >= self.SPEC_RATE_WINDOW:
+            if sum(self._spec_rate) / len(self._spec_rate) >= thresh:
+                # a full profitable window: future failed probes start from
+                # the base backoff again
+                self._spec_backoff_cur = self.SPEC_BACKOFF_STEPS
+                return
             if k > 1:
                 self._spec_k = k // 2
                 self._hist_chain = None  # rebuild with the new window
             else:
-                self._spec_off_until = (
-                    self._step_counter + self.SPEC_BACKOFF_STEPS
-                )
+                # EXPONENTIAL backoff on consecutive failed probes: the
+                # re-probe tax on persistently unprofitable text decays to
+                # ~0 duty cycle instead of a fixed ~8% (measured T=0.8
+                # spec_tiny: 83.8 vs 90.8 plain with the fixed backoff)
+                cur = getattr(self, "_spec_backoff_cur", self.SPEC_BACKOFF_STEPS)
+                self._spec_off_until = self._step_counter + cur
+                self._spec_backoff_cur = min(cur * 2, 16 * self.SPEC_BACKOFF_STEPS)
                 self._spec_k = self.spec_tokens  # next probe: full k
             self._spec_rate.clear()
 
@@ -1126,16 +1179,16 @@ class InferenceEngine:
         thread blocks in np.asarray instead (the GIL is released during the
         device wait), the dispatch thread keeps the device fed, and host
         state is only ever mutated here, in dispatch order."""
-        # entries must share a payload shape (the stacked transfer is
-        # [k, W] or [k, W, 2+spec] for async-spec steps); a composition
-        # change or spec/plain switch mid-burst splits the burst at the
-        # shape boundary — the remainder flushes on a later call
-        w0 = self._pending[0][1].shape
+        # entries must share a payload shape AND dtype (the stacked transfer
+        # is [k, W], [k, W, 2+spec] for async-spec steps, or f32 logprob
+        # payloads); a composition change or kind switch mid-burst splits
+        # the burst at the boundary — the remainder flushes on a later call
+        w0 = (self._pending[0][1].shape, self._pending[0][1].dtype)
         entries = []
         while (
             self._pending
             and len(entries) < k
-            and self._pending[0][1].shape == w0
+            and (self._pending[0][1].shape, self._pending[0][1].dtype) == w0
         ):
             entries.append(self._pending.popleft())
         if self._stack_toks is None:
@@ -1239,8 +1292,15 @@ class InferenceEngine:
             post = "bias"
         else:
             post = "none"
+        # logprobs rows: the chain computes OpenAI logprobs in-program and
+        # packs them into the readback payload (the last host-sampler class
+        # to join the zero-sync pipeline)
+        want_lp = max((r.sampling.logprobs or 0) for _, r in running)
+        n_lp = min(max(want_lp, 1), 16) if any(
+            r.sampling.logprobs is not None for _, r in running
+        ) else 0
         flushed: List[StepOutput] = []
-        key = (post,) + tuple((i, id(r)) for i, r in running)
+        key = (post, n_lp) + tuple((i, id(r)) for i, r in running)
         if key != self._samp_key:
             if post == "full":
                 # count rows are seeded from request contexts, which are
@@ -1251,7 +1311,7 @@ class InferenceEngine:
                 ]
                 if not running:
                     return flushed
-                key = (post,) + tuple((i, id(r)) for i, r in running)
+                key = (post, n_lp) + tuple((i, id(r)) for i, r in running)
             W = min(S, _next_bucket(max(1, len(running)), 1))
             rows = np.full(W, S, dtype=np.int32)  # pad sentinel = S
             seeds = np.zeros(W, np.int32)
@@ -1348,7 +1408,9 @@ class InferenceEngine:
             self._bt_dev = jnp.asarray(bt)
             self._bt_dev_version = self._bt_version
         seeds_d, temp_d, top_p_d, top_k_d, min_p_d = self._samp_dev
-        if all(r.sampling.temperature <= 0.0 for _, r in running):
+        if n_lp > 0:
+            mode = "lp"
+        elif all(r.sampling.temperature <= 0.0 for _, r in running):
             mode = "greedy"
         elif all(
             r.sampling.top_p >= 1.0
@@ -1362,8 +1424,8 @@ class InferenceEngine:
         _t_dispatch = time.time()
         bias_ids_d, bias_vals_d, stop_ids_d, min_toks_d = self._plain_postargs
         pres_d, freq_d, rep_d = self._plain_pen
-        (cache, nxt, self._dev_last_tok, self._pos_dev, self._ctr_dev,
-         self._plain_counts) = self._decode_fused(
+        (cache, nxt, payload, self._dev_last_tok, self._pos_dev,
+         self._ctr_dev, self._plain_counts) = self._decode_fused(
             self.params,
             self.cache,
             self._dev_last_tok,
@@ -1380,6 +1442,7 @@ class InferenceEngine:
             self._plain_counts, pres_d, freq_d, rep_d,
             mode=mode,
             post=self._plain_post,
+            n_lp=n_lp,
         )
         self.cache = cache
         if self._plain_post == "full":
@@ -1394,12 +1457,12 @@ class InferenceEngine:
 
         if not _os.environ.get("GPT_OSS_NO_COPY_ASYNC"):
             try:
-                nxt.copy_to_host_async()
+                payload.copy_to_host_async()
             except Exception:
                 pass  # backend without async host copies: flush pays the RTT
         snapshot = [(ci, i, r) for ci, (i, r) in enumerate(running)]
         self._track_dispatch(snapshot)
-        self._pending.append((snapshot, nxt))
+        self._pending.append((snapshot, payload))
         for i, _ in running:
             self.seq_lens[i] += 1  # optimistic; _release zeroes on finish
         outputs: List[StepOutput] = list(flushed)
@@ -1425,12 +1488,14 @@ class InferenceEngine:
             return truncated + self._flush_pending()
         # BOTH async programs absorb host post-processing on device
         # (logit_bias, min_tokens stop masking, penalties with a chained
-        # count state) — only logprobs rows still need the host sampler
-        # (VERDICT r3 next #5)
-        async_ok = all(r.sampling.logprobs is None for _, r in running)
-        spec_capable = self.spec_tokens > 0 and async_ok
+        # count state), and the plain chain also computes OpenAI logprobs
+        # in-program — every sampling feature now rides the zero-sync
+        # pipeline. Logprobs rows only keep speculation off (the widened
+        # verify window doesn't carry per-position logprob payloads).
+        lp_free = all(r.sampling.logprobs is None for _, r in running)
+        spec_capable = self.spec_tokens > 0 and lp_free
         use_spec = spec_capable and self._step_counter >= self._spec_off_until
-        if self.async_decode and (use_spec or async_ok):
+        if self.async_decode:
             # plain rows (greedy OR sampled) stay on device: the fused
             # spec program verifies sampled rows by rejection sampling with
             # chained draw counters; greedy rows degrade to longest-prefix

@@ -554,6 +554,14 @@ class Server:
             for j in range(n)
         ]
         total_choices = len(prompts) * n
+        # completions chunks are schema-static: serialize via a bytes
+        # template instead of per-token pydantic construction (~the largest
+        # per-token host cost of the SSE path on this 2-CPU box)
+        cmpl_head = (
+            b'data: {"id":"' + rid.encode() + b'","object":"text_completion",'
+            b'"created":' + str(int(time.time())).encode() + b',"model":'
+            + json.dumps(req.model).encode() + b',"choices":[{"index":'
+        )
         done = 0
         completion_tokens = 0
         tool_ids: dict = {}  # (choice, seg) -> stable call id
@@ -608,15 +616,14 @@ class Server:
                                 )
                             ],
                         )
-                    else:
-                        obj = proto.CompletionChunk(
-                            id=rid,
-                            model=req.model,
-                            choices=[
-                                proto.CompletionChoice(index=i, text=delta, finish_reason=finish)
-                            ],
-                        )
-                    buf += b"data: " + obj.model_dump_json().encode() + b"\n\n"
+                        buf += b"data: " + obj.model_dump_json().encode() + b"\n\n"
+                        continue
+                    buf += (
+                        cmpl_head + str(i).encode() + b',"text":'
+                        + json.dumps(delta).encode() + b',"finish_reason":'
+                        + json.dumps(finish).encode()
+                        + b',"logprobs":null}],"usage":null}\n\n'
+                    )
                 if buf:
                     await resp.write(bytes(buf))
         finally:

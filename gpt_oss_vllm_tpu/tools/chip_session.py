@@ -78,7 +78,8 @@ def main():
 
     t0 = time.monotonic()
     needs_params = bool(
-        {"serving", "spec", "batched", "ttft", "gmm_ab", "tune", "chunk_ab"} & set(phases)
+        {"serving", "spec", "batched", "ttft", "gmm_ab", "tune", "chunk_ab",
+         "http"} & set(phases)
     )
     params = prepare_serving_params(mc, quant, seed=0) if needs_params else None
     log(f"[t+{time.monotonic() - t0:.0f}s] serving params "

@@ -848,3 +848,49 @@ def test_plain_async_postprocessed_rows_byte_parity(ecfg, params):
     want = run(False)
     got = run(True)
     assert got == want
+
+
+def test_async_logprobs_on_device_chain(ecfg, params):
+    """Logprobs rows now ride the plain device chain: the fused program
+    computes OpenAI logprobs in-program and packs them into the f32
+    readback payload. Greedy tokens must match the sync engine exactly;
+    logprob values and top-k ids/values must agree to float tolerance."""
+    import dataclasses
+
+    import numpy as np
+
+    from gpt_oss_vllm_tpu.engine.engine import InferenceEngine
+    from gpt_oss_vllm_tpu.engine.request import SamplingParams
+
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(1, 500, 20).tolist()
+    sp = SamplingParams(max_tokens=8, temperature=0.0, logprobs=3)
+
+    def run(async_decode):
+        c = dataclasses.replace(
+            ecfg,
+            scheduler=dataclasses.replace(
+                ecfg.scheduler, spec_tokens=0, async_decode=async_decode,
+                async_depth=3, async_flush_burst=2, max_model_len=256,
+            ),
+        )
+        eng = InferenceEngine(c, params)
+        eng.add_request("r", prompt, sp)
+        rows = []
+        while eng.has_work():
+            for o in eng.step():
+                if o.token_id >= 0:
+                    rows.append((o.token_id, o.logprob, o.top_logprobs))
+        return rows
+
+    want = run(False)
+    got = run(True)
+    assert [t for t, _, _ in got] == [t for t, _, _ in want]
+    for (t1, lp1, top1), (t2, lp2, top2) in zip(got, want):
+        assert lp1 is not None and lp2 is not None
+        np.testing.assert_allclose(lp1, lp2, rtol=2e-3, atol=2e-3)
+        assert [i for i, _ in top1] == [i for i, _ in top2]
+        np.testing.assert_allclose(
+            [v for _, v in top1], [v for _, v in top2], rtol=2e-3, atol=2e-3
+        )
+        assert len(top1) == 3
