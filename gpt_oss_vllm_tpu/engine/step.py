@@ -84,6 +84,7 @@ def _cached_attention(
     block_tables: jax.Array,  # [B, MB]
     backend: str,
     mesh=None,
+    rope: Optional[Tuple[jax.Array, jax.Array]] = None,  # hoisted cos/sin
 ) -> Tuple[jax.Array, KVCache]:
     B, T, H = x.shape
     if p.wqkv is not None:
@@ -96,8 +97,9 @@ def _cached_attention(
     q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
     k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
-    safe_pos = jnp.maximum(positions, 0)
-    cos, sin = yarn_rope_tables(cfg, safe_pos)
+    if rope is None:
+        rope = yarn_rope_tables(cfg, jnp.maximum(positions, 0))
+    cos, sin = rope
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -203,6 +205,9 @@ def model_step(
     B, T = tokens.shape
     x = _embed(params.embedding, tokens)
     routed = [] if collect_routing else None
+    # rope tables are position-only: computed ONCE and reused by all layers
+    # (explicit hoist rather than relying on XLA CSE across 24 subgraphs)
+    rope = yarn_rope_tables(cfg, jnp.maximum(positions, 0))
     for li, layer in enumerate(params.layers):
         attn_out, cache = _cached_attention(
             layer,
@@ -214,6 +219,7 @@ def model_step(
             block_tables,
             attn_backend,
             mesh=mesh,
+            rope=rope,
         )
         x = x + attn_out
         flat = rms_norm(x, layer.mlp_norm, cfg.rms_norm_eps).reshape(B * T, -1)

@@ -39,7 +39,7 @@ from gpt_oss_vllm_tpu.config import CacheConfig, ModelConfig, QuantConfig
 from gpt_oss_vllm_tpu.models.params import fuse_qkv, random_params_on_device
 
 
-def _attn_proj_only(p, cfg, layer_idx, x, positions, cache, block_tables, backend, mesh=None):
+def _attn_proj_only(p, cfg, layer_idx, x, positions, cache, block_tables, backend, mesh=None, **kw):
     """qkv+rope+write+o without the context read / attention math."""
     from gpt_oss_vllm_tpu.engine.kv_cache import slot_mapping, write_kv
     from gpt_oss_vllm_tpu.ops.linear import dense_linear
@@ -65,7 +65,7 @@ def apply_variant(name: str):
     if name.startswith("full"):  # fullN repeats gauge run-to-run variance
         return
     if name == "noattn":
-        def fake_attn(p, cfg, li, x, positions, cache, bt, backend, mesh=None):
+        def fake_attn(p, cfg, li, x, positions, cache, bt, backend, mesh=None, **kw):
             return jnp.zeros_like(x), cache
 
         step_mod._cached_attention = fake_attn
