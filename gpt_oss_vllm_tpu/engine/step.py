@@ -109,7 +109,21 @@ def _cached_attention(
     window = cfg.sliding_window if cfg.layer_uses_sliding_window(layer_idx) else None
     sinks = p.sinks if cfg.use_sinks else None
 
-    if backend.startswith("pallas") and T == 1:
+    # decode attention backend policy (all shapes static at trace time):
+    # the paged Pallas kernel wins at small batch (fewer fixed costs than
+    # the gather: b1 113.3 vs ~111 tok/s measured) and at LONG tables
+    # (windowed layers skip pages; the gather reads B x table-width x 512
+    # bytes x2 regardless), while the XLA gather wins when many rows share
+    # a short table (b32: 458.8 vs 346.5 tok/s at a 256-token table —
+    # per-(row, kv-group) kernel programs pay their DMA-ring fixed cost 128
+    # times for tiny walks). Batched decode over short tables takes the
+    # gather; everything else keeps the kernel.
+    use_decode_kernel = backend.startswith("pallas") and T == 1
+    if use_decode_kernel and mesh is None:
+        table_tokens = block_tables.shape[1] * cache.block_size
+        if B >= 8 and table_tokens <= 1024:
+            use_decode_kernel = False
+    if use_decode_kernel:
         interp = backend == "pallas_interpret"
         if mesh is not None:
             # per-shard kernel on the local kv-head band — the sharded cache
