@@ -95,7 +95,17 @@ class Client:
                     return
                 chunk = json.loads(payload)
                 choice = chunk["choices"][0]
-                delta = (choice.get("delta") or {}).get("content") or choice.get("text") or ""
+                d = choice.get("delta") or {}
+                delta = d.get("content") or choice.get("text") or ""
+                # harmony extras: render chain-of-thought dim-style inline
+                # and tool-call argument deltas tagged by function name
+                if d.get("reasoning_content"):
+                    delta = d["reasoning_content"] + delta
+                for tc in d.get("tool_calls") or []:
+                    fn = tc.get("function", {})
+                    if fn.get("name"):
+                        delta += f"[tool:{fn['name']}("
+                    delta += fn.get("arguments") or ""
                 if delta:
                     yield delta
 
