@@ -149,12 +149,18 @@ def time_decode(cfg, params, cache_cfg, quant_backend, batch, n_steps, reps=3,
 
     run_chain(4)  # warm
     # slope timing: difference of two chain lengths cancels the fixed
-    # dispatch+sync+readback overhead of the tunnel-attached device
+    # dispatch+sync+readback overhead of the tunnel-attached device.
+    # Estimator: (min t2 - min t1) across reps — tunnel noise is ADDITIVE
+    # (stalls only), so the per-length minimum is the clean estimate of
+    # each; the old min-of-within-rep-slopes let a stalled SHORT chain pair
+    # with a clean long chain and overstate speed ~13% (observed: a b1
+    # "113.3 tok/s" fluke against a 100.2 +- 1 reproducible value)
     n1, n2 = 8, 8 + n_steps
-    best = float("inf")
+    t1s, t2s = [], []
     for _ in range(reps):
-        t1, t2 = run_chain(n1), run_chain(n2)
-        best = min(best, (t2 - t1) / (n2 - n1))
+        t1s.append(run_chain(n1))
+        t2s.append(run_chain(n2))
+    best = (min(t2s) - min(t1s)) / (n2 - n1)
     return batch / best, best
 
 

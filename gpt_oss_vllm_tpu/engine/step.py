@@ -110,14 +110,14 @@ def _cached_attention(
     sinks = p.sinks if cfg.use_sinks else None
 
     # decode attention backend policy (all shapes static at trace time):
-    # the paged Pallas kernel wins at small batch (fewer fixed costs than
-    # the gather: b1 113.3 vs ~111 tok/s measured) and at LONG tables
+    # the paged Pallas kernel is ~even with the gather at b1 (101.1 vs 99.3
+    # tok/s, within estimator noise) and wins structurally at LONG tables
     # (windowed layers skip pages; the gather reads B x table-width x 512
-    # bytes x2 regardless), while the XLA gather wins when many rows share
-    # a short table (b32: 458.8 vs 346.5 tok/s at a 256-token table —
-    # per-(row, kv-group) kernel programs pay their DMA-ring fixed cost 128
-    # times for tiny walks). Batched decode over short tables takes the
-    # gather; everything else keeps the kernel.
+    # bytes x2 regardless), while the XLA gather clearly wins when many
+    # rows share a short table (b32: 458.8 vs 346.5 tok/s at a 256-token
+    # table — per-(row, kv-group) kernel programs pay their DMA-ring fixed
+    # cost 128 times for tiny walks). Batched decode over short tables
+    # takes the gather; everything else keeps the kernel.
     use_decode_kernel = backend.startswith("pallas") and T == 1
     if use_decode_kernel and mesh is None:
         table_tokens = block_tables.shape[1] * cache.block_size

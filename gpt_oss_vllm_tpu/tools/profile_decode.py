@@ -69,7 +69,7 @@ def main():
         bt[b, :per_seq] = np.arange(blk, blk + per_seq)
         blk += per_seq
     bt = jnp.asarray(bt)
-    step = bench.build_decode_step(cfg, "pallas")
+    step = bench.build_decode_step(cfg, "pallas", attn_backend="pallas")
     rtok = jax.random.randint(
         jax.random.PRNGKey(7), (64, args.batch), 0, cfg.vocab_size, dtype=jnp.int32
     )
