@@ -212,7 +212,9 @@ class InferenceEngine:
         # chunk bucket instead of pinning one backend; each program compiles
         # only for the buckets it actually serves.
         self.FLASH_MIN_PREFILL = 1024
-        if attn_backend.startswith("pallas") and mesh is None:
+        # exact "pallas" only: pallas_interpret is the kernel-coverage test
+        # mode and must NOT be silently auto-selected onto the XLA path
+        if attn_backend == "pallas" and mesh is None:
             xla_fn = partial(
                 model_step,
                 cfg=cfg,
@@ -410,7 +412,7 @@ class InferenceEngine:
             # recent rate over SPEC_RATE_WINDOW flushed steps and drops to
             # the plain chain (re-probing later) when it falls below
             # SPEC_MIN_RATE.
-            self._spec_rate = deque(maxlen=64)
+            self._spec_rate = deque()
             self._spec_off_until = 0
         self.SPEC_RATE_WINDOW = 64
         self.SPEC_MIN_RATE = 1.5
@@ -447,6 +449,7 @@ class InferenceEngine:
         self._rb_q: deque = deque()
         # (slot, id(req)) -> dispatched-but-unemitted async step count
         self._inflight: Dict[tuple, int] = {}
+        self._counts_rows_fn = None  # jitted [W, Lb] -> [W, V] count seeder
         # host-side token_counts rows stale while a device count chain owns
         # them (async post="full"); re-seeded on the sync transition
         self._needs_counts_reseed = False
@@ -672,6 +675,28 @@ class InferenceEngine:
         """Prefill program for a chunk of this bucket width (per-length
         attention backend auto-select)."""
         return self._prefill if bucket >= self.FLASH_MIN_PREFILL else self._prefill_xla
+
+    def _seed_count_rows(self, running, W: int):
+        """Occurrence-count rows [W, V] for a device count chain, seeded from
+        the (exact) request contexts in ONE padded 2-D scatter-add — the
+        per-request loop this replaces dispatched W eager scatters, each
+        materializing a fresh [W, V] buffer, and compiled one program per
+        distinct ctx length (ADVICE-class finding, r4 self-review)."""
+        V = self.config.model.vocab_size
+        Lb = _next_bucket(
+            max(r.num_tokens for _, r in running), 16
+        )
+        toks = np.full((W, Lb), V, np.int32)  # V = out of bounds -> dropped
+        for ci, (i, r) in enumerate(running):
+            ctx = r.prompt_token_ids + r.output_token_ids
+            toks[ci, : len(ctx)] = ctx
+        if self._counts_rows_fn is None:
+            self._counts_rows_fn = jax.jit(
+                lambda t: jnp.zeros((t.shape[0], V), jnp.int32)
+                .at[jnp.arange(t.shape[0], dtype=jnp.int32)[:, None], t]
+                .add(1, mode="drop")
+            )
+        return self._counts_rows_fn(jnp.asarray(toks))
 
     def _effective_chunk(self) -> int:
         """Adaptive admission budget: scale the chunk with the WAITING-queue
@@ -1127,6 +1152,8 @@ class InferenceEngine:
         profitable at k=1 or 2 where k=4 is a loss — and only backs off
         entirely at k=1; the next probe restarts at full k."""
         self._spec_rate.append(rate)
+        while len(self._spec_rate) > self.SPEC_RATE_WINDOW:
+            self._spec_rate.popleft()  # window derives from SPEC_RATE_WINDOW
         k = self._spec_k
         thresh = 1.0 + (self.SPEC_MIN_RATE - 1.0) * k / max(1, self.spec_tokens)
         if len(self._spec_rate) >= self.SPEC_RATE_WINDOW:
@@ -1357,12 +1384,7 @@ class InferenceEngine:
                     for a in (bias_ids, bias_vals, stop_ids, min_toks)
                 )
                 if post == "full":
-                    V = self.config.model.vocab_size
-                    cnt = jnp.zeros((W, V), jnp.int32)
-                    for ci, (i, req) in enumerate(running):
-                        ctx = req.prompt_token_ids + req.output_token_ids
-                        cnt = cnt.at[ci, jnp.asarray(ctx, jnp.int32)].add(1)
-                    self._plain_counts = cnt
+                    self._plain_counts = self._seed_count_rows(running, W)
                     pres = np.array(
                         [r.sampling.presence_penalty for _, r in running]
                         + [0.0] * (W - len(running)), np.float32)
@@ -1727,12 +1749,7 @@ class InferenceEngine:
                 )
                 if post == "full":
                     # occurrence-count chain rows seeded from exact host ctx
-                    V = self.config.model.vocab_size
-                    cnt = jnp.zeros((W, V), jnp.int32)
-                    for ci, (i, req) in enumerate(running):
-                        ctx = req.prompt_token_ids + req.output_token_ids
-                        cnt = cnt.at[ci, jnp.asarray(ctx, jnp.int32)].add(1)
-                    self._spec_counts = cnt
+                    self._spec_counts = self._seed_count_rows(running, W)
                     pres = np.array(
                         [r.sampling.presence_penalty for _, r in running]
                         + [0.0] * (W - len(running)), np.float32)

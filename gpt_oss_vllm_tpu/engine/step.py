@@ -119,7 +119,9 @@ def _cached_attention(
     # cost 128 times for tiny walks). Batched decode over short tables
     # takes the gather; everything else keeps the kernel.
     use_decode_kernel = backend.startswith("pallas") and T == 1
-    if use_decode_kernel and mesh is None:
+    if use_decode_kernel and mesh is None and backend == "pallas":
+        # "pallas_interpret" (kernel-coverage test mode) is never
+        # auto-selected away from the kernel
         table_tokens = block_tables.shape[1] * cache.block_size
         if B >= 8 and table_tokens <= 1024:
             use_decode_kernel = False

@@ -41,10 +41,15 @@ from gpt_oss_vllm_tpu.quant.tensor import NF4Tensor
 def expert_shard_axes(mesh: Mesh, num_experts: int) -> Tuple[str, ...]:
     """Mesh axes the expert dim shards over: ('expert','model') combined when
     the expert count divides their product, else 'expert' alone."""
-    ep, tp = mesh.shape.get("expert", 1), mesh.shape.get("model", 1)
-    if "model" in mesh.shape and num_experts % (ep * tp) == 0:
-        return ("expert", "model")
-    if "expert" in mesh.shape and num_experts % ep == 0:
+    axes = tuple(a for a in ("expert", "model") if a in mesh.shape)
+    if not axes:
+        return ()
+    prod = 1
+    for a in axes:
+        prod *= mesh.shape[a]
+    if num_experts % prod == 0:
+        return axes
+    if "expert" in axes and num_experts % mesh.shape["expert"] == 0:
         return ("expert",)
     return ()
 

@@ -425,7 +425,9 @@ class Server:
                     proto.ChatChoice(
                         index=i,
                         message=proto.ChatChoiceMessage(
-                            content=text,
+                            # OpenAI schema: content is null on pure
+                            # tool-call turns, not ""
+                            content=text if (text or not tool_calls) else None,
                             reasoning_content=reasoning or None,
                             tool_calls=tool_calls,
                         ),

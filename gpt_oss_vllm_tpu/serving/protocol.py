@@ -136,7 +136,8 @@ class CompletionResponse(BaseModel):
 
 class ChatChoiceMessage(BaseModel):
     role: str = "assistant"
-    content: str = ""
+    # null (not "") for tool-call-only turns, per the OpenAI schema
+    content: Optional[str] = ""
     # harmony analysis/commentary channels (chain-of-thought); the de-facto
     # OpenAI-extension field name used by reasoning-model servers
     reasoning_content: Optional[str] = None

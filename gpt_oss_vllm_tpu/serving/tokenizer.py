@@ -86,6 +86,14 @@ class Tokenizer:
         and ``role == "tool"`` results come back as
         ``<|start|>functions.NAME to=assistant<|channel|>commentary``."""
         ids: List[int] = []
+        # standard OpenAI clients send tool results with tool_call_id but no
+        # name — resolve names from the prior assistant turn's tool_calls
+        call_names: Dict[str, str] = {}
+        for m in messages:
+            for tc in m.get("tool_calls") or ():
+                fn = tc.get("function", {}) or {}
+                if tc.get("id") and fn.get("name"):
+                    call_names[tc["id"]] = fn["name"]
 
         def msg(role: str, content: str, channel: Optional[str] = None,
                 terminator: str = "end"):
@@ -128,7 +136,11 @@ class Tokenizer:
                     )
                 continue
             if self.harmony and role == "tool":
-                name = m.get("name") or "tool"
+                name = (
+                    m.get("name")
+                    or call_names.get(m.get("tool_call_id") or "")
+                    or "tool"
+                )
                 msg(f"functions.{name} to=assistant", content, channel="commentary")
                 continue
             msg(role, content, channel="final" if self.harmony and role == "assistant" else None)
@@ -235,7 +247,10 @@ class HFTokenizer(Tokenizer):
             "return": "<|return|>", "channel": "<|channel|>", "call": "<|call|>",
         }
         tid = self._tok.convert_tokens_to_ids(mapping[name])
-        if tid is None or tid < 0:
+        # many HF fast tokenizers return unk_token_id (not None) for unknown
+        # tokens — treating unk as a real special would flip a non-harmony
+        # tokenizer into harmony mode and corrupt every chat prompt
+        if tid is None or tid < 0 or tid == getattr(self._tok, "unk_token_id", None):
             raise KeyError(name)
         return tid
 

@@ -344,7 +344,8 @@ async def test_chat_tool_calls_non_stream(tool_client):
     assert tcs[0]["function"]["name"] == "get_weather"
     assert tcs[0]["function"]["arguments"] == '{"city": "SF"}'
     assert choice["message"]["reasoning_content"] == "Need the weather."
-    assert choice["message"]["content"] == ""
+    # OpenAI schema: content is null on pure tool-call turns
+    assert choice["message"]["content"] is None
 
 
 async def test_chat_tool_calls_stream(tool_client):
