@@ -329,3 +329,39 @@ def test_sharded_engine_big_prefill_chunk(setup):
         assert eng.params.layers[0].w_gate_up.row_layout == "glu4"
         got = eng.generate([prompt], sp)[0]
     assert got == want
+
+
+def test_sharded_engine_with_speculation(setup):
+    """Speculative decoding composed with an expert-sharded mesh: the async
+    device-chained spec programs jit over the mesh like every other step
+    program; greedy streams must match the single-device no-spec engine."""
+    import dataclasses
+
+    import numpy as np
+
+    cfg, _ = setup
+    qcfg = dataclasses.replace(
+        cfg,
+        quant=QuantConfig(method="none"),
+        scheduler=dataclasses.replace(
+            cfg.scheduler, spec_tokens=3, async_decode=True,
+            async_depth=2, async_flush_burst=2, max_model_len=128,
+        ),
+    )
+    qparams = random_params(qcfg.model, qcfg.quant, seed=51)
+    pat = np.random.default_rng(2).integers(1, qcfg.model.vocab_size, 7)
+    prompt = np.tile(pat, 8)[:42].tolist()
+    sp = SamplingParams(max_tokens=10, temperature=0.0)
+    plain = dataclasses.replace(
+        qcfg, scheduler=dataclasses.replace(qcfg.scheduler, spec_tokens=0,
+                                            async_decode=False)
+    )
+    want = InferenceEngine(plain, qparams).generate([prompt], sp)[0]
+    mesh = make_mesh(ParallelConfig(dp=1, ep=4, tp=2))
+    with mesh:
+        eng = InferenceEngine(qcfg, qparams, mesh=mesh)
+        got = eng.generate([prompt], sp)[0]
+    assert got == want
+    # the device-chained spec program ran over the mesh (drafts fire only
+    # when the model's own output self-repeats; parity is the invariant)
+    assert eng._async_path == "spec"
