@@ -670,6 +670,33 @@ def build_app(async_engine: AsyncEngine, serving: ServingConfig, max_model_len: 
     return app
 
 
+def _mesh_from(args):
+    """Device mesh + ParallelConfig from the CLI (multi-chip serving:
+    ``--dp/--ep/--tp`` shard the engine over the local devices; with
+    ``--moe-dispatch a2a`` the MoE routes through the explicit all-to-all
+    token dispatch). Returns (mesh, parallel) — (None, default) when the
+    requested world size is 1."""
+    import jax as _jax
+
+    from gpt_oss_vllm_tpu.config import ParallelConfig
+    from gpt_oss_vllm_tpu.parallel.mesh import make_mesh
+
+    parallel = ParallelConfig(
+        dp=getattr(args, "dp", 1), ep=getattr(args, "ep", 1),
+        tp=getattr(args, "tp", 1),
+        moe_dispatch=getattr(args, "moe_dispatch", "implicit"),
+    )
+    if parallel.world_size <= 1:
+        return None, parallel
+    n = parallel.world_size
+    devs = _jax.devices()
+    if len(devs) < n:
+        raise SystemExit(
+            f"requested dp*ep*tp = {n} devices but only {len(devs)} visible"
+        )
+    return make_mesh(parallel, devices=devs[:n]), parallel
+
+
 def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
     # mxfp4 ships E8M0 exponent-byte scales (decoded in-kernel); storing
     # them bf16 would double scale bytes for nothing (bench.py parity).
@@ -682,6 +709,7 @@ def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
         method=args.quant, vocab_int8=getattr(args, "vocab_int8", False),
         scale_dtype=scale_dtype,
     )
+    mesh, parallel = _mesh_from(args)
     kv_dtype = getattr(args, "kv_cache_dtype", "bfloat16")
     if args.tiny:
         # --tokenizer byte-harmony serves the tiny model through the full
@@ -697,6 +725,7 @@ def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
             scheduler=SchedulerConfig(max_num_seqs=8, max_model_len=args.max_model_len or 256,
                                       spec_tokens=args.spec_tokens),
             serving=ServingConfig(served_model_name="gpt-oss-tiny", port=args.port),
+            parallel=parallel,
         )
         from gpt_oss_vllm_tpu.models.params import random_params
 
@@ -725,6 +754,7 @@ def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
                 prefill_chunk=getattr(args, "prefill_chunk", 512),
             ),
             serving=ServingConfig(served_model_name="gpt-oss-20b-random", port=args.port),
+            parallel=parallel,
         )
         from gpt_oss_vllm_tpu.models.params import prepare_serving_params
 
@@ -734,6 +764,7 @@ def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
                 config,
                 prepare_serving_params(model_cfg, quant, seed=0),
                 attn_backend=args.attn_backend,
+                mesh=mesh,
             ),
             tokenizer,
             config,
@@ -754,11 +785,13 @@ def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
                                       spec_tokens=args.spec_tokens,
                                       prefill_chunk=getattr(args, "prefill_chunk", 512)),
             serving=ServingConfig(served_model_name=model_cfg.name, port=args.port),
+            parallel=parallel,
         )
         params = load_params_from_store(store, model_cfg, quant)
     else:
         raise SystemExit("need --tiny or --checkpoint")
-    engine = InferenceEngine(config, params, attn_backend=args.attn_backend)
+    engine = InferenceEngine(config, params, attn_backend=args.attn_backend,
+                             mesh=mesh)
     return engine, tokenizer, config
 
 
@@ -786,6 +819,15 @@ def main(argv=None):
              "(throughput mode on a high-latency link; raises emission lag)",
     )
     ap.add_argument("--quant", default="nf4", choices=["nf4", "mxfp4", "none"])
+    ap.add_argument("--dp", type=int, default=1, help="data-parallel mesh axis")
+    ap.add_argument("--ep", type=int, default=1, help="expert-parallel mesh axis")
+    ap.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh axis")
+    ap.add_argument(
+        "--moe-dispatch", dest="moe_dispatch", default="implicit",
+        choices=["implicit", "a2a"],
+        help="MoE dispatch under an expert-sharded mesh: implicit GSPMD "
+             "psum, or explicit capacity-bucketed all-to-all token dispatch",
+    )
     ap.add_argument(
         "--scale-dtype", dest="scale_dtype", default=None,
         choices=["float32", "bfloat16", "e8m0"],

@@ -469,3 +469,34 @@ async def test_sse_stack_per_token_cost(aiohttp_client):
     # generous bound: ~0.3 ms/token measured idle; guards order-of-magnitude
     # regressions without flaking under concurrent load on the 2-CPU box
     assert per_tok_ms < 5.0, f"serving stack {per_tok_ms:.2f} ms/token"
+
+
+def test_make_engine_multichip_cli():
+    """Multi-chip serving from the CLI: --ep/--tp build the device mesh and
+    shard the engine (8 virtual CPU devices here); --moe-dispatch a2a
+    selects the explicit all-to-all EP path. Greedy parity with the
+    single-device CLI engine."""
+    import argparse
+
+    from gpt_oss_vllm_tpu.engine.request import SamplingParams
+    from gpt_oss_vllm_tpu.serving.api_server import make_engine
+
+    def args(**over):
+        base = dict(
+            quant="none", vocab_int8=False, scale_dtype=None, tiny=True,
+            tokenizer="byte", max_model_len=96, spec_tokens=0, port=0,
+            dp=1, ep=1, tp=1, moe_dispatch="implicit", attn_backend="xla",
+            kv_cache_dtype="bfloat16", checkpoint=None, random_full=False,
+        )
+        base.update(over)
+        return argparse.Namespace(**base)
+
+    single, _, _ = make_engine(args())
+    sp = SamplingParams(max_tokens=4, temperature=0.0)
+    want = single.generate([[5, 1, 9, 2]], sp)[0]
+    for dispatch in ("implicit", "a2a"):
+        eng, _, cfg = make_engine(args(ep=2, tp=2, moe_dispatch=dispatch))
+        assert eng.mesh is not None
+        assert cfg.parallel.moe_dispatch == dispatch
+        got = eng.generate([[5, 1, 9, 2]], sp)[0]
+        assert got == want, dispatch
