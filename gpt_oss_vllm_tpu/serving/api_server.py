@@ -365,8 +365,24 @@ class Server:
                     reasoning += d
 
             lp = proto.LogProbs() if sampling.logprobs is not None and not chat else None
+            chat_lp = (
+                proto.ChatLogprobs()
+                if chat and sampling.logprobs is not None
+                else None
+            )
             async for out in self.ae.stream_tokens(prompt_ids, self._nth_sampling(sampling, i)):
                 n_tokens += 1
+                if chat_lp is not None and out.logprob is not None and out.token_id >= 0:
+                    chat_lp.content.append(proto.ChatLogprobToken(
+                        token=self.ae.tokenizer.decode([out.token_id]),
+                        logprob=out.logprob,
+                        top_logprobs=[
+                            proto.ChatTopLogprob(
+                                token=self.ae.tokenizer.decode([t]), logprob=v
+                            )
+                            for t, v in (out.top_logprobs or [])
+                        ],
+                    ))
                 if lp is not None and out.logprob is not None:
                     lp.tokens.append(
                         self.ae.tokenizer.decode([out.token_id]) if out.token_id >= 0 else ""
@@ -403,7 +419,8 @@ class Server:
             ] or None
             if tool_calls and finish_reason in (None, "stop"):
                 finish_reason = "tool_calls"
-            return text, reasoning, tool_calls, finish_reason, n_tokens, lp
+            return (text, reasoning, tool_calls, finish_reason, n_tokens,
+                    chat_lp if chat else lp)
 
         # prompt-major choice order across the prompt list (OpenAI multi-
         # prompt completions); n>1 choices run concurrently through the
@@ -432,8 +449,9 @@ class Server:
                             tool_calls=tool_calls,
                         ),
                         finish_reason=finish_reason or "stop",
+                        logprobs=clp,
                     )
-                    for i, (text, reasoning, tool_calls, finish_reason, _, _) in enumerate(results)
+                    for i, (text, reasoning, tool_calls, finish_reason, _, clp) in enumerate(results)
                 ],
                 usage=usage,
             )
@@ -498,6 +516,7 @@ class Server:
 
             detok = IncrementalDetokenizer(self.ae.tokenizer)
             parser = HarmonyStreamParser(self.ae.tokenizer) if chat else None
+            want_chat_lp = chat and sampling.logprobs is not None
             emitted = ""
             stopped = False
             n_tokens = 0
@@ -507,6 +526,17 @@ class Server:
                 ):
                     if out.token_id >= 0:
                         n_tokens += 1
+                    if want_chat_lp and out.logprob is not None and out.token_id >= 0:
+                        await queue.put((i, "lp", proto.ChatLogprobToken(
+                            token=self.ae.tokenizer.decode([out.token_id]),
+                            logprob=out.logprob,
+                            top_logprobs=[
+                                proto.ChatTopLogprob(
+                                    token=self.ae.tokenizer.decode([t]), logprob=v
+                                )
+                                for t, v in (out.top_logprobs or [])
+                            ],
+                        ), None))
                     # (dest, delta) pairs; completions emit content only
                     deltas = []
                     if chat:
@@ -587,6 +617,18 @@ class Server:
                         completion_tokens += finish  # pump's final token count
                         continue
                     if chat:
+                        if dest == "lp":
+                            # per-token logprobs chunk (OpenAI stream shape:
+                            # choices[].logprobs.content entries)
+                            obj = proto.ChatCompletionChunk(
+                                id=rid, model=req.model,
+                                choices=[proto.ChatChunkChoice(
+                                    index=i, delta=proto.DeltaMessage(),
+                                    logprobs=proto.ChatLogprobs(content=[delta]),
+                                )],
+                            )
+                            buf += b"data: " + obj.model_dump_json().encode() + b"\n\n"
+                            continue
                         if dest.startswith("tool:"):
                             # OpenAI tool-call stream contract: first delta
                             # of an index carries id+name, later ones only

@@ -112,6 +112,23 @@ class LogProbs(BaseModel):
     text_offset: List[int] = []
 
 
+class ChatTopLogprob(BaseModel):
+    token: str = ""
+    logprob: float = 0.0
+
+
+class ChatLogprobToken(BaseModel):
+    token: str = ""
+    logprob: float = 0.0
+    top_logprobs: List[ChatTopLogprob] = []
+
+
+class ChatLogprobs(BaseModel):
+    # the OpenAI chat logprobs shape: {"content": [{token, logprob,
+    # top_logprobs: [...]}]}
+    content: List[ChatLogprobToken] = []
+
+
 class Usage(BaseModel):
     prompt_tokens: int = 0
     completion_tokens: int = 0
@@ -148,6 +165,7 @@ class ChatChoice(BaseModel):
     index: int = 0
     message: ChatChoiceMessage = Field(default_factory=ChatChoiceMessage)
     finish_reason: Optional[str] = None
+    logprobs: Optional[ChatLogprobs] = None
 
 
 class ChatCompletionResponse(BaseModel):
@@ -170,6 +188,7 @@ class ChatChunkChoice(BaseModel):
     index: int = 0
     delta: DeltaMessage = Field(default_factory=DeltaMessage)
     finish_reason: Optional[str] = None
+    logprobs: Optional[ChatLogprobs] = None
 
 
 class ChatCompletionChunk(BaseModel):

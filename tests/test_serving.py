@@ -500,3 +500,33 @@ def test_make_engine_multichip_cli():
         assert cfg.parallel.moe_dispatch == dispatch
         got = eng.generate([[5, 1, 9, 2]], sp)[0]
         assert got == want, dispatch
+
+
+async def test_chat_logprobs(client):
+    """OpenAI chat logprobs: logprobs=true + top_logprobs=N returns
+    choices[].logprobs.content entries (non-stream) and per-token logprobs
+    chunks (stream)."""
+    body = {
+        "model": "m",
+        "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 3, "temperature": 0.0,
+        "logprobs": True, "top_logprobs": 2,
+    }
+    r = await client.post("/v1/chat/completions", json=body)
+    assert r.status == 200
+    choice = (await r.json())["choices"][0]
+    lp = choice["logprobs"]
+    assert lp is not None and len(lp["content"]) == 3
+    for e in lp["content"]:
+        assert e["logprob"] <= 0
+        assert len(e["top_logprobs"]) == 2
+
+    r = await client.post("/v1/chat/completions", json={**body, "stream": True})
+    raw = (await r.read()).decode()
+    entries = []
+    for line in raw.splitlines():
+        if line.startswith("data: ") and line != "data: [DONE]":
+            for c in json.loads(line[6:])["choices"]:
+                if c.get("logprobs"):
+                    entries.extend(c["logprobs"]["content"])
+    assert len(entries) == 3
