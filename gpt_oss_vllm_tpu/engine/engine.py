@@ -996,7 +996,9 @@ class InferenceEngine:
         seeds = np.array([r.seed_resolved for r in reqs], dtype=np.int32)
         ctrs = np.array([len(r.output_token_ids) for r in reqs], dtype=np.int32)
         want_lp = max((r.sampling.logprobs or 0) for r in reqs)
-        if want_lp == 0:
+        # logprobs=0 still wants the CHOSEN token's logprob (with an empty
+        # top list) — only rows with logprobs=None take the plain sampler
+        if all(r.sampling.logprobs is None for r in reqs):
             toks = self._sample(
                 logits, jnp.asarray(seeds), jnp.asarray(ctrs),
                 jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(top_k),

@@ -137,7 +137,13 @@ def _sampling_from(
     max_tokens = getattr(req, "max_tokens", None) or getattr(req, "max_completion_tokens", None) or 16
     lp = getattr(req, "logprobs", None)
     if isinstance(lp, bool):  # chat API: logprobs: true + top_logprobs: N
-        lp = (getattr(req, "top_logprobs", None) or 1) if lp else None
+        if lp:
+            tl = getattr(req, "top_logprobs", None)
+            lp = tl if tl is not None else 1  # 0 is valid: chosen-only
+        else:
+            lp = None
+    if lp is not None:
+        lp = min(int(lp), 16)  # engine top-k cap (OpenAI allows up to 20)
     # chat on a harmony model must NOT stop at <|end|> (it closes one channel
     # message; generation continues into the final channel) — only at
     # <|return|>/<|call|>/eos
@@ -189,6 +195,18 @@ class Server:
         raise web.HTTPBadRequest(
             text=proto.ErrorResponse.make("invalid prompt").model_dump_json(),
             content_type="application/json",
+        )
+
+    def _chat_lp_token(self, out) -> "proto.ChatLogprobToken":
+        return proto.ChatLogprobToken(
+            token=self.ae.tokenizer.decode([out.token_id]),
+            logprob=out.logprob,
+            top_logprobs=[
+                proto.ChatTopLogprob(
+                    token=self.ae.tokenizer.decode([t]), logprob=v
+                )
+                for t, v in (out.top_logprobs or [])
+            ],
         )
 
     # -- endpoints ---------------------------------------------------------
@@ -371,19 +389,11 @@ class Server:
                 else None
             )
             async for out in self.ae.stream_tokens(prompt_ids, self._nth_sampling(sampling, i)):
-                n_tokens += 1
-                if chat_lp is not None and out.logprob is not None and out.token_id >= 0:
-                    chat_lp.content.append(proto.ChatLogprobToken(
-                        token=self.ae.tokenizer.decode([out.token_id]),
-                        logprob=out.logprob,
-                        top_logprobs=[
-                            proto.ChatTopLogprob(
-                                token=self.ae.tokenizer.decode([t]), logprob=v
-                            )
-                            for t, v in (out.top_logprobs or [])
-                        ],
-                    ))
-                if lp is not None and out.logprob is not None:
+                if out.token_id >= 0:
+                    n_tokens += 1  # -1 = finish-only sentinel, not a token
+                # logprob collection stops once a stop string truncated the
+                # text (OpenAI truncates logprobs with the content)
+                if lp is not None and out.logprob is not None and finish_reason is None:
                     lp.tokens.append(
                         self.ae.tokenizer.decode([out.token_id]) if out.token_id >= 0 else ""
                     )
@@ -402,6 +412,16 @@ class Server:
                     if out.token_id >= 0:
                         for dest, d in parser.push(out.token_id, final=out.finished):
                             route(dest, d)
+                        # chat logprobs cover CONTENT tokens only (the
+                        # OpenAI contract); markers and analysis/commentary
+                        # tokens never appear in message.content
+                        if (
+                            chat_lp is not None
+                            and out.logprob is not None
+                            and parser.last_was_content
+                            and finish_reason is None
+                        ):
+                            chat_lp.content.append(self._chat_lp_token(out))
                     if out.finished:
                         for dest, d in parser.finish():
                             route(dest, d)
@@ -516,38 +536,47 @@ class Server:
 
             detok = IncrementalDetokenizer(self.ae.tokenizer)
             parser = HarmonyStreamParser(self.ae.tokenizer) if chat else None
-            want_chat_lp = chat and sampling.logprobs is not None
+            want_lp = sampling.logprobs is not None
             emitted = ""
             stopped = False
             n_tokens = 0
+            # logprob entries pending attachment to the NEXT content chunk
+            # (OpenAI attaches logprobs to the chunk carrying the token's
+            # delta; held-back partial-UTF8 tokens wait for theirs)
+            pend_lp: list = []
             try:
                 async for out in self.ae.stream_tokens(
                     prompt_ids, self._nth_sampling(sampling, i % n)
                 ):
                     if out.token_id >= 0:
                         n_tokens += 1
-                    if want_chat_lp and out.logprob is not None and out.token_id >= 0:
-                        await queue.put((i, "lp", proto.ChatLogprobToken(
-                            token=self.ae.tokenizer.decode([out.token_id]),
-                            logprob=out.logprob,
-                            top_logprobs=[
-                                proto.ChatTopLogprob(
-                                    token=self.ae.tokenizer.decode([t]), logprob=v
-                                )
-                                for t, v in (out.top_logprobs or [])
-                            ],
-                        ), None))
                     # (dest, delta) pairs; completions emit content only
                     deltas = []
                     if chat:
                         if out.token_id >= 0:
                             deltas = parser.push(out.token_id, final=out.finished)
+                            if (
+                                want_lp
+                                and out.logprob is not None
+                                and parser.last_was_content
+                                and not stopped
+                            ):
+                                pend_lp.append(self._chat_lp_token(out))
                         if out.finished:
                             deltas = deltas + parser.finish()
                     elif out.token_id >= 0 and out.token_id not in self.ae.tokenizer.stop_ids:
                         d = detok.push(out.token_id, final=out.finished)
                         if d:
                             deltas = [("content", d)]
+                        if want_lp and out.logprob is not None and not stopped:
+                            pend_lp.append((
+                                self.ae.tokenizer.decode([out.token_id]),
+                                out.logprob,
+                                {
+                                    self.ae.tokenizer.decode([t]): v
+                                    for t, v in (out.top_logprobs or [])
+                                },
+                            ))
                     content_delta = ""
                     reason_delta = ""
                     tool_deltas = []
@@ -570,15 +599,18 @@ class Server:
                     if finish == "stop" and chat and parser._tool_seg >= 0:
                         finish = "tool_calls"
                     if reason_delta:
-                        await queue.put((i, "reasoning", reason_delta, None))
+                        await queue.put((i, "reasoning", reason_delta, None, None))
                     for dest, d in tool_deltas:
-                        await queue.put((i, dest, d, None))
+                        await queue.put((i, dest, d, None, None))
                     if content_delta or finish:
-                        await queue.put((i, "content", content_delta, finish))
+                        await queue.put(
+                            (i, "content", content_delta, finish, pend_lp or None)
+                        )
+                        pend_lp = []
                     if stopped and not out.finished:
                         break  # generator cleanup aborts the engine request
             finally:
-                await queue.put((i, "done", DONE, n_tokens))
+                await queue.put((i, "done", DONE, n_tokens, None))
 
         tasks = [
             asyncio.create_task(pump(pids, pi * n + j))
@@ -611,24 +643,12 @@ class Server:
                     except asyncio.QueueEmpty:
                         break
                 buf = bytearray()
-                for i, dest, delta, finish in items:
+                for i, dest, delta, finish, lps in items:
                     if delta is DONE:
                         done += 1
                         completion_tokens += finish  # pump's final token count
                         continue
                     if chat:
-                        if dest == "lp":
-                            # per-token logprobs chunk (OpenAI stream shape:
-                            # choices[].logprobs.content entries)
-                            obj = proto.ChatCompletionChunk(
-                                id=rid, model=req.model,
-                                choices=[proto.ChatChunkChoice(
-                                    index=i, delta=proto.DeltaMessage(),
-                                    logprobs=proto.ChatLogprobs(content=[delta]),
-                                )],
-                            )
-                            buf += b"data: " + obj.model_dump_json().encode() + b"\n\n"
-                            continue
                         if dest.startswith("tool:"):
                             # OpenAI tool-call stream contract: first delta
                             # of an index carries id+name, later ones only
@@ -657,8 +677,32 @@ class Server:
                             choices=[
                                 proto.ChatChunkChoice(
                                     index=i, delta=dm, finish_reason=finish,
+                                    # logprobs attach to the chunk carrying
+                                    # their tokens' content delta (OpenAI)
+                                    logprobs=(
+                                        proto.ChatLogprobs(content=lps)
+                                        if lps else None
+                                    ),
                                 )
                             ],
+                        )
+                        buf += b"data: " + obj.model_dump_json().encode() + b"\n\n"
+                        continue
+                    if lps:
+                        # completions logprobs ride the pydantic path (the
+                        # bytes template hard-codes logprobs: null)
+                        lpm = proto.LogProbs()
+                        for tok_s, lp_v, top in lps:
+                            lpm.tokens.append(tok_s)
+                            lpm.token_logprobs.append(lp_v)
+                            lpm.top_logprobs.append(top)
+                            lpm.text_offset.append(0)
+                        obj = proto.CompletionChunk(
+                            id=rid, model=req.model,
+                            choices=[proto.CompletionChoice(
+                                index=i, text=delta, finish_reason=finish,
+                                logprobs=lpm,
+                            )],
                         )
                         buf += b"data: " + obj.model_dump_json().encode() + b"\n\n"
                         continue
@@ -723,9 +767,14 @@ def _mesh_from(args):
     from gpt_oss_vllm_tpu.config import ParallelConfig
     from gpt_oss_vllm_tpu.parallel.mesh import make_mesh
 
+    if getattr(args, "dp", 1) > 1:
+        # single-engine serving shards ep/tp only; data parallelism means N
+        # independent replicas behind a router — sharding a serving engine
+        # over a 'data' axis would just replicate weights and KV
+        raise SystemExit("serving shards --ep/--tp; run one server per "
+                         "data-parallel replica instead of --dp")
     parallel = ParallelConfig(
-        dp=getattr(args, "dp", 1), ep=getattr(args, "ep", 1),
-        tp=getattr(args, "tp", 1),
+        ep=getattr(args, "ep", 1), tp=getattr(args, "tp", 1),
         moe_dispatch=getattr(args, "moe_dispatch", "implicit"),
     )
     if parallel.world_size <= 1:
@@ -861,7 +910,6 @@ def main(argv=None):
              "(throughput mode on a high-latency link; raises emission lag)",
     )
     ap.add_argument("--quant", default="nf4", choices=["nf4", "mxfp4", "none"])
-    ap.add_argument("--dp", type=int, default=1, help="data-parallel mesh axis")
     ap.add_argument("--ep", type=int, default=1, help="expert-parallel mesh axis")
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh axis")
     ap.add_argument(

@@ -66,6 +66,11 @@ class HarmonyStreamParser:
         self._seen_marker = False
         self._seen_header_text = False
         self._tool_seg = -1  # index of the current tool-call segment
+        # True when the LAST pushed token was body text of a content (final)
+        # channel — the OpenAI chat-logprobs contract covers content tokens
+        # only, and held-back partial-UTF8 tokens count even though their
+        # delta is empty
+        self.last_was_content = False
 
     @property
     def channel(self) -> str:
@@ -86,6 +91,7 @@ class HarmonyStreamParser:
 
     def push(self, token_id: int, final: bool = False) -> List[Tuple[str, str]]:
         out: List[Tuple[str, str]] = []
+        self.last_was_content = False
         if token_id in self._stops:
             # <|return|>/<|call|>/eos terminate generation; drain held UTF-8
             tail = self._detok.flush() if self._state == "body" else ""
@@ -135,6 +141,7 @@ class HarmonyStreamParser:
             self._state = "body"
             self._channel = "final"
             # fall through: this token is body text
+        self.last_was_content = self._dest() == "content"
         delta = self._detok.push(token_id, final=final)
         if delta:
             out.append((self._dest(), delta))

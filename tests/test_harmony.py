@@ -182,7 +182,8 @@ class _ScriptedEngine:
                 or i + 1 >= len(self.script)
                 or i + 1 >= sp.max_tokens
             )
-            outs.append(StepOutput(rid, tok, fin, "stop" if fin else None))
+            outs.append(StepOutput(rid, tok, fin, "stop" if fin else None,
+                                   logprob=-0.5, top_logprobs=[]))
             if fin:
                 del self.reqs[rid]
             else:
@@ -381,3 +382,25 @@ async def test_chat_tool_calls_stream(tool_client):
     assert args == '{"city": "SF"}'
     assert len(call_ids) == 1
     assert "tool_calls" in finishes
+
+
+async def test_chat_logprobs_cover_content_tokens_only(harmony_client):
+    """OpenAI chat logprobs correspond to message.content tokens: harmony
+    marker tokens and the analysis channel are excluded."""
+    r = await harmony_client.post(
+        "/v1/chat/completions",
+        json={
+            "model": "tiny-harmony",
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 80, "temperature": 0.0,
+            "logprobs": True, "top_logprobs": 0,
+        },
+    )
+    assert r.status == 200
+    choice = (await r.json())["choices"][0]
+    lp = choice["logprobs"]
+    # content is "Hello!" = 6 byte tokens; analysis/markers excluded
+    assert len(lp["content"]) == len("Hello!")
+    assert "".join(e["token"] for e in lp["content"]) == "Hello!"
+    for e in lp["content"]:
+        assert e["top_logprobs"] == []  # top_logprobs=0 honored
