@@ -278,7 +278,10 @@ class Server:
                 proto.ErrorResponse.make(f"invalid request: {e}").model_dump(), status=400
             )
         if req.messages is not None:
-            ids = self.ae.tokenizer.render_chat([m.model_dump() for m in req.messages])
+            tools = [t.model_dump() for t in req.tools] if req.tools else None
+            ids = self.ae.tokenizer.render_chat(
+                [m.model_dump() for m in req.messages], tools=tools
+            )
         elif req.prompt is not None:
             ids = self.ae.tokenizer.encode(req.prompt)
         else:

@@ -212,6 +212,7 @@ class CompletionChunk(BaseModel):
 class TokenizeRequest(BaseModel):
     prompt: Optional[str] = None
     messages: Optional[List[ChatMessage]] = None
+    tools: Optional[List[ToolDef]] = None  # rendered into the chat prompt
     model: str = ""
 
 
