@@ -635,6 +635,12 @@ class InferenceEngine:
             sampling=sampling,
             seed_resolved=seed,
         )
+        if sampling.guided is not None:
+            # per-request DFA state (+ harmony channel gate); guided rows
+            # take the sync decode path — masks depend on the emitted
+            # prefix, which the zero-sync device chain doesn't read back
+            # until flush
+            req.guided = sampling.guided.new_session(sampling.guided_gate)
         self.requests[request_id] = req
         self.waiting.append(req)
         return req
@@ -963,7 +969,11 @@ class InferenceEngine:
         # merely ignored, or it would appear in the output text)
         def eff_bias(r: Request):
             bias = list(r.sampling.logit_bias or ())
-            if len(r.output_token_ids) < r.sampling.min_tokens:
+            if len(r.output_token_ids) < r.sampling.min_tokens and not (
+                r.guided is not None and r.guided.forces_stop()
+            ):
+                # min_tokens suppresses stop ids — unless the grammar has no
+                # grammatical continuation, in which case finishing wins
                 from gpt_oss_vllm_tpu.ops.sampling import NEG_INF
 
                 bias += [(t, NEG_INF) for t in r.sampling.stop_token_ids]
@@ -987,6 +997,23 @@ class InferenceEngine:
                 self._counts()[np.asarray(slots)],
                 jnp.asarray(pres), jnp.asarray(freq), jnp.asarray(rep),
             )
+        if any(r.guided is not None and r.guided.active for r in reqs):
+            # grammar-constrained rows: -inf everything the DFA disallows at
+            # the row's current state (incl. ids past the tokenizer vocab —
+            # the lm_head may be padded); applied after bias/penalties so
+            # no post-processing can resurrect an ungrammatical token
+            from gpt_oss_vllm_tpu.ops.sampling import NEG_INF
+
+            V = int(logits.shape[-1])
+            gb = np.zeros((len(reqs), V), np.float32)
+            for i, r in enumerate(reqs):
+                row = r.guided.allowed_row() if r.guided is not None else None
+                if row is None:
+                    continue
+                n = min(len(row), V)
+                gb[i, :n][~row[:n]] = NEG_INF
+                gb[i, n:] = NEG_INF
+            logits = logits + jnp.asarray(gb)
         temp = np.array([r.sampling.temperature for r in reqs], dtype=np.float32)
         top_p = np.array([r.sampling.top_p for r in reqs], dtype=np.float32)
         top_k = np.array([r.sampling.top_k for r in reqs], dtype=np.int32)
@@ -1015,6 +1042,8 @@ class InferenceEngine:
 
     def _append_token(self, req: Request, token: int, lp=None, row: int = 0) -> StepOutput:
         req.output_token_ids.append(token)
+        if req.guided is not None:
+            req.guided.advance(token)
         logprob = top_lp = None
         if lp is not None and req.sampling.logprobs is not None:
             chosen, ids, vals = lp
@@ -1517,9 +1546,14 @@ class InferenceEngine:
         # pipeline. Logprobs rows only keep speculation off (the widened
         # verify window doesn't carry per-position logprob payloads).
         lp_free = all(r.sampling.logprobs is None for _, r in running)
-        spec_capable = self.spec_tokens > 0 and lp_free
+        # grammar-constrained rows need the emitted prefix host-side before
+        # the next mask: they take the exact sync path (like logprobs rows
+        # pre-r4); the batch degrades together because path switching is
+        # whole-chain
+        guided_free = all(r.guided is None for _, r in running)
+        spec_capable = self.spec_tokens > 0 and lp_free and guided_free
         use_spec = spec_capable and self._step_counter >= self._spec_off_until
-        if self.async_decode:
+        if self.async_decode and guided_free:
             # plain rows (greedy OR sampled) stay on device: the fused
             # spec program verifies sampled rows by rejection sampling with
             # chained draw counters; greedy rows degrade to longest-prefix
@@ -1591,6 +1625,9 @@ class InferenceEngine:
                 if sp.logprobs is not None or sp.has_penalties:
                     continue
                 if sp.logit_bias or len(req.output_token_ids) < sp.min_tokens:
+                    continue
+                if req.guided is not None:
+                    # spec windows would need per-position grammar masks
                     continue
                 budget = self.config.scheduler.max_model_len - req.num_tokens - 1
                 k = min(self.spec_tokens, max(0, budget))

@@ -24,6 +24,11 @@ class SamplingParams:
     repetition_penalty: float = 1.0  # HF-style multiplicative (1 = off)
     # OpenAI logit_bias: ((token_id, bias), ...) added to logits pre-sampling
     logit_bias: Optional[tuple] = None
+    # structured outputs: a compiled serving.guided.GuidedGrammar (vocab
+    # mask tables + byte-DFA); None = unconstrained. guided_gate="harmony"
+    # activates the constraint only inside the final channel's message
+    guided: Optional[object] = None
+    guided_gate: str = "none"
 
     @property
     def greedy(self) -> bool:
@@ -63,6 +68,10 @@ class Request:
     # reproducible independent of batch composition
     seed_resolved: int = 0
     num_shared_prompt_tokens: int = 0  # prefix-cache hits (KV reused, not recomputed)
+    # per-request grammar-constraint state (serving.guided.GuidedSession);
+    # derives from sampling.guided at admission. Survives preemption: it
+    # tracks output_token_ids, which recompute preserves.
+    guided: Optional[object] = None
 
     @property
     def num_prompt_tokens(self) -> int:

@@ -42,6 +42,7 @@ from gpt_oss_vllm_tpu.config import (
 from gpt_oss_vllm_tpu.engine.engine import InferenceEngine, StepOutput
 from gpt_oss_vllm_tpu.engine.request import SamplingParams
 from gpt_oss_vllm_tpu.serving import protocol as proto
+from gpt_oss_vllm_tpu.serving.guided import GuidedError, compile_guided
 from gpt_oss_vllm_tpu.serving.tokenizer import IncrementalDetokenizer, Tokenizer, get_tokenizer
 
 logger = logging.getLogger("gpt_oss_vllm_tpu.server")
@@ -131,6 +132,36 @@ class AsyncEngine:
 # ---------------------------------------------------------------------------
 
 
+def _guided_spec(req):
+    """Resolve the structured-outputs spec of a request: the OpenAI
+    ``response_format`` (json_object / json_schema) or the vLLM
+    ``guided_json`` / ``guided_regex`` / ``guided_choice`` extensions, at
+    most one of which may be present. Returns (kind, value) or None."""
+    specs = []
+    rf = getattr(req, "response_format", None)
+    if rf:
+        t = rf.get("type", "text")
+        if t == "json_object":
+            specs.append(("json_object", None))
+        elif t == "json_schema":
+            js = rf.get("json_schema") or {}
+            schema = js.get("schema") if isinstance(js, dict) else None
+            if schema is None:
+                raise GuidedError("response_format.json_schema.schema missing")
+            specs.append(("json_schema", schema))
+        elif t != "text":
+            raise GuidedError(f"unsupported response_format type: {t!r}")
+    if getattr(req, "guided_json", None) is not None:
+        specs.append(("json_schema", req.guided_json))
+    if getattr(req, "guided_regex", None) is not None:
+        specs.append(("regex", req.guided_regex))
+    if getattr(req, "guided_choice", None) is not None:
+        specs.append(("choice", req.guided_choice))
+    if len(specs) > 1:
+        raise GuidedError("multiple guided specs in one request")
+    return specs[0] if specs else None
+
+
 def _sampling_from(
     req, tokenizer: Tokenizer, max_model_len: int, chat: bool = False
 ) -> SamplingParams:
@@ -148,6 +179,14 @@ def _sampling_from(
     # message; generation continues into the final channel) — only at
     # <|return|>/<|call|>/eos
     stop_ids = tokenizer.chat_stop_ids if chat else tokenizer.stop_ids
+    guided = None
+    gate = "none"
+    spec = _guided_spec(req)
+    if spec is not None:
+        guided = compile_guided(spec[0], spec[1], tokenizer)
+        # channeled chat: constrain only the final channel's message, the
+        # analysis/commentary channels stay free-form
+        gate = "harmony" if (chat and tokenizer.harmony) else "none"
     return SamplingParams(
         max_tokens=min(max_tokens, max_model_len),
         temperature=req.temperature,
@@ -164,6 +203,8 @@ def _sampling_from(
         logit_bias=tuple(
             (int(t), float(b)) for t, b in (getattr(req, "logit_bias", None) or {}).items()
         ) or None,
+        guided=guided,
+        guided_gate=gate,
     )
 
 

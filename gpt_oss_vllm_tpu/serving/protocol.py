@@ -45,6 +45,11 @@ class CompletionRequest(BaseModel):
     frequency_penalty: float = 0.0
     repetition_penalty: float = 1.0
     logit_bias: Optional[Dict[str, float]] = None  # {token_id: bias}
+    # structured outputs: OpenAI response_format + vLLM guided_* extensions
+    response_format: Optional[Dict] = None
+    guided_json: Optional[Union[str, Dict]] = None
+    guided_regex: Optional[str] = None
+    guided_choice: Optional[List[str]] = None
 
 
 class FunctionCall(BaseModel):
@@ -103,6 +108,11 @@ class ChatCompletionRequest(BaseModel):
     frequency_penalty: float = 0.0
     repetition_penalty: float = 1.0
     logit_bias: Optional[Dict[str, float]] = None  # {token_id: bias}
+    # structured outputs: OpenAI response_format + vLLM guided_* extensions
+    response_format: Optional[Dict] = None
+    guided_json: Optional[Union[str, Dict]] = None
+    guided_regex: Optional[str] = None
+    guided_choice: Optional[List[str]] = None
 
 
 class LogProbs(BaseModel):

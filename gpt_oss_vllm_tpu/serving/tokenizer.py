@@ -49,6 +49,13 @@ class Tokenizer:
     def vocab_size(self) -> int:
         raise NotImplementedError
 
+    def token_bytes(self) -> List[Optional[bytes]]:
+        """Per-id byte string of every vocab entry (``None`` for specials
+        and other non-text ids). Drives grammar-constrained decoding
+        (``serving.guided``): the byte-level DFA walks these to build the
+        per-state allowed-token mask tables."""
+        raise NotImplementedError
+
     # -- chat --------------------------------------------------------------
 
     def special(self, name: str) -> int:
@@ -181,6 +188,9 @@ class ByteTokenizer(Tokenizer):
         data = bytes(i for i in ids if 0 <= i < 256)
         return data.decode("utf-8", errors="replace")
 
+    def token_bytes(self) -> List[Optional[bytes]]:
+        return [bytes([i]) for i in range(256)] + [None] * len(self.SPECIALS)
+
 
 class TiktokenTokenizer(Tokenizer):
     _HARMONY_SPECIALS = {
@@ -223,6 +233,20 @@ class TiktokenTokenizer(Tokenizer):
     def decode(self, ids: Sequence[int]) -> str:
         return self._enc.decode(list(ids))
 
+    def token_bytes(self) -> List[Optional[bytes]]:
+        if getattr(self, "_token_bytes", None) is None:
+            special = set(self._enc._special_tokens.values())
+            out: List[Optional[bytes]] = [None] * self._enc.n_vocab
+            for i in range(self._enc.n_vocab):
+                if i in special:
+                    continue
+                try:
+                    out[i] = self._enc.decode_single_token_bytes(i)
+                except Exception:
+                    out[i] = None  # unassigned id in a sparse vocab
+            self._token_bytes = out
+        return self._token_bytes
+
 
 class HFTokenizer(Tokenizer):
     def __init__(self, path: str):
@@ -259,6 +283,40 @@ class HFTokenizer(Tokenizer):
 
     def decode(self, ids: Sequence[int]) -> str:
         return self._tok.decode(list(ids), skip_special_tokens=True)
+
+    def token_bytes(self) -> List[Optional[bytes]]:
+        """Best-effort per-token bytes: byte-level-BPE vocabs map through
+        the GPT-2 unicode<->byte table; SentencePiece vocabs map the U+2581
+        word-boundary marker to a leading space. Specials and unmappable
+        tokens return None (the grammar never allows them)."""
+        if getattr(self, "_token_bytes", None) is None:
+            from transformers.models.gpt2.tokenization_gpt2 import (
+                bytes_to_unicode,
+            )
+
+            u2b = {u: b for b, u in bytes_to_unicode().items()}
+            special = set(self._tok.all_special_ids or [])
+            added = getattr(self._tok, "added_tokens_decoder", {}) or {}
+            special |= set(added.keys())
+            V = len(self._tok)
+            toks = self._tok.convert_ids_to_tokens(list(range(V)))
+            out: List[Optional[bytes]] = [None] * V
+            byte_level_hits = sum(
+                1 for t in toks[:256] if t and all(c in u2b for c in t)
+            )
+            byte_level = byte_level_hits > 128
+            for i, t in enumerate(toks):
+                if t is None or i in special:
+                    continue
+                if byte_level:
+                    try:
+                        out[i] = bytes(u2b[c] for c in t)
+                    except KeyError:
+                        out[i] = None
+                else:
+                    out[i] = t.replace("▁", " ").encode("utf-8")
+            self._token_bytes = out
+        return self._token_bytes
 
 
 def get_tokenizer(spec: str) -> Tokenizer:

@@ -1,0 +1,540 @@
+"""Structured outputs (grammar-constrained decoding): regex->byte-DFA
+compiler parity vs Python ``re``, JSON-schema lowering, token mask tables,
+harmony channel gating, engine integration (sync-path masking + mixed
+batches on the async engine) and the HTTP ``response_format`` /
+``guided_*`` surface.
+
+The reference inherits structured outputs from vLLM's OpenAI server
+(``gpt_oss_server.py:64-67``); the validity assertions here (every
+constrained generation parses/validates) are this repo's equivalent of the
+substrate's guided-decoding tests.
+"""
+
+import json
+import random
+import re
+
+import numpy as np
+import pytest
+
+from gpt_oss_vllm_tpu.serving.guided import (
+    GuidedError,
+    _json_object_regex,
+    compile_guided,
+    compile_regex,
+    json_schema_to_regex,
+)
+from gpt_oss_vllm_tpu.serving.tokenizer import ByteTokenizer
+
+
+# ---------------------------------------------------------------------------
+# regex -> DFA compiler
+# ---------------------------------------------------------------------------
+
+PATTERNS = [
+    r"abc",
+    r"a*b+c?",
+    r"(ab|cd)*e",
+    r"[a-c]{2,4}",
+    r"\d+\.\d{2}",
+    r"-?(0|[1-9]\d*)",
+    r'"([^"\\]|\\.)*"',
+    r"(foo|bar|baz)",
+    r"a{3}",
+    r"a{2,}",
+    r"[^abc]+",
+    r"x(yz)*",
+    r"[\w-]+@[\w-]+\.[a-z]{2,3}",
+    r"\s*yes\s*|\s*no\s*",
+]
+
+
+@pytest.mark.parametrize("pat", PATTERNS)
+def test_dfa_matches_re_fullmatch(pat):
+    dfa = compile_regex(pat)
+    rng = random.Random(hash(pat) & 0xFFFF)
+    alphabet = 'abcdefxyz0123456789.\\"-@_ \t'
+    for _ in range(300):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 9)))
+        assert (re.fullmatch(pat, s) is not None) == dfa.matches(
+            s.encode()
+        ), (pat, s)
+
+
+def test_dfa_unicode_literals_and_negated_class():
+    dfa = compile_regex("héllo|wörld")
+    assert dfa.matches("héllo".encode())
+    assert dfa.matches("wörld".encode())
+    assert not dfa.matches(b"hello")
+    # negated class admits any multi-byte UTF-8 char
+    dfa = compile_regex(r'"[^"]*"')
+    assert dfa.matches('"snow ☃ man"'.encode())
+    assert not dfa.matches('"a"b"'.encode())
+
+
+def test_dfa_rejects_unsupported():
+    with pytest.raises(GuidedError):
+        compile_regex("(?P<name>x)")  # named groups unsupported
+    with pytest.raises(GuidedError):
+        compile_regex("a{4,2}")
+    with pytest.raises(GuidedError):
+        compile_regex("[z-a]")
+
+
+def test_minimization_preserves_language():
+    from gpt_oss_vllm_tpu.serving.guided import _NFA, _Parser, _nfa_to_dfa
+
+    pat = r"(ab|a)(b|bb)*c{1,3}"
+    ast = _Parser(pat).parse()
+    nfa = _NFA()
+    s, a = nfa.compile(ast)
+    raw = _nfa_to_dfa(nfa, s, a)
+    mini = compile_regex(pat)
+    assert mini.num_states <= raw.num_states
+    rng = random.Random(7)
+    for _ in range(500):
+        t = "".join(rng.choice("abc") for _ in range(rng.randint(0, 8)))
+        assert raw.matches(t.encode()) == mini.matches(t.encode()), t
+
+
+# ---------------------------------------------------------------------------
+# JSON schema lowering
+# ---------------------------------------------------------------------------
+
+SCHEMA = {
+    "type": "object",
+    "properties": {
+        "name": {"type": "string"},
+        "age": {"type": "integer"},
+        "tags": {"type": "array", "items": {"type": "string"}, "maxItems": 3},
+        "mood": {"enum": ["happy", "sad"]},
+        "score": {"type": "number"},
+        "ok": {"type": "boolean"},
+    },
+}
+
+
+def test_schema_regex_accepts_valid_docs():
+    dfa = compile_regex(json_schema_to_regex(SCHEMA))
+    doc = {
+        "name": "Ana", "age": 31, "tags": ["a", "b"],
+        "mood": "happy", "score": -1.5e3, "ok": True,
+    }
+    assert dfa.matches(json.dumps(doc).encode())  # spaced
+    assert dfa.matches(json.dumps(doc, separators=(",", ":")).encode())
+
+
+def test_schema_regex_rejects_invalid_docs():
+    dfa = compile_regex(json_schema_to_regex(SCHEMA))
+    good = {
+        "name": "Ana", "age": 31, "tags": [], "mood": "sad",
+        "score": 1, "ok": False,
+    }
+    assert dfa.matches(json.dumps(good).encode())
+    bad_type = dict(good)
+    bad_type["age"] = "x"
+    assert not dfa.matches(json.dumps(bad_type).encode())
+    bad_enum = dict(good)
+    bad_enum["mood"] = "angry"
+    assert not dfa.matches(json.dumps(bad_enum).encode())
+    # property order is the declared order (OpenAI strict-mode shape)
+    assert not dfa.matches(b'{"age": 3, "name": "x"}')
+    # maxItems enforced
+    too_many = dict(good)
+    too_many["tags"] = ["a", "b", "c", "d"]
+    assert not dfa.matches(json.dumps(too_many).encode())
+
+
+def test_schema_ref_and_anyof():
+    schema = {
+        "type": "object",
+        "properties": {"pet": {"$ref": "#/$defs/pet"}},
+        "$defs": {
+            "pet": {
+                "anyOf": [{"enum": ["cat", "dog"]}, {"type": "integer"}]
+            }
+        },
+    }
+    from gpt_oss_vllm_tpu.serving.guided import _resolve_refs
+
+    resolved = _resolve_refs(schema, schema)
+    dfa = compile_regex(json_schema_to_regex(resolved))
+    assert dfa.matches(b'{"pet": "cat"}')
+    assert dfa.matches(b'{"pet": 12}')
+    assert not dfa.matches(b'{"pet": "fish"}')
+
+
+def test_json_object_grammar_bounded_depth():
+    dfa = compile_regex(_json_object_regex(3))
+    assert dfa.matches(json.dumps({"a": [1, {"b": "c"}], "d": None}).encode())
+    assert dfa.matches(b"{}")
+    assert not dfa.matches(b"[1, 2]")  # top level must be an object
+    assert not dfa.matches(b'{"a": }')
+
+
+# ---------------------------------------------------------------------------
+# token tables + sessions (byte tokenizer)
+# ---------------------------------------------------------------------------
+
+
+def test_choice_token_table_masks():
+    tok = ByteTokenizer()
+    g = compile_guided("choice", ["red", "green", "blue"], tok)
+    st = g.start_state
+    row = g.allowed_row(st)
+    assert {i for i in range(len(row)) if row[i]} == {
+        ord("r"), ord("g"), ord("b")
+    }
+    for b in b"red":
+        st = g.advance(st, b)
+    assert g.accepting(st)
+    assert g.forces_stop(st)  # no choice extends "red"
+    row = g.allowed_row(st)
+    allowed = {i for i in range(len(row)) if row[i]}
+    assert allowed  # the stop ids
+    assert allowed <= set(tok.stop_ids) | set(tok.chat_stop_ids)
+
+
+def test_prefix_choice_does_not_force_stop():
+    tok = ByteTokenizer()
+    g = compile_guided("choice", ["go", "gone"], tok)
+    st = g.start_state
+    for b in b"go":
+        st = g.advance(st, b)
+    assert g.accepting(st)
+    assert not g.forces_stop(st)  # "gone" still reachable
+    row = g.allowed_row(st)
+    assert row[ord("n")]
+    assert row[tok.eos_id]
+
+
+def test_session_harmony_gate_activates_on_final_channel():
+    tok = ByteTokenizer(harmony=True)
+    g = compile_guided("choice", ["yes", "no"], tok)
+    s = g.new_session("harmony")
+    assert not s.active  # free-form until the final channel
+    assert s.allowed_row() is None
+    # analysis channel: anything goes, grammar state untouched
+    for t in [tok.special("channel")] + tok.encode("analysis") + [tok.special("message")]:
+        s.advance(t)
+    assert not s.active
+    for t in tok.encode("thinking...") + [tok.special("end")]:
+        s.advance(t)
+    # final channel activates the constraint
+    for t in [tok.special("start")] + tok.encode("assistant") + [
+        tok.special("channel")
+    ] + tok.encode("final") + [tok.special("message")]:
+        s.advance(t)
+    assert s.active
+    row = s.allowed_row()
+    assert {i for i in range(len(row)) if row[i]} == {ord("y"), ord("n")}
+    for t in tok.encode("yes"):
+        s.advance(t)
+    assert s.grammar.accepting(s.state)
+
+
+def test_session_plain_gate_is_immediately_active():
+    tok = ByteTokenizer()
+    g = compile_guided("regex", r"[ab]+", tok)
+    s = g.new_session("none")
+    assert s.active
+    s.advance(ord("a"))
+    row = s.allowed_row()
+    assert row[ord("b")] and not row[ord("c")]
+
+
+# ---------------------------------------------------------------------------
+# engine integration
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def guided_setup():
+    from gpt_oss_vllm_tpu.config import EngineConfig, QuantConfig
+    from gpt_oss_vllm_tpu.engine.engine import InferenceEngine
+    from gpt_oss_vllm_tpu.models.params import random_params
+
+    cfg = EngineConfig.tiny()
+    params = random_params(cfg.model, QuantConfig(method="none"), seed=11)
+    tok = ByteTokenizer()
+    return cfg, params, tok
+
+
+def _make_engine(cfg, params):
+    from gpt_oss_vllm_tpu.engine.engine import InferenceEngine
+
+    return InferenceEngine(cfg, params)
+
+
+def _drain(engine, req_ids):
+    texts = {r: [] for r in req_ids}
+    reasons = {}
+    for _ in range(500):
+        for out in engine.step():
+            if out.request_id in texts and out.token_id >= 0:
+                texts[out.request_id].append(out.token_id)
+            if out.finished and out.request_id in texts:
+                reasons[out.request_id] = out.finish_reason
+        if len(reasons) == len(req_ids) and engine.num_running() == 0 and not engine.waiting:
+            break
+    return texts, reasons
+
+
+def test_engine_guided_choice_sampled(guided_setup):
+    cfg, params, tok = guided_setup
+    engine = _make_engine(cfg, params)
+    from gpt_oss_vllm_tpu.engine.request import SamplingParams
+
+    g = compile_guided("choice", ["red", "green", "blue"], tok)
+    for i, seed in enumerate([1, 2, 3, 4]):
+        engine.add_request(
+            f"c{i}", tok.encode(f"pick a color {i}: "),
+            SamplingParams(
+                max_tokens=16, temperature=0.9, seed=seed,
+                stop_token_ids=tuple(tok.stop_ids), guided=g,
+            ),
+        )
+    texts, reasons = _drain(engine, [f"c{i}" for i in range(4)])
+    for rid, toks in texts.items():
+        body = [t for t in toks if t not in tok.stop_ids]
+        assert tok.decode(body) in ("red", "green", "blue"), (rid, toks)
+        assert reasons[rid] == "stop"
+
+
+def test_engine_guided_json_schema_valid_output(guided_setup):
+    cfg, params, tok = guided_setup
+    engine = _make_engine(cfg, params)
+    from gpt_oss_vllm_tpu.engine.request import SamplingParams
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "name": {"type": "string", "maxLength": 4},
+            "n": {"enum": [1, 2, 3]},
+            "ok": {"type": "boolean"},
+        },
+    }
+    g = compile_guided("json_schema", schema, tok)
+    for i, seed in enumerate([11, 22, 33]):
+        engine.add_request(
+            f"j{i}", tok.encode("emit json: "),
+            SamplingParams(
+                max_tokens=64, temperature=1.0, seed=seed,
+                stop_token_ids=tuple(tok.stop_ids), guided=g,
+            ),
+        )
+    texts, reasons = _drain(engine, [f"j{i}" for i in range(3)])
+    for rid, toks in texts.items():
+        body = tok.decode([t for t in toks if t not in tok.stop_ids])
+        assert reasons[rid] == "stop", (rid, body)
+        doc = json.loads(body)
+        assert set(doc) == {"name", "n", "ok"}
+        assert isinstance(doc["name"], str) and len(doc["name"]) <= 4
+        assert doc["n"] in (1, 2, 3)
+        assert isinstance(doc["ok"], bool)
+
+
+def test_engine_guided_regex_prefix_valid_on_length_cut(guided_setup):
+    """max_tokens can cut a constrained generation mid-document: the emitted
+    text must still be a viable DFA prefix (never ungrammatical)."""
+    cfg, params, tok = guided_setup
+    engine = _make_engine(cfg, params)
+    from gpt_oss_vllm_tpu.engine.request import SamplingParams
+
+    g = compile_guided("regex", r"[ab]{40}", tok)
+    engine.add_request(
+        "r0", tok.encode("go: "),
+        SamplingParams(
+            max_tokens=5, temperature=0.8, seed=5,
+            stop_token_ids=tuple(tok.stop_ids), guided=g,
+        ),
+    )
+    texts, reasons = _drain(engine, ["r0"])
+    body = tok.decode([t for t in texts["r0"] if t not in tok.stop_ids])
+    assert reasons["r0"] == "length"
+    assert len(body) == 5 and set(body) <= {"a", "b"}
+
+
+def test_engine_guided_mixed_batch_async_parity(guided_setup):
+    """A guided request degrades the async chain to the sync path; plain
+    greedy requests in the same batch must still emit exactly the tokens
+    the all-sync engine would."""
+    import dataclasses
+
+    cfg, params, tok = guided_setup
+    from gpt_oss_vllm_tpu.engine.request import SamplingParams
+
+    sync_cfg = dataclasses.replace(
+        cfg, scheduler=dataclasses.replace(cfg.scheduler, async_decode=False)
+    )
+    plain = SamplingParams(max_tokens=12, temperature=0.0)
+    ref_engine = _make_engine(sync_cfg, params)
+    ref_engine.add_request("p", [5, 6, 7], plain)
+    ref_texts, _ = _drain(ref_engine, ["p"])
+
+    engine = _make_engine(cfg, params)  # async default
+    g = compile_guided("choice", ["yes", "no"], tok)
+    engine.add_request("p", [5, 6, 7], plain)
+    engine.add_request(
+        "g", tok.encode("answer: "),
+        SamplingParams(
+            max_tokens=8, temperature=0.7, seed=3,
+            stop_token_ids=tuple(tok.stop_ids), guided=g,
+        ),
+    )
+    texts, reasons = _drain(engine, ["p", "g"])
+    assert texts["p"] == ref_texts["p"]
+    body = tok.decode([t for t in texts["g"] if t not in tok.stop_ids])
+    assert body in ("yes", "no")
+    # after the guided request finishes the engine returns to the async
+    # chain: a fresh plain request still matches the sync oracle
+    engine.add_request("p2", [5, 6, 7], plain)
+    texts2, _ = _drain(engine, ["p2"])
+    assert texts2["p2"] == ref_texts["p"]
+
+
+# ---------------------------------------------------------------------------
+# HTTP surface
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def http_engine():
+    from gpt_oss_vllm_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        ModelConfig,
+        QuantConfig,
+        SchedulerConfig,
+        ServingConfig,
+    )
+    from gpt_oss_vllm_tpu.engine.engine import InferenceEngine
+    from gpt_oss_vllm_tpu.models.params import random_params
+
+    tok = ByteTokenizer()
+    cfg = EngineConfig(
+        model=ModelConfig.tiny(vocab_size=512),
+        quant=QuantConfig(method="none"),
+        cache=CacheConfig(block_size=8, num_blocks=64, max_blocks_per_seq=16),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_model_len=96),
+        serving=ServingConfig(served_model_name="tiny"),
+    )
+    params = random_params(cfg.model, cfg.quant, seed=2)
+    return InferenceEngine(cfg, params), tok, cfg
+
+
+@pytest.fixture()
+async def client(http_engine, aiohttp_client):
+    from gpt_oss_vllm_tpu.serving.api_server import AsyncEngine, build_app
+
+    engine, tok, cfg = http_engine
+    ae = AsyncEngine(engine, tok)
+    app = build_app(ae, cfg.serving, cfg.scheduler.max_model_len)
+    return await aiohttp_client(app)
+
+
+async def test_http_guided_choice(client):
+    r = await client.post(
+        "/v1/completions",
+        json={
+            "model": "m", "prompt": "color: ", "max_tokens": 16,
+            "temperature": 0.9, "seed": 1,
+            "guided_choice": ["alpha", "beta"],
+        },
+    )
+    assert r.status == 200
+    body = await r.json()
+    assert body["choices"][0]["text"] in ("alpha", "beta")
+    assert body["choices"][0]["finish_reason"] == "stop"
+
+
+async def test_http_response_format_json_schema(client):
+    rf = {
+        "type": "json_schema",
+        "json_schema": {
+            "name": "answer",
+            "schema": {
+                "type": "object",
+                "properties": {
+                    "verdict": {"enum": ["yes", "no"]},
+                    "conf": {"type": "integer"},
+                },
+            },
+        },
+    }
+    r = await client.post(
+        "/v1/chat/completions",
+        json={
+            "model": "m",
+            "messages": [{"role": "user", "content": "verdict?"}],
+            "max_tokens": 48, "temperature": 1.0, "seed": 7,
+            "response_format": rf,
+        },
+    )
+    assert r.status == 200
+    body = await r.json()
+    content = body["choices"][0]["message"]["content"]
+    doc = json.loads(content)
+    assert doc["verdict"] in ("yes", "no")
+    assert isinstance(doc["conf"], int)
+
+
+async def test_http_guided_regex_stream(client):
+    r = await client.post(
+        "/v1/completions",
+        json={
+            "model": "m", "prompt": "id: ", "max_tokens": 24,
+            "temperature": 0.8, "seed": 9, "stream": True,
+            "guided_regex": r"[A-Z]{3}-\d{4}",
+        },
+    )
+    assert r.status == 200
+    raw = (await r.read()).decode()
+    lines = [l for l in raw.split("\n") if l.startswith("data: ")]
+    assert lines[-1] == "data: [DONE]"
+    text = "".join(
+        json.loads(l[6:])["choices"][0]["text"] for l in lines[:-1]
+    )
+    assert re.fullmatch(r"[A-Z]{3}-\d{4}", text), text
+
+
+async def test_http_guided_bad_spec_400(client):
+    r = await client.post(
+        "/v1/completions",
+        json={
+            "model": "m", "prompt": "x", "max_tokens": 4,
+            "guided_regex": "(?P<bad>x)",
+        },
+    )
+    assert r.status == 400
+    r = await client.post(
+        "/v1/completions",
+        json={
+            "model": "m", "prompt": "x", "max_tokens": 4,
+            "guided_regex": "a", "guided_choice": ["b"],
+        },
+    )
+    assert r.status == 400
+
+
+async def test_http_response_format_json_object(client):
+    r = await client.post(
+        "/v1/completions",
+        json={
+            "model": "m", "prompt": "json: ", "max_tokens": 64,
+            "temperature": 1.0, "seed": 4,
+            "response_format": {"type": "json_object"},
+        },
+    )
+    assert r.status == 200
+    body = await r.json()
+    ch = body["choices"][0]
+    if ch["finish_reason"] == "stop":
+        doc = json.loads(ch["text"])
+        assert isinstance(doc, dict)
+    else:
+        # length-cut: the emitted prefix must still be grammatical — it
+        # extends to a valid object (cheap check: correct opening + no parse
+        # error before the cut is hard to assert directly; ensure non-empty
+        # and starts with '{')
+        assert ch["text"].startswith("{")
