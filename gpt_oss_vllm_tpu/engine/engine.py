@@ -277,7 +277,7 @@ class InferenceEngine:
                                 pos_cap, seeds, ctrs, temp, top_p, top_k,
                                 min_p, bias_ids, bias_vals, stop_ids,
                                 min_toks, counts, pres, freq, rep,
-                                post="none", K=sc.spec_tokens):
+                                post="none", K=sc.spec_tokens, n_lp=0):
                 # FULLY device-chained speculative step: draft from the
                 # per-row token-history ring, feed [last, draft...], verify
                 # on device (rejection sampling against each row's exact
@@ -370,6 +370,35 @@ class InferenceEngine:
                 # [W, 2+K] readback carries tokens AND the proposal count
                 # (for the acceptance metrics) per flushed step
                 payload = jnp.concatenate([nd[:, None], emitted], axis=1)
+                if n_lp > 0:
+                    # speculation x logprobs (STATUS r4 gap): the window
+                    # carries OpenAI logprob payloads PER POSITION — chosen
+                    # logprob + top-n (ids, vals) over the post-processed
+                    # logits, exactly what the plain chain's "lp" mode
+                    # computes token-at-a-time — packed as one f32
+                    # [W, 2+K, 2+2n] readback (ids < 2^24 exact in f32):
+                    # row 0 is [nd | 0...], row 1+j is position j's
+                    # [token | chosen | ids | vals]
+                    logp = jax.nn.log_softmax(
+                        logits.astype(jnp.float32), axis=-1
+                    )  # [W, 1+K, V]
+                    chosen = jnp.take_along_axis(
+                        logp, jnp.clip(emitted, 0)[..., None], axis=-1
+                    )  # [W, 1+K, 1]
+                    top_vals, top_ids = jax.lax.top_k(logp, n_lp)
+                    per_pos = jnp.concatenate(
+                        [
+                            emitted[..., None].astype(jnp.float32),
+                            chosen,
+                            top_ids.astype(jnp.float32),
+                            top_vals,
+                        ],
+                        axis=-1,
+                    )  # [W, 1+K, 2+2n]
+                    head = jnp.zeros(
+                        (W, 1, 2 + 2 * n_lp), jnp.float32
+                    ).at[:, 0, 0].set(nd.astype(jnp.float32))
+                    payload = jnp.concatenate([head, per_pos], axis=1)
                 if post == "full":
                     # occurrence counts chain with the emitted tokens (pads
                     # scatter out of bounds and drop)
@@ -384,7 +413,7 @@ class InferenceEngine:
             self._decode_spec_async = jax.jit(
                 spec_async_step,
                 donate_argnames=("cache", "hist", "hist_len", "counts"),
-                static_argnames=("post", "K"),
+                static_argnames=("post", "K", "n_lp"),
             )
             # adaptive draft length (VERDICT r3 weak #4): the verify window
             # costs ~(1 + BETA*k) plain steps (measured k=4 draftless ~1.9x),
@@ -1102,10 +1131,14 @@ class InferenceEngine:
         outputs: List[StepOutput] = []
         # payload kinds by shape+dtype: 1-D int = plain tokens; 2-D int =
         # async-spec [W, 1+nd+K]; 2-D FLOAT = logprobs rows
-        # [W, tok | chosen | top ids | top vals] (ids exact in f32)
-        two_d = getattr(toks, "ndim", 1) == 2
+        # [W, tok | chosen | top ids | top vals] (ids exact in f32);
+        # 3-D FLOAT = spec x logprobs [W, 2+K, 2+2n] (row 0 = [nd|0...],
+        # row 1+j = position j's [tok | chosen | ids | vals])
+        nd_dims = getattr(toks, "ndim", 1)
+        two_d = nd_dims == 2
+        spec_lp = nd_dims == 3
         is_lp = two_d and np.issubdtype(np.asarray(toks).dtype, np.floating)
-        spec = two_d and not is_lp
+        spec = (two_d and not is_lp) or spec_lp
         step_rates: List[int] = []  # per-row emitted counts of THIS step
         for ci, slot, req in snapshot:
             k = (slot, id(req))
@@ -1117,17 +1150,29 @@ class InferenceEngine:
             if req.state != RequestState.RUNNING or req.slot != slot:
                 continue  # finished/aborted/preempted since dispatch
             if spec:
-                row = toks[ci]
-                nd = int(row[0])
+                row = np.asarray(toks[ci])
+                if spec_lp:
+                    nd = int(row[0, 0])
+                    n = (row.shape[1] - 2) // 2
+                    entries = [
+                        (
+                            int(pos[0]),
+                            (pos[1:2], pos[2 : 2 + n].astype(np.int64)[None],
+                             pos[2 + n :][None]),
+                        )
+                        for pos in row[1:]
+                    ]
+                else:
+                    nd = int(row[0])
+                    entries = [(int(t), None) for t in row[1:]]
                 self.metrics["spec_proposed"] += nd
                 n_emitted = 0
-                for tok in row[1:]:
-                    tok = int(tok)
+                for tok, lpdata in entries:
                     if tok < 0:
                         break
                     self.metrics["decode_tokens"] += 1
                     n_emitted += 1
-                    out = self._append_token(req, tok)
+                    out = self._append_token(req, tok, lpdata, 0)
                     outputs.append(out)
                     if out.finished:
                         break
@@ -1541,17 +1586,17 @@ class InferenceEngine:
             return truncated + self._flush_pending()
         # BOTH async programs absorb host post-processing on device
         # (logit_bias, min_tokens stop masking, penalties with a chained
-        # count state), and the plain chain also computes OpenAI logprobs
-        # in-program — every sampling feature now rides the zero-sync
-        # pipeline. Logprobs rows only keep speculation off (the widened
-        # verify window doesn't carry per-position logprob payloads).
+        # count state), and BOTH compute OpenAI logprobs in-program (the
+        # plain chain's "lp" mode; the spec chain's per-window-position
+        # payload rows) — every sampling feature rides the zero-sync
+        # pipeline, and speculation composes with logprobs too.
         lp_free = all(r.sampling.logprobs is None for _, r in running)
         # grammar-constrained rows need the emitted prefix host-side before
         # the next mask: they take the exact sync path (like logprobs rows
         # pre-r4); the batch degrades together because path switching is
         # whole-chain
         guided_free = all(r.guided is None for _, r in running)
-        spec_capable = self.spec_tokens > 0 and lp_free and guided_free
+        spec_capable = self.spec_tokens > 0 and guided_free
         use_spec = spec_capable and self._step_counter >= self._spec_off_until
         if self.async_decode and guided_free:
             # plain rows (greedy OR sampled) stay on device: the fused
@@ -1708,7 +1753,17 @@ class InferenceEngine:
             post = "bias"
         else:
             post = "none"
-        key = (post, K) + tuple((i, id(r)) for i, r in running)
+        # logprobs compose with speculation: the window program computes the
+        # per-position OpenAI payload when any row asks (n_lp static; rows
+        # with logprobs=None just ignore their payload at emission)
+        if any(r.sampling.logprobs is not None for _, r in running):
+            n_lp = min(
+                max(max((r.sampling.logprobs or 0) for _, r in running), 1),
+                16,
+            )
+        else:
+            n_lp = 0
+        key = (post, K, n_lp) + tuple((i, id(r)) for i, r in running)
         outputs: List[StepOutput] = []
         if key != self._spec_key or self._hist_chain is None:
             # acceptance counts of in-flight steps are host-unknown: bring
@@ -1717,7 +1772,7 @@ class InferenceEngine:
             running = [(i, r) for i, r in enumerate(self.slots) if r is not None]
             if not running:
                 return outputs
-            key = (post, K) + tuple((i, id(r)) for i, r in running)
+            key = (post, K, n_lp) + tuple((i, id(r)) for i, r in running)
             W = min(self.num_slots, _next_bucket(max(1, len(running)), 1))
             hist = np.zeros((W, L), dtype=np.int32)
             hlen = np.zeros(W, dtype=np.int32)
@@ -1827,7 +1882,7 @@ class InferenceEngine:
             temp_d, top_p_d, top_k_d, min_p_d,
             bias_ids_d, bias_vals_d, stop_ids_d, min_toks_d,
             self._spec_counts, pres_d, freq_d, rep_d,
-            post=self._spec_post, K=K,
+            post=self._spec_post, K=K, n_lp=n_lp,
         )
         self.cache = cache
         if self._spec_post == "full":

@@ -676,3 +676,108 @@ def test_async_spec_adaptive_k_descends_before_backoff():
         [prompt], SamplingParams(max_tokens=40, temperature=0.0)
     )[0]
     assert out == want
+
+
+def test_async_spec_composes_with_logprobs():
+    """STATUS r4 gap closed: logprobs rows ride the spec chain — the fused
+    window program computes the OpenAI payload (chosen logprob + top-n ids/
+    vals over the post-processed logits) PER WINDOW POSITION, so a logprobs
+    request keeps multi-token spec steps. Greedy streams AND their logprob
+    payloads must match the sync no-spec engine."""
+    cfg = EngineConfig.tiny()
+    params = random_params(cfg.model, QuantConfig(method="none"), seed=11)
+    rng = np.random.default_rng(33)
+    pat = rng.integers(1, cfg.model.vocab_size, 7)
+    rep_prompt = np.tile(pat, 10)[:56].tolist()
+
+    sps = [
+        SamplingParams(max_tokens=18, temperature=0.0, logprobs=3),
+        SamplingParams(max_tokens=14, temperature=0.0, logprobs=0),  # chosen-only
+        SamplingParams(max_tokens=16, temperature=0.0),  # plain rider
+    ]
+
+    def run(spec_tokens, async_decode):
+        c = dataclasses.replace(
+            cfg,
+            scheduler=dataclasses.replace(
+                cfg.scheduler, spec_tokens=spec_tokens,
+                async_decode=async_decode, async_depth=3, async_flush_burst=2,
+                max_model_len=256,
+            ),
+        )
+        eng = InferenceEngine(c, params)
+        for j, sp in enumerate(sps):
+            eng.add_request(f"m{j}", rep_prompt[: 40 + j], sp)
+        toks = {f"m{j}": [] for j in range(len(sps))}
+        lps = {f"m{j}": [] for j in range(len(sps))}
+        tops = {f"m{j}": [] for j in range(len(sps))}
+        while eng.has_work():
+            for o in eng.step():
+                if o.token_id >= 0:
+                    toks[o.request_id].append(o.token_id)
+                    lps[o.request_id].append(o.logprob)
+                    tops[o.request_id].append(o.top_logprobs)
+        return toks, lps, tops, eng
+
+    want_t, want_l, want_top, _ = run(0, False)
+    got_t, got_l, got_top, eng = run(4, True)
+    assert got_t == want_t
+    # spec actually engaged (repetitive text -> drafts fire)
+    assert eng.metrics.get("spec_proposed", 0) > 0
+    assert eng.metrics.get("spec_accepted", 0) > 0
+    for rid in ("m0", "m1"):
+        for a, b in zip(got_l[rid], want_l[rid]):
+            assert a is not None and b is not None
+            assert abs(a - b) < 1e-3, (rid, a, b)
+        for a, b in zip(got_top[rid], want_top[rid]):
+            assert [t for t, _ in a] == [t for t, _ in b]
+            assert np.allclose(
+                [v for _, v in a], [v for _, v in b], atol=1e-3
+            )
+    # the n=0 row returns the chosen logprob with an empty top list
+    assert all(t == [] for t in got_top["m1"])
+    # the plain rider carries no logprob data
+    assert all(l is None for l in got_l["m2"])
+
+
+def test_async_spec_logprobs_sampled_reproducible():
+    """Sampled logprobs rows on the spec chain: the seeded stream is
+    reproducible run-to-run (rejection sampling preserves the target
+    DISTRIBUTION — the sample path legitimately differs from the plain
+    sampler's, so the invariant is determinism, not byte parity)."""
+    cfg = EngineConfig.tiny()
+    params = random_params(cfg.model, QuantConfig(method="none"), seed=11)
+    rng = np.random.default_rng(5)
+    pat = rng.integers(1, cfg.model.vocab_size, 6)
+    prompt = np.tile(pat, 8)[:44].tolist()
+    sp = SamplingParams(
+        max_tokens=15, temperature=0.8, seed=77, logprobs=2
+    )
+
+    def run():
+        c = dataclasses.replace(
+            cfg,
+            scheduler=dataclasses.replace(
+                cfg.scheduler, spec_tokens=3,
+                async_decode=True, async_depth=2, async_flush_burst=1,
+                max_model_len=256,
+            ),
+        )
+        eng = InferenceEngine(c, params)
+        toks, lps = [], []
+        eng.add_request("s", prompt, sp)
+        while eng.has_work():
+            for o in eng.step():
+                if o.token_id >= 0:
+                    toks.append(o.token_id)
+                    lps.append((o.logprob, tuple(o.top_logprobs or ())))
+        return toks, lps, eng
+
+    t1, l1, eng = run()
+    t2, l2, _ = run()
+    assert t1 == t2
+    assert l1 == l2
+    # (at T=0.8 on random weights the n-gram proposer may find no drafts —
+    # engagement with payloads is asserted by the greedy test above; here
+    # the invariant is determinism of the spec-chain lp program)
+    assert len(t1) == 15 and all(lp[0] is not None for lp in l1)
