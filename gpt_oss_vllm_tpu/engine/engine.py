@@ -492,8 +492,9 @@ class InferenceEngine:
                            block_tables, seeds, ctrs, temp, top_p, top_k,
                            min_p, bias_ids=None, bias_vals=None,
                            stop_ids=None, min_toks=None, counts=None,
-                           pres=None, freq=None, rep=None, mode="full",
-                           post="none", n_lp=0):
+                           pres=None, freq=None, rep=None, g_state=None,
+                           g_bits=None, g_trans=None, g_bytes=None,
+                           mode="full", post="none", n_lp=0, guided=False):
                 # COMPACT batch: the program width W = rows.shape[0] is the
                 # bucketed count of RUNNING requests, not max_num_seqs — a
                 # c=1 stream on a 32-slot engine decodes through a width-1
@@ -507,7 +508,11 @@ class InferenceEngine:
                     params, cache=cache, tokens=tokens[:, None],
                     positions=positions[:, None], block_tables=block_tables,
                     last_idx=jnp.zeros(tokens.shape[0], jnp.int32),
-                    greedy_head=mode == "greedy" and post == "none",
+                    # the fused lm_head argmax bypasses logits post-
+                    # processing — it must stay off for guided batches
+                    # (the grammar mask applies to logits)
+                    greedy_head=mode == "greedy" and post == "none"
+                    and not guided,
                 )
                 logits = out.logits
                 if post != "none":
@@ -530,6 +535,32 @@ class InferenceEngine:
                         counts=counts if post == "full" else None,
                         presence=pres, frequency=freq, repetition=rep,
                     )[:, 0, :]
+                if guided:
+                    # grammar-constrained rows ON the zero-sync chain
+                    # (serving/guided.py): gather the row's bit-packed
+                    # allowed-token mask (25 KB/state at a 200k vocab, vs
+                    # V bytes dense), unpack MSB-first (np.packbits order),
+                    # -inf everything the DFA disallows — applied after
+                    # bias/penalties so nothing resurrects an ungrammatical
+                    # token. Rows with g_state -1 are unconstrained.
+                    from gpt_oss_vllm_tpu.ops.sampling import NEG_INF
+
+                    live_g = g_state >= 0
+                    row_bits = g_bits[jnp.clip(g_state, 0)].astype(jnp.int32)
+                    shifts = 7 - jnp.arange(8, dtype=jnp.int32)
+                    bits = (row_bits[:, :, None] >> shifts[None, None, :]) & 1
+                    Vtok = g_bytes.shape[0]
+                    allow = bits.reshape(row_bits.shape[0], -1)[:, :Vtok] > 0
+                    Vm = logits.shape[-1]
+                    if Vm > Vtok:  # lm_head padding ids: never grammatical
+                        allow = jnp.concatenate(
+                            [allow,
+                             jnp.zeros((allow.shape[0], Vm - Vtok), bool)],
+                            axis=1,
+                        )
+                    logits = jnp.where(
+                        live_g[:, None] & ~allow, NEG_INF, logits
+                    )
                 # static sampler specialization: the full path costs two
                 # [B, 201k] sorts + cumsum + Gumbel generation EVERY step
                 # (jnp.where computes both sides) — ~6 ms/step of pure waste
@@ -587,6 +618,21 @@ class InferenceEngine:
                     counts = counts.at[
                         jnp.arange(W, dtype=jnp.int32), nxt
                     ].add(1)
+                if guided:
+                    # advance the DFA by walking the sampled token's bytes
+                    # (g_bytes rows are -1-padded; stop ids are all-pad so
+                    # their state stays put, matching the host session)
+                    tb = g_bytes[jnp.clip(nxt, 0, g_bytes.shape[0] - 1)]
+
+                    def _gwalk(s, b):
+                        s2 = jnp.where(
+                            (b >= 0) & (s >= 0),
+                            g_trans[jnp.clip(s, 0), jnp.clip(b, 0)],
+                            s,
+                        )
+                        return s2, None
+
+                    g_state, _ = jax.lax.scan(_gwalk, g_state, tb.T)
                 # chain positions/counters ON DEVICE: between batch-
                 # composition changes every running row advances by exactly
                 # one token per step, so the host never re-uploads them —
@@ -602,12 +648,17 @@ class InferenceEngine:
                 if payload is None:
                     payload = nxt
                 return (out.cache, nxt, payload, full_upd, new_pos, ctrs + 1,
-                        counts)
+                        counts, g_state)
 
             self._decode_fused = jax.jit(
                 fused_step, donate_argnames=("cache", "full_tok", "counts"),
-                static_argnames=("mode", "post", "n_lp"),
+                static_argnames=("mode", "post", "n_lp", "guided"),
             )
+            # device-chained grammar state for guided rows on the plain
+            # chain: stacked (bits, trans, byte-matrix) tables + per-row
+            # absolute DFA state (None = no guided rows / rebuild)
+            self._g_tabs = None
+            self._gstate_dev = None
             # plain-chain post-processing state (mirrors the spec chain)
             self._plain_post = "none"
             self._plain_postargs = (None,) * 4
@@ -1403,17 +1454,20 @@ class InferenceEngine:
             r.sampling.logprobs is not None for _, r in running
         ) else 0
         flushed: List[StepOutput] = []
+        guided_present = any(r.guided is not None for _, r in running)
         key = (post, n_lp) + tuple((i, id(r)) for i, r in running)
         if key != self._samp_key:
-            if post == "full":
-                # count rows are seeded from request contexts, which are
-                # exact only after the in-flight pipeline lands
+            if post == "full" or guided_present:
+                # count rows and grammar states are seeded from request
+                # state, which is exact only after the in-flight pipeline
+                # lands (the device chain runs ahead of the host mirrors)
                 flushed = self._flush_pending()
                 running = [
                     (i, r) for i, r in enumerate(self.slots) if r is not None
                 ]
                 if not running:
                     return flushed
+                guided_present = any(r.guided is not None for _, r in running)
                 key = (post, n_lp) + tuple((i, id(r)) for i, r in running)
             W = min(S, _next_bucket(max(1, len(running)), 1))
             rows = np.full(W, S, dtype=np.int32)  # pad sentinel = S
@@ -1476,11 +1530,46 @@ class InferenceEngine:
                 else:
                     self._plain_counts = None
                     self._plain_pen = (None,) * 3
+            if guided_present:
+                # stack the distinct grammars' tables (bit-packed masks +
+                # offset-shifted byte transitions) into one device table;
+                # per-row states index it absolutely. All grammars in a
+                # process share the tokenizer, so one byte matrix serves.
+                tabs, offs, off = [], {}, 0
+                for _, r in running:
+                    if r.guided is None:
+                        continue
+                    t = r.guided.grammar.table
+                    if id(t) not in offs:
+                        offs[id(t)] = off
+                        tabs.append(t)
+                        off += t.dfa.num_states
+                bits = np.zeros((off, tabs[0].allowed_bits.shape[1]), np.uint8)
+                trans = np.zeros((off, 256), np.int32)
+                o = 0
+                for t in tabs:
+                    n = t.dfa.num_states
+                    bits[o : o + n] = t.allowed_bits
+                    trans[o : o + n] = t.dfa.trans + o
+                    o += n
+                self._g_tabs = (
+                    jnp.asarray(bits), jnp.asarray(trans),
+                    jnp.asarray(tabs[0].byte_matrix()),
+                )
+                self._g_offs = offs
+            else:
+                self._g_tabs = None
+                self._g_offs = None
+            self._gstate_dev = None
             self._samp_key = key
             self._pos_dev = None  # composition changed: rebuild the chain
             self._bt_dev_version = -1  # block tables re-slice to new rows
         W = self._rows_host.shape[0]
         if self._pos_dev is None:
+            # any chain invalidation (sync interleave, path switch,
+            # preemption) also invalidates the device grammar state — both
+            # rebuild from the (now exact) host mirrors together
+            self._gstate_dev = None
             positions = np.full((W,), -1, dtype=np.int32)
             ctrs = np.zeros(W, np.int32)
             # in-flight sampled-but-unemitted tokens per (slot, request) —
@@ -1499,6 +1588,30 @@ class InferenceEngine:
                 ctrs[ci] = len(req.output_token_ids) + inflight.get((i, id(req)), 0)
             self._pos_dev = jnp.asarray(positions)
             self._ctr_dev = jnp.asarray(ctrs)
+        if guided_present and self._gstate_dev is None:
+            # host sessions are exact here: a chain rebuild with guided
+            # rows flushed above, and sync interleaves flush before
+            # invalidating — assert-grade defensive flush otherwise
+            if any(
+                self._inflight.get((i, id(r)), 0) for i, r in running
+                if r.guided is not None
+            ):
+                flushed.extend(self._flush_pending())
+                self._samp_key = None  # flush may have changed composition
+                running = [
+                    (i, r) for i, r in enumerate(self.slots) if r is not None
+                ]
+                if not running:
+                    return flushed
+                return flushed + self._decode_async_step(running)
+            gstate = np.full(W, -1, np.int32)
+            for ci, (i, r) in enumerate(running):
+                if r.guided is not None:
+                    gstate[ci] = (
+                        self._g_offs[id(r.guided.grammar.table)]
+                        + r.guided.state
+                    )
+            self._gstate_dev = jnp.asarray(gstate)
         if self._bt_dev_version != self._bt_version:
             bt = np.full((W, self.max_blocks), -1, dtype=np.int32)
             act = self._rows_host < S
@@ -1522,8 +1635,10 @@ class InferenceEngine:
         _t_dispatch = time.time()
         bias_ids_d, bias_vals_d, stop_ids_d, min_toks_d = self._plain_postargs
         pres_d, freq_d, rep_d = self._plain_pen
+        g_bits, g_trans, g_bytes = self._g_tabs or (None, None, None)
         (cache, nxt, payload, self._dev_last_tok, self._pos_dev,
-         self._ctr_dev, self._plain_counts) = self._decode_fused(
+         self._ctr_dev, self._plain_counts,
+         self._gstate_dev) = self._decode_fused(
             self.params,
             self.cache,
             self._dev_last_tok,
@@ -1538,9 +1653,12 @@ class InferenceEngine:
             min_p_d,
             bias_ids_d, bias_vals_d, stop_ids_d, min_toks_d,
             self._plain_counts, pres_d, freq_d, rep_d,
+            g_state=self._gstate_dev, g_bits=g_bits, g_trans=g_trans,
+            g_bytes=g_bytes,
             mode=mode,
             post=self._plain_post,
             n_lp=n_lp,
+            guided=self._g_tabs is not None,
         )
         self.cache = cache
         if self._plain_post == "full":
@@ -1591,14 +1709,21 @@ class InferenceEngine:
         # payload rows) — every sampling feature rides the zero-sync
         # pipeline, and speculation composes with logprobs too.
         lp_free = all(r.sampling.logprobs is None for _, r in running)
-        # grammar-constrained rows need the emitted prefix host-side before
-        # the next mask: they take the exact sync path (like logprobs rows
-        # pre-r4); the batch degrades together because path switching is
-        # whole-chain
+        # grammar-constrained rows ride the plain zero-sync chain too: the
+        # fused program gathers the row's bit-packed mask and advances the
+        # DFA by a device byte walk. Only harmony-gated sessions (the gate
+        # transitions on channel headers, host logic) and min_tokens>0 rows
+        # (stop-suppression can conflict with a grammar-forced stop) take
+        # the exact sync path; speculation keeps guided rows off entirely.
         guided_free = all(r.guided is None for _, r in running)
+        guided_async = all(
+            r.guided is None
+            or (r.sampling.guided_gate == "none" and r.sampling.min_tokens == 0)
+            for _, r in running
+        )
         spec_capable = self.spec_tokens > 0 and guided_free
         use_spec = spec_capable and self._step_counter >= self._spec_off_until
-        if self.async_decode and guided_free:
+        if self.async_decode and guided_async:
             # plain rows (greedy OR sampled) stay on device: the fused
             # spec program verifies sampled rows by rejection sampling with
             # chained draw counters; greedy rows degrade to longest-prefix

@@ -851,12 +851,20 @@ class TokenTable:
             # tokens with no bytes (specials, empty strings) never advance
             # the grammar: disallow them outright
             allowed[:, empty] = False
-            self.has_continuation[s0:s1] = allowed.any(axis=1)
+            has_cont = allowed.any(axis=1)
+            self.has_continuation[s0:s1] = has_cont
             # stop/EOS ids close the document: allowed exactly at acceptance
+            # — and at tokenizer-granularity dead-ends (no single token
+            # realizes any viable byte path), where forcing termination
+            # beats sampling from an all -inf row. Baked into the table so
+            # the host path and the device-chained mask agree exactly.
             if len(stop_arr):
-                allowed[:, stop_arr] = dfa.accepting[s0:s1, None]
+                allowed[:, stop_arr] = (
+                    dfa.accepting[s0:s1] | ~has_cont
+                )[:, None]
             packed[s0:s1] = np.packbits(allowed, axis=1)
         self.allowed_bits = packed
+        self._byte_mat = None  # lazy [V, Lmax] int32 (-1 pads) device walk
 
     def allowed_row(self, state: int) -> np.ndarray:
         return np.unpackbits(
@@ -870,6 +878,20 @@ class TokenTable:
         if not b:
             return self.dfa.dead
         return self.dfa.walk(state, b)
+
+    def byte_matrix(self) -> np.ndarray:
+        """[V, Lmax] int32 token-byte matrix (-1 pads; stop ids all-pad so a
+        device byte walk leaves their state unchanged) — the advance table
+        for the zero-sync decode chain."""
+        if self._byte_mat is None:
+            lens = [len(b) if b else 0 for b in self._vbytes]
+            Lmax = max(1, max(lens) if lens else 1)
+            mat = np.full((self.V, Lmax), -1, np.int32)
+            for v, b in enumerate(self._vbytes):
+                if b and v not in self.stop_ids:
+                    mat[v, : len(b)] = np.frombuffer(b, np.uint8)
+            self._byte_mat = mat
+        return self._byte_mat
 
 
 class GuidedGrammar:

@@ -356,9 +356,9 @@ def test_engine_guided_regex_prefix_valid_on_length_cut(guided_setup):
 
 
 def test_engine_guided_mixed_batch_async_parity(guided_setup):
-    """A guided request degrades the async chain to the sync path; plain
-    greedy requests in the same batch must still emit exactly the tokens
-    the all-sync engine would."""
+    """Guided rows ride the async chain (device-side mask + DFA byte walk);
+    plain greedy requests in the same batch must still emit exactly the
+    tokens the all-sync engine would."""
     import dataclasses
 
     cfg, params, tok = guided_setup
@@ -538,3 +538,131 @@ async def test_http_response_format_json_object(client):
         # error before the cut is hard to assert directly; ensure non-empty
         # and starts with '{')
         assert ch["text"].startswith("{")
+
+
+# ---------------------------------------------------------------------------
+# device-chained guided decoding (async path)
+# ---------------------------------------------------------------------------
+
+
+def test_engine_guided_async_chain_byte_parity(guided_setup):
+    """Guided rows on the zero-sync chain emit EXACTLY the tokens the sync
+    engine does (same masked logits, same seeded sampler), for greedy and
+    sampled rows, across mixed multi-grammar batches — and the async engine
+    actually pipelines (in-flight steps observed)."""
+    import dataclasses
+
+    cfg, params, tok = guided_setup
+    from gpt_oss_vllm_tpu.engine.request import SamplingParams
+
+    g1 = compile_guided("choice", ["red", "green", "blue"], tok)
+    g2 = compile_guided("regex", r"[ab]{1,30}", tok)
+    reqs = [
+        ("a0", tok.encode("color: "), SamplingParams(
+            max_tokens=12, temperature=0.0,
+            stop_token_ids=tuple(tok.stop_ids), guided=g1)),
+        ("a1", tok.encode("seq: "), SamplingParams(
+            max_tokens=10, temperature=0.9, seed=4,
+            stop_token_ids=tuple(tok.stop_ids), guided=g2)),
+        ("a2", tok.encode("other: "), SamplingParams(
+            max_tokens=12, temperature=0.8, seed=9,
+            stop_token_ids=tuple(tok.stop_ids), guided=g2)),
+        ("a3", [5, 6, 7], SamplingParams(max_tokens=10, temperature=0.0)),
+    ]
+
+    def run(async_decode):
+        c = dataclasses.replace(
+            cfg,
+            scheduler=dataclasses.replace(
+                cfg.scheduler, async_decode=async_decode, async_depth=3,
+                async_flush_burst=2,
+            ),
+        )
+        eng = _make_engine(c, params)
+        for rid, p, sp in reqs:
+            eng.add_request(rid, p, sp)
+        toks = {rid: [] for rid, _, _ in reqs}
+        max_pending = 0
+        while eng.has_work():
+            for o in eng.step():
+                if o.token_id >= 0:
+                    toks[o.request_id].append(o.token_id)
+            max_pending = max(max_pending, len(getattr(eng, "_pending", ())))
+        return toks, max_pending
+
+    want, _ = run(False)
+    got, max_pending = run(True)
+    assert got == want
+    assert max_pending >= 2  # the guided batch really pipelined async steps
+    body = tok.decode([t for t in got["a0"] if t not in tok.stop_ids])
+    assert body in ("red", "green", "blue")
+    for rid in ("a1", "a2"):
+        b = tok.decode([t for t in got[rid] if t not in tok.stop_ids])
+        assert b and set(b) <= {"a", "b"}
+
+
+def test_engine_guided_async_json_complete(guided_setup):
+    """A schema-guided sampled request completes a valid document through
+    the async chain (grammar state chained on device across steps)."""
+    import dataclasses
+
+    cfg, params, tok = guided_setup
+    from gpt_oss_vllm_tpu.engine.request import SamplingParams
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "k": {"enum": ["x", "y"]},
+            "v": {"type": "string", "maxLength": 3},
+        },
+    }
+    g = compile_guided("json_schema", schema, tok)
+    c = dataclasses.replace(
+        cfg,
+        scheduler=dataclasses.replace(
+            cfg.scheduler, async_decode=True, async_depth=3,
+            async_flush_burst=2,
+        ),
+    )
+    eng = _make_engine(c, params)
+    for i, seed in enumerate([3, 14, 15]):
+        eng.add_request(
+            f"j{i}", tok.encode(f"doc {i}: "),
+            SamplingParams(
+                max_tokens=48, temperature=1.0, seed=seed,
+                stop_token_ids=tuple(tok.stop_ids), guided=g,
+            ),
+        )
+    texts, reasons = _drain(eng, [f"j{i}" for i in range(3)])
+    for rid, toks in texts.items():
+        body = tok.decode([t for t in toks if t not in tok.stop_ids])
+        assert reasons[rid] == "stop", (rid, body)
+        doc = json.loads(body)
+        assert doc["k"] in ("x", "y") and len(doc["v"]) <= 3
+
+
+def test_engine_guided_min_tokens_stays_sync(guided_setup):
+    """min_tokens>0 guided rows keep the exact sync path (grammar-forced
+    stop must override the stop suppression) — output stays valid."""
+    import dataclasses
+
+    cfg, params, tok = guided_setup
+    from gpt_oss_vllm_tpu.engine.request import SamplingParams
+
+    g = compile_guided("choice", ["ok"], tok)
+    c = dataclasses.replace(
+        cfg,
+        scheduler=dataclasses.replace(cfg.scheduler, async_decode=True),
+    )
+    eng = _make_engine(c, params)
+    eng.add_request(
+        "m", tok.encode("x: "),
+        SamplingParams(
+            max_tokens=8, temperature=0.0, min_tokens=5,
+            stop_token_ids=tuple(tok.stop_ids), guided=g,
+        ),
+    )
+    texts, reasons = _drain(eng, ["m"])
+    body = tok.decode([t for t in texts["m"] if t not in tok.stop_ids])
+    assert body == "ok"
+    assert reasons["m"] == "stop"
