@@ -214,6 +214,35 @@ def _stop_strings(stop) -> List[str]:
     return [stop] if isinstance(stop, str) else list(stop)
 
 
+def _prometheus_text(metrics: dict, prefix: str = "gpt_oss_tpu") -> str:
+    """Flatten the metrics dict into Prometheus text exposition format
+    (nested dicts join with '_'; non-numeric leaves are dropped). The
+    substrate vLLM serves /metrics as Prometheus; ops tooling pointed at a
+    vLLM deployment can scrape this endpoint unchanged."""
+    lines: List[str] = []
+
+    def walk(prefix_parts, obj):
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                safe = "".join(
+                    c if c.isalnum() or c == "_" else "_" for c in str(k)
+                )
+                walk(prefix_parts + [safe], v)
+            return
+        if isinstance(obj, bool) or not isinstance(obj, (int, float)):
+            return
+        name = "_".join(prefix_parts)
+        kind = "counter" if name.endswith(
+            ("_tokens", "_proposed", "_accepted", "_hits", "_misses",
+             "preemptions")
+        ) else "gauge"
+        lines.append(f"# TYPE {name} {kind}")
+        lines.append(f"{name} {obj}")
+
+    walk([prefix], metrics)
+    return "\n".join(lines) + "\n"
+
+
 class Server:
     def __init__(self, async_engine: AsyncEngine, serving: ServingConfig, max_model_len: int):
         self.ae = async_engine
@@ -281,6 +310,20 @@ class Server:
         )
         if "hbm" in m["memory"]:
             m["device_memory"] = m["memory"]["hbm"]  # backward-compat alias
+        m["num_requests_running"] = self.ae.engine.num_running()
+        m["num_requests_waiting"] = len(self.ae.engine.waiting)
+        # Prometheus text exposition (the substrate vLLM's /metrics format)
+        # on Accept: text/plain or ?format=prometheus; JSON stays the
+        # default for the in-repo tooling
+        accept = request.headers.get("Accept", "")
+        if request.query.get("format") == "prometheus" or (
+            "text/plain" in accept and "application/json" not in accept
+        ):
+            return web.Response(
+                text=_prometheus_text(m),
+                content_type="text/plain",
+                charset="utf-8",
+            )
         return web.json_response(m)
 
     # -- profiling (SURVEY.md §5: jax.profiler trace endpoints replacing the
@@ -362,6 +405,8 @@ class Server:
         try:
             sampling = _sampling_from(req, self.ae.tokenizer, self.max_model_len)
             if req.stream:
+                if (req.best_of or 0) > max(1, req.n or 1):
+                    raise ValueError("best_of > n cannot be streamed")
                 return await self._stream_completion(request, req, prompts, sampling, chat=False)
             return await self._full_completion(req, prompts, sampling, chat=False)
         except ValueError as e:
@@ -402,8 +447,25 @@ class Server:
         return dataclasses.replace(sampling, seed=sampling.seed + i)
 
     async def _full_completion(self, req, prompts, sampling, chat: bool) -> web.Response:
+        import dataclasses
+
         stops = _stop_strings(req.stop)
         n = max(1, getattr(req, "n", 1) or 1)
+        # OpenAI `best_of` (completions only): generate best_of candidates
+        # per prompt, return the n with the highest cumulative logprob.
+        # Scoring needs per-token logprobs, so candidates run with
+        # logprobs=0 (chosen-only) even when the user didn't ask — the
+        # response surfaces logprobs only if they did.
+        best_of = n
+        if not chat:
+            bo = getattr(req, "best_of", None) or n
+            if bo < n:
+                raise ValueError(f"best_of ({bo}) must be >= n ({n})")
+            best_of = min(bo, 16)
+        user_lp = sampling.logprobs is not None
+        run_sampling = sampling
+        if best_of > n and not user_lp:
+            run_sampling = dataclasses.replace(sampling, logprobs=0)
 
         async def one_choice(prompt_ids, i: int):
             from gpt_oss_vllm_tpu.serving.harmony import HarmonyStreamParser
@@ -426,15 +488,16 @@ class Server:
                 else:
                     reasoning += d
 
-            lp = proto.LogProbs() if sampling.logprobs is not None and not chat else None
-            chat_lp = (
-                proto.ChatLogprobs()
-                if chat and sampling.logprobs is not None
-                else None
-            )
-            async for out in self.ae.stream_tokens(prompt_ids, self._nth_sampling(sampling, i)):
+            lp = proto.LogProbs() if user_lp and not chat else None
+            chat_lp = proto.ChatLogprobs() if chat and user_lp else None
+            score = 0.0  # cumulative logprob (best_of ranking)
+            async for out in self.ae.stream_tokens(
+                prompt_ids, self._nth_sampling(run_sampling, i)
+            ):
                 if out.token_id >= 0:
                     n_tokens += 1  # -1 = finish-only sentinel, not a token
+                    if out.logprob is not None:
+                        score += out.logprob
                 # logprob collection stops once a stop string truncated the
                 # text (OpenAI truncates logprobs with the content)
                 if lp is not None and out.logprob is not None and finish_reason is None:
@@ -484,15 +547,24 @@ class Server:
             if tool_calls and finish_reason in (None, "stop"):
                 finish_reason = "tool_calls"
             return (text, reasoning, tool_calls, finish_reason, n_tokens,
-                    chat_lp if chat else lp)
+                    chat_lp if chat else lp, score)
 
         # prompt-major choice order across the prompt list (OpenAI multi-
-        # prompt completions); n>1 choices run concurrently through the
-        # engine's continuous batch and the prefix cache shares prompt KV
+        # prompt completions); n>1/best_of candidates run concurrently
+        # through the engine's continuous batch and the prefix cache shares
+        # prompt KV
         results = await asyncio.gather(
-            *(one_choice(p, j) for p in prompts for j in range(n))
+            *(one_choice(p, j) for p in prompts for j in range(best_of))
         )
+        # usage counts ALL generated tokens, including discarded best_of
+        # candidates (the OpenAI accounting)
         total_completion = sum(r[4] for r in results)
+        if best_of > n:
+            picked = []
+            for pi in range(len(prompts)):
+                grp = results[pi * best_of : (pi + 1) * best_of]
+                picked.extend(sorted(grp, key=lambda r: -r[6])[:n])
+            results = picked
         total_prompt = sum(len(p) for p in prompts)
         usage = proto.Usage(
             prompt_tokens=total_prompt,
@@ -515,7 +587,7 @@ class Server:
                         finish_reason=finish_reason or "stop",
                         logprobs=clp,
                     )
-                    for i, (text, reasoning, tool_calls, finish_reason, _, clp) in enumerate(results)
+                    for i, (text, reasoning, tool_calls, finish_reason, _, clp, _s) in enumerate(results)
                 ],
                 usage=usage,
             )
@@ -531,7 +603,7 @@ class Server:
                         + text,
                         finish_reason=finish_reason or "stop", logprobs=lp
                     )
-                    for i, (text, _, _, finish_reason, _, lp) in enumerate(results)
+                    for i, (text, _, _, finish_reason, _, lp, _s) in enumerate(results)
                 ],
                 usage=usage,
             )

@@ -35,6 +35,7 @@ class CompletionRequest(BaseModel):
     min_p: float = 0.0  # vLLM extension: prob >= min_p * max_prob
     min_tokens: int = 0  # vLLM extension: suppress stop until N tokens
     n: int = 1
+    best_of: Optional[int] = None  # generate best_of, return the n best
     stream: bool = False
     stream_options: Optional[StreamOptions] = None
     stop: Optional[Union[str, List[str]]] = None

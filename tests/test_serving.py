@@ -530,3 +530,70 @@ async def test_chat_logprobs(client):
                 if c.get("logprobs"):
                     entries.extend(c["logprobs"]["content"])
     assert len(entries) == 3
+
+
+async def test_metrics_prometheus_exposition(client):
+    """vLLM serves /metrics in Prometheus text format; ops tooling pointed
+    at a vLLM deployment scrapes this endpoint unchanged (?format= or
+    Accept: text/plain). JSON stays the default for in-repo tools."""
+    r = await client.get("/metrics?format=prometheus")
+    assert r.status == 200
+    assert r.headers["Content-Type"].startswith("text/plain")
+    body = await r.text()
+    assert "# TYPE gpt_oss_tpu_decode_tokens counter" in body
+    assert "gpt_oss_tpu_kv_blocks_total" in body
+    assert "gpt_oss_tpu_num_requests_running" in body
+    # every sample line parses as "name value"
+    for line in body.strip().split("\n"):
+        if line.startswith("#"):
+            continue
+        name, val = line.rsplit(" ", 1)
+        float(val)
+    r = await client.get("/metrics", headers={"Accept": "text/plain"})
+    assert (await r.text()).startswith("# TYPE")
+    r = await client.get("/metrics")
+    assert (await r.json())["kv_blocks_total"] > 0
+
+
+async def test_completions_best_of(client):
+    """OpenAI best_of: generate best_of candidates, return the n best by
+    cumulative logprob; usage counts ALL generated tokens."""
+    r = await client.post(
+        "/v1/completions",
+        json={
+            "model": "m", "prompt": "abc", "max_tokens": 4,
+            "temperature": 0.9, "seed": 3, "n": 1, "best_of": 4,
+        },
+    )
+    assert r.status == 200
+    body = await r.json()
+    assert len(body["choices"]) == 1
+    # all four candidates' tokens are billed
+    assert body["usage"]["completion_tokens"] >= 4
+    # the user didn't ask for logprobs: none surfaced despite internal scoring
+    assert body["choices"][0]["logprobs"] is None
+
+    # best_of returns the argmax-by-score choice: with a seed the result is
+    # deterministic
+    r2 = await client.post(
+        "/v1/completions",
+        json={
+            "model": "m", "prompt": "abc", "max_tokens": 4,
+            "temperature": 0.9, "seed": 3, "n": 1, "best_of": 4,
+        },
+    )
+    assert (await r2.json())["choices"][0]["text"] == body["choices"][0]["text"]
+
+
+async def test_completions_best_of_validation(client):
+    r = await client.post(
+        "/v1/completions",
+        json={"model": "m", "prompt": "x", "max_tokens": 2, "n": 3, "best_of": 2},
+    )
+    assert r.status == 400
+    r = await client.post(
+        "/v1/completions",
+        json={"model": "m", "prompt": "x", "max_tokens": 2, "best_of": 3,
+              "stream": True},
+    )
+    assert r.status == 400
