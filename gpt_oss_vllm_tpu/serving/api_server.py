@@ -163,7 +163,8 @@ def _guided_spec(req):
 
 
 def _sampling_from(
-    req, tokenizer: Tokenizer, max_model_len: int, chat: bool = False
+    req, tokenizer: Tokenizer, max_model_len: int, chat: bool = False,
+    guided=None,
 ) -> SamplingParams:
     max_tokens = getattr(req, "max_tokens", None) or getattr(req, "max_completion_tokens", None) or 16
     lp = getattr(req, "logprobs", None)
@@ -179,14 +180,10 @@ def _sampling_from(
     # message; generation continues into the final channel) — only at
     # <|return|>/<|call|>/eos
     stop_ids = tokenizer.chat_stop_ids if chat else tokenizer.stop_ids
-    guided = None
-    gate = "none"
-    spec = _guided_spec(req)
-    if spec is not None:
-        guided = compile_guided(spec[0], spec[1], tokenizer)
-        # channeled chat: constrain only the final channel's message, the
-        # analysis/commentary channels stay free-form
-        gate = "harmony" if (chat and tokenizer.harmony) else "none"
+    # guided is precompiled by the handler (off the event loop — a cold
+    # grammar x 200k-vocab table build takes seconds); channeled chat
+    # constrains only the final channel's message
+    gate = "harmony" if (guided is not None and chat and tokenizer.harmony) else "none"
     return SamplingParams(
         max_tokens=min(max_tokens, max_model_len),
         temperature=req.temperature,
@@ -403,7 +400,10 @@ class Server:
             )
         prompts = self._encode_prompts(req.prompt)
         try:
-            sampling = _sampling_from(req, self.ae.tokenizer, self.max_model_len)
+            guided = await self._compile_guided(req)
+            sampling = _sampling_from(
+                req, self.ae.tokenizer, self.max_model_len, guided=guided
+            )
             if req.stream:
                 if (req.best_of or 0) > max(1, req.n or 1):
                     raise ValueError("best_of > n cannot be streamed")
@@ -426,12 +426,29 @@ class Server:
             [m.model_dump() for m in req.messages], tools=tools
         )
         try:
-            sampling = _sampling_from(req, self.ae.tokenizer, self.max_model_len, chat=True)
+            guided = await self._compile_guided(req)
+            sampling = _sampling_from(
+                req, self.ae.tokenizer, self.max_model_len, chat=True,
+                guided=guided,
+            )
             if req.stream:
                 return await self._stream_completion(request, req, [prompt_ids], sampling, chat=True)
             return await self._full_completion(req, [prompt_ids], sampling, chat=True)
         except ValueError as e:
             return web.json_response(proto.ErrorResponse.make(str(e)).model_dump(), status=400)
+
+    async def _compile_guided(self, req):
+        """Resolve + compile a request's guided spec OFF the event loop (a
+        cold grammar x 200k-vocab mask-table build takes seconds; cached
+        grammars return instantly). Raises GuidedError (-> 400)."""
+        spec = _guided_spec(req)
+        if spec is None:
+            return None
+        import asyncio as _asyncio
+
+        return await _asyncio.get_event_loop().run_in_executor(
+            None, compile_guided, spec[0], spec[1], self.ae.tokenizer
+        )
 
     # -- generation paths --------------------------------------------------
 

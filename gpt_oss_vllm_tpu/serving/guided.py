@@ -841,12 +841,16 @@ class TokenTable:
                 np.arange(s0, s1, dtype=np.int32)[:, None], V, axis=1
             )
             for col in range(Lmax):
-                b = mat[:, col]  # [V] int16, 256 = pad
-                live = b < 256
-                if not live.any():
+                # advance only the tokens that HAVE a byte at this column:
+                # column cost is (states x live tokens), so the whole walk
+                # is O(states x total vocab bytes), not O(states x V x Lmax)
+                # — the tail columns of a 200k-vocab BPE hold a handful of
+                # long tokens
+                live_idx = np.nonzero(mat[:, col] < 256)[0]
+                if live_idx.size == 0:
                     break
-                nxt = dfa.trans[cur, np.minimum(b, 255)[None, :]]
-                cur = np.where(live[None, :], nxt, cur)
+                b = mat[live_idx, col].astype(np.int64)
+                cur[:, live_idx] = dfa.trans[cur[:, live_idx], b[None, :]]
             allowed = cur != dfa.dead
             # tokens with no bytes (specials, empty strings) never advance
             # the grammar: disallow them outright
