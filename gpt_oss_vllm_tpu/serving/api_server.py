@@ -478,7 +478,7 @@ class Server:
             bo = getattr(req, "best_of", None) or n
             if bo < n:
                 raise ValueError(f"best_of ({bo}) must be >= n ({n})")
-            best_of = min(bo, 16)
+            best_of = min(bo, max(16, n))  # resource cap, never below n
         user_lp = sampling.logprobs is not None
         run_sampling = sampling
         if best_of > n and not user_lp:

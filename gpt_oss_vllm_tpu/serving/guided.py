@@ -172,6 +172,13 @@ class _Parser:
             if hi is not None and hi < lo:
                 self.error("bad {m,n}")
             node = ("rep", node, lo, hi)
+        # lazy-quantifier marker: a*? matches the same LANGUAGE as a*
+        # (laziness affects capture order, not membership) — accept+ignore
+        if (
+            isinstance(node, tuple) and node[0] == "rep" and c is not None
+            and self.peek() == "?"
+        ):
+            self.next()
         # reject double quantifiers like a** (ambiguous, unsupported)
         if self.peek() in ("*", "+") and isinstance(node, tuple) and node[0] == "rep":
             self.error("double quantifier")
@@ -199,6 +206,11 @@ class _Parser:
             return ("alt", [("set", _ASCII_MASK & ~(1 << 0x0A)), ("anymb",)])
         if c == "\\":
             return self.escape(in_class=False)
+        if c in "^$":
+            # anchors are no-ops under fullmatch semantics (every pattern
+            # is implicitly anchored); mid-pattern anchors are degenerate
+            # either way, so epsilon keeps schema "pattern" fields working
+            return ("lit", b"")
         if c in "*+?{":
             self.error(f"dangling quantifier {c!r}")
         if c in ")|":  # unreachable via cat(), defensive
@@ -219,6 +231,10 @@ class _Parser:
         }
         if c in simple and simple[c] is not None:
             return ("lit", simple[c])
+        if c in "bBAZ" and not in_class:
+            # zero-width assertions have no DFA byte realization; rejecting
+            # beats silently matching a literal letter
+            self.error(f"unsupported assertion \\{c}")
         if c == "d":
             return ("set", _D_MASK)
         if c == "D":

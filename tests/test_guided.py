@@ -724,3 +724,20 @@ def test_engine_guided_composes_with_speculation(guided_setup):
     # speculation really engaged on the constrained stream
     assert eng.metrics.get("spec_proposed", 0) > 0
     assert eng.metrics.get("spec_accepted", 0) > 0
+
+
+def test_regex_anchors_lazy_and_assertions():
+    """fullmatch semantics: ^/$ anchors are no-ops; lazy quantifiers match
+    the same language as greedy; zero-width assertions raise instead of
+    silently matching a literal letter."""
+    d = compile_regex(r"^foo$")
+    assert d.matches(b"foo") and not d.matches(b"xfoo")
+    d = compile_regex(r"a*?b+?")
+    for s in ["b", "aab", "abbb", "a", ""]:
+        assert d.matches(s.encode()) == (
+            re.fullmatch(r"a*?b+?", s) is not None
+        ), s
+    for pat in (r"\bfoo", r"a\Z", r"x\By"):
+        with pytest.raises(GuidedError):
+            compile_regex(pat)
+    assert compile_regex(r"[\b]").matches(b"\x08")  # backspace inside class
