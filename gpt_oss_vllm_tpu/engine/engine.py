@@ -1198,7 +1198,7 @@ class InferenceEngine:
             n = req.sampling.logprobs
             top_lp = [(int(t), float(v)) for t, v in zip(ids[row][:n], vals[row][:n])]
         reason = None
-        if token in req.sampling.stop_token_ids:
+        if token in req.sampling.stop_token_ids and not req.sampling.ignore_eos:
             reason = "stop"
         elif len(req.output_token_ids) >= req.sampling.max_tokens:
             reason = "length"

@@ -17,6 +17,9 @@ class SamplingParams:
     min_p: float = 0.0  # keep tokens with prob >= min_p * max_prob (0 = off)
     min_tokens: int = 0  # suppress stop tokens until this many are emitted
     stop_token_ids: tuple = ()
+    # vLLM extension: emitted stop/EOS tokens do not finish the request
+    # (generation runs to max_tokens — the benchmarking contract)
+    ignore_eos: bool = False
     seed: Optional[int] = None
     logprobs: Optional[int] = None  # return top-N logprobs per token
     presence_penalty: float = 0.0  # flat penalty on seen tokens (OpenAI)

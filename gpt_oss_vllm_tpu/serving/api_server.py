@@ -192,6 +192,7 @@ def _sampling_from(
         min_p=getattr(req, "min_p", 0.0) or 0.0,
         min_tokens=getattr(req, "min_tokens", 0) or 0,
         stop_token_ids=tuple(stop_ids),
+        ignore_eos=bool(getattr(req, "ignore_eos", False)),
         seed=req.seed,
         logprobs=lp,
         presence_penalty=getattr(req, "presence_penalty", 0.0) or 0.0,

@@ -41,6 +41,7 @@ class CompletionRequest(BaseModel):
     stop: Optional[Union[str, List[str]]] = None
     seed: Optional[int] = None
     echo: bool = False
+    ignore_eos: bool = False  # vLLM extension: run to max_tokens
     logprobs: Optional[int] = None
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
@@ -103,6 +104,7 @@ class ChatCompletionRequest(BaseModel):
     stream_options: Optional[StreamOptions] = None
     stop: Optional[Union[str, List[str]]] = None
     seed: Optional[int] = None
+    ignore_eos: bool = False  # vLLM extension: run to max_tokens
     logprobs: bool = False
     top_logprobs: Optional[int] = None
     presence_penalty: float = 0.0

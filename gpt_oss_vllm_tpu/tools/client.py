@@ -173,16 +173,17 @@ def main(argv=None):
     sub.add_parser("models")
     sub.add_parser("smoke")
     sub.add_parser("repl")
-    p = sub.add_parser("complete")
-    p.add_argument("prompt")
-    p.add_argument("--max-tokens", type=int, default=64)
-    p.add_argument("--temperature", type=float, default=0.7)
-    p.add_argument("--stream", action="store_true")
-    p = sub.add_parser("chat")
-    p.add_argument("prompt")
-    p.add_argument("--max-tokens", type=int, default=64)
-    p.add_argument("--temperature", type=float, default=0.7)
-    p.add_argument("--stream", action="store_true")
+    for name in ("complete", "chat"):
+        p = sub.add_parser(name)
+        p.add_argument("prompt")
+        p.add_argument("--max-tokens", type=int, default=64)
+        p.add_argument("--temperature", type=float, default=0.7)
+        p.add_argument("--stream", action="store_true")
+        # structured outputs (serving/guided.py)
+        p.add_argument("--json-schema", help="JSON schema the output must match")
+        p.add_argument("--json", action="store_true", help="json_object mode")
+        p.add_argument("--regex", help="guided_regex pattern")
+        p.add_argument("--choice", action="append", help="guided_choice (repeat)")
     p = sub.add_parser("bench")
     p.add_argument("--concurrency", type=int, default=4)
     p.add_argument("--requests", type=int, default=16)
@@ -201,7 +202,19 @@ def main(argv=None):
     elif args.cmd == "bench":
         sys.exit(cmd_bench(c, args.concurrency, args.requests, args.max_tokens))
     elif args.cmd in ("complete", "chat"):
+        guided = {}
+        if getattr(args, "json_schema", None):
+            guided["guided_json"] = json.loads(args.json_schema)
+        if getattr(args, "json", False):
+            guided["response_format"] = {"type": "json_object"}
+        if getattr(args, "regex", None):
+            guided["guided_regex"] = args.regex
+        if getattr(args, "choice", None):
+            guided["guided_choice"] = args.choice
         if args.stream:
+            if guided:
+                print("(guided flags apply to non-stream requests only in this client)",
+                      file=sys.stderr)
             for d in c.stream(args.prompt, chat=args.cmd == "chat", max_tokens=args.max_tokens,
                               temperature=args.temperature):
                 sys.stdout.write(d)
@@ -210,7 +223,8 @@ def main(argv=None):
         else:
             fn = c.chat if args.cmd == "chat" else c.complete
             c.models()
-            r = fn(args.prompt, max_tokens=args.max_tokens, temperature=args.temperature)
+            r = fn(args.prompt, max_tokens=args.max_tokens, temperature=args.temperature,
+                   **guided)
             ch = r["choices"][0]
             msg = ch.get("message", {})
             print(ch.get("text") or msg.get("content") or "")

@@ -365,3 +365,30 @@ def test_sharded_engine_with_speculation(setup):
     # the device-chained spec program ran over the mesh (drafts fire only
     # when the model's own output self-repeats; parity is the invariant)
     assert eng._async_path == "spec"
+
+
+def test_sharded_engine_guided(setup):
+    """Guided decoding composes with GSPMD sharding: the device-chained
+    mask/DFA tables enter the sharded fused program as replicated args and
+    the constrained stream matches the single-device engine exactly."""
+    cfg, params = setup
+    from gpt_oss_vllm_tpu.serving.guided import compile_guided
+    from gpt_oss_vllm_tpu.serving.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer()
+    g = compile_guided("choice", ["red", "green", "blue"], tok)
+    sp = SamplingParams(
+        max_tokens=10, temperature=0.9, seed=5,
+        stop_token_ids=tuple(tok.stop_ids), guided=g,
+    )
+    prompt = tok.encode("c: ")
+    single = InferenceEngine(cfg, params)
+    want = single.generate([prompt], sp)[0]
+
+    mesh = make_mesh(ParallelConfig(dp=1, ep=4, tp=2))
+    with mesh:
+        sharded = InferenceEngine(cfg, params, mesh=mesh)
+        got = sharded.generate([prompt], sp)[0]
+    assert got == want
+    body = tok.decode([t for t in got if t not in tok.stop_ids])
+    assert body in ("red", "green", "blue")

@@ -597,3 +597,19 @@ async def test_completions_best_of_validation(client):
               "stream": True},
     )
     assert r.status == 400
+
+
+async def test_completions_ignore_eos(client):
+    """vLLM ignore_eos: stop/EOS tokens do not finish the request —
+    generation runs to max_tokens (the benchmarking contract)."""
+    base = {"model": "m", "prompt": "abc", "max_tokens": 24,
+            "temperature": 0.0}
+    r1 = await (await client.post("/v1/completions", json=base)).json()
+    r2 = await (await client.post(
+        "/v1/completions", json={**base, "ignore_eos": True}
+    )).json()
+    assert r2["choices"][0]["finish_reason"] == "length"
+    assert r2["usage"]["completion_tokens"] == 24
+    # without ignore_eos the greedy stream may stop earlier (or not);
+    # with it, it must never stop before the budget
+    assert r1["usage"]["completion_tokens"] <= 24
