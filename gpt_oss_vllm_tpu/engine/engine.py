@@ -783,10 +783,11 @@ class InferenceEngine:
             seed_resolved=seed,
         )
         if sampling.guided is not None:
-            # per-request DFA state (+ harmony channel gate); guided rows
-            # take the sync decode path — masks depend on the emitted
-            # prefix, which the zero-sync device chain doesn't read back
-            # until flush
+            # per-request DFA state (+ harmony channel gate). Gate-free
+            # guided rows ride the zero-sync fused chain (device-side DFA
+            # byte walks advance the state; composes with speculation);
+            # only harmony-gated or min_tokens>0 guided rows fall back to
+            # the sync path
             req.guided = sampling.guided.new_session(sampling.guided_gate)
         self.requests[request_id] = req
         self.waiting.append(req)

@@ -479,7 +479,13 @@ class Server:
             bo = getattr(req, "best_of", None) or n
             if bo < n:
                 raise ValueError(f"best_of ({bo}) must be >= n ({n})")
-            best_of = min(bo, max(16, n))  # resource cap, never below n
+            cap = max(16, n)
+            if bo > cap:
+                # reject (OpenAI/vLLM error on out-of-range best_of) rather
+                # than silently running fewer candidates than billed
+                raise ValueError(f"best_of ({bo}) exceeds the supported "
+                                 f"maximum ({cap})")
+            best_of = bo
         user_lp = sampling.logprobs is not None
         run_sampling = sampling
         if best_of > n and not user_lp:

@@ -19,11 +19,15 @@ first-class and TPU-shaped:
   supported subset (no recursive ``$ref``);
 - schemaless ``json_object`` uses a bounded-nesting JSON grammar.
 
-Masks are applied to logits before sampling (``engine._sample_row``); the
-per-request DFA state advances host-side as tokens are emitted. A
-``GuidedSession`` also carries the harmony gate: on channeled (GPT-OSS)
-chat the constraint activates only inside the ``final`` channel's message,
-so analysis/commentary channels stay free-form.
+Masks are applied to logits before sampling. On the zero-sync device
+decode chain the per-request DFA state lives ON DEVICE: the engine gathers
+a packed mask row per step and advances the state with a DFA byte-walk over
+the emitted token's bytes (``TokenTable.byte_matrix``), so guided rows ride
+the fused chain with no host round-trip. The host-side
+``GuidedSession.advance`` mirrors the same walk for the sync path and
+carries the harmony gate: on channeled (GPT-OSS) chat the constraint
+activates only inside the ``final`` channel's message, so
+analysis/commentary channels stay free-form.
 """
 
 from __future__ import annotations
@@ -60,6 +64,15 @@ class GuidedError(ValueError):
 # ---------------------------------------------------------------------------
 
 _ALL_BYTES = (1 << 256) - 1
+
+# Compile-cost guards: bounded quantifiers expand by literal NFA duplication,
+# so an unauthenticated request with {1,200000} (or an equivalent schema
+# maxLength/maxItems) would build hundreds of thousands of NFA states and pin
+# a core in subset construction long before MAX_DFA_STATES fires. Reject at
+# parse time instead; the NFA state cap catches nested-rep products
+# ((a{1000}){1000}) that per-rep caps alone would miss.
+MAX_REP_BOUND = 4096
+MAX_NFA_STATES = 200_000
 
 
 def _mask_of(bs: Sequence[int]) -> int:
@@ -171,6 +184,11 @@ class _Parser:
             self.next()
             if hi is not None and hi < lo:
                 self.error("bad {m,n}")
+            if lo > MAX_REP_BOUND or (hi is not None and hi > MAX_REP_BOUND):
+                raise GuidedError(
+                    f"quantifier bound > {MAX_REP_BOUND} unsupported "
+                    f"(got {{{lo},{hi if hi is not None else ''}}})"
+                )
             node = ("rep", node, lo, hi)
         # lazy-quantifier marker: a*? matches the same LANGUAGE as a*
         # (laziness affects capture order, not membership) — accept+ignore
@@ -269,6 +287,7 @@ class _Parser:
             neg = True
         mask = 0
         extra_lits: List[tuple] = []  # non-ASCII members (positive classes)
+        covers_mb = False  # class body already covers multi-byte UTF-8
         first = True
         while True:
             c = self.peek()
@@ -288,7 +307,11 @@ class _Parser:
                     for sub in node[1]:
                         if sub[0] == "set":
                             mask |= sub[1]
-                    # the multibyte part is handled via negation below
+                    # the class body itself covers all multi-byte chars; a
+                    # NEGATED class must then exclude them (``[^\D]`` is
+                    # digits only), so record coverage instead of relying on
+                    # the unconditional anymb append below
+                    covers_mb = True
                     if not neg:
                         extra_lits.append(("anymb",))
                     continue
@@ -331,9 +354,15 @@ class _Parser:
             else:
                 mask |= 1 << c_ord
         if neg:
-            # complement within ASCII; any multi-byte char is NOT in the
-            # listed set, so it matches a negated class
-            return ("alt", [("set", _ASCII_MASK & ~mask), ("anymb",)])
+            # complement within ASCII; a multi-byte char matches a negated
+            # class only when the class body did NOT already cover all
+            # multi-byte chars (via \D/\W/\S)
+            inv = _ASCII_MASK & ~mask
+            if covers_mb:
+                if not inv:
+                    self.error("negated class matches nothing")
+                return ("set", inv)
+            return ("alt", [("set", inv), ("anymb",)])
         branches = []
         if mask:
             branches.append(("set", mask))
@@ -351,6 +380,10 @@ class _NFA:
         self.edges: List[List[Tuple[int, int]]] = []  # (byte bitmask, target)
 
     def new_state(self) -> int:
+        if len(self.eps) >= MAX_NFA_STATES:
+            raise GuidedError(
+                f"grammar too large (> {MAX_NFA_STATES} NFA states)"
+            )
         self.eps.append([])
         self.edges.append([])
         return len(self.eps) - 1
@@ -708,6 +741,10 @@ def json_schema_to_regex(schema, depth: int = 0) -> str:
         hi = schema.get("maxLength")
         if lo is not None or hi is not None:
             lo = int(lo or 0)
+            if lo > MAX_REP_BOUND or (hi is not None and int(hi) > MAX_REP_BOUND):
+                raise GuidedError(
+                    f"minLength/maxLength > {MAX_REP_BOUND} unsupported"
+                )
             rep = f"{{{lo},{int(hi)}}}" if hi is not None else f"{{{lo},}}"
             return f'"{_STR_CHAR}{rep}"'
         return _STRING_RE
@@ -723,6 +760,10 @@ def json_schema_to_regex(schema, depth: int = 0) -> str:
         item = json_schema_to_regex(schema.get("items", True), depth + 1)
         lo = int(schema.get("minItems", 0))
         hi = schema.get("maxItems")
+        if lo > MAX_REP_BOUND or (hi is not None and int(hi) > MAX_REP_BOUND):
+            raise GuidedError(
+                f"minItems/maxItems > {MAX_REP_BOUND} unsupported"
+            )
         first = f"{_WS}{item}"
         more = f"{_WS},{_WS}{item}"
         if hi is not None:

@@ -741,3 +741,50 @@ def test_regex_anchors_lazy_and_assertions():
         with pytest.raises(GuidedError):
             compile_regex(pat)
     assert compile_regex(r"[\b]").matches(b"\x08")  # backspace inside class
+
+
+def test_quantifier_bound_dos_rejected_fast():
+    """Huge bounded quantifiers are rejected at parse/lowering time (the
+    unauthenticated-DoS fix): no NFA is built, so the error is instant."""
+    import time
+
+    from gpt_oss_vllm_tpu.serving.guided import json_schema_to_regex
+
+    t0 = time.monotonic()
+    with pytest.raises(GuidedError):
+        compile_regex("a{1,200000}")
+    with pytest.raises(GuidedError):
+        compile_regex("a{100000}")
+    with pytest.raises(GuidedError):
+        json_schema_to_regex({"type": "string", "maxLength": 200000})
+    with pytest.raises(GuidedError):
+        json_schema_to_regex(
+            {"type": "array", "items": {"type": "integer"},
+             "minItems": 100000}
+        )
+    # nested reps whose product explodes are caught by the NFA state cap
+    with pytest.raises(GuidedError):
+        compile_regex("((ab|cd){1000}){1000}")
+    assert time.monotonic() - t0 < 30.0
+    # in-bound quantifiers still compile
+    assert compile_regex("a{1,64}").matches(b"a" * 64)
+
+
+def test_negated_class_with_perl_classes_excludes_multibyte():
+    """[^\\D] is digits ONLY (Python re semantics): the class body already
+    covers all multi-byte UTF-8 via \\D, so the negation must not re-admit
+    it."""
+    d = compile_regex(r"[^\D]")
+    assert d.matches(b"5")
+    assert not d.matches("é".encode())
+    assert not d.matches(b"x")
+    assert re.fullmatch(r"[^\D]", "é") is None
+    d = compile_regex(r"[^\W]+")
+    assert d.matches(b"ab_9")
+    assert not d.matches("aé".encode())
+    d = compile_regex(r"[^\S]")
+    assert d.matches(b" ") and not d.matches("é".encode())
+    # plain negated classes still admit multi-byte
+    assert compile_regex(r"[^a]").matches("é".encode())
+    with pytest.raises(GuidedError):
+        compile_regex(r"[^\d\D]")  # negation of everything matches nothing

@@ -597,6 +597,13 @@ async def test_completions_best_of_validation(client):
               "stream": True},
     )
     assert r.status == 400
+    # best_of above the resource cap is a 400, never a silent truncation
+    r = await client.post(
+        "/v1/completions",
+        json={"model": "m", "prompt": "x", "max_tokens": 2, "best_of": 64},
+    )
+    assert r.status == 400
+    assert "best_of" in (await r.json())["error"]["message"]
 
 
 async def test_completions_ignore_eos(client):
