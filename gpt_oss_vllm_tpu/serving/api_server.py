@@ -162,9 +162,35 @@ def _guided_spec(req):
     return specs[0] if specs else None
 
 
+def _tool_choice_names(req) -> Optional[List[str]]:
+    """Function names a forced ``tool_choice`` restricts generation to, or
+    None when tool choice is auto/none. Raises GuidedError (→ 400) on a
+    malformed or undeclared choice."""
+    tc = getattr(req, "tool_choice", None)
+    if tc is None or tc in ("auto", "none"):
+        return None
+    declared = [
+        t.function.name for t in (req.tools or []) if t.function.name
+    ]
+    if tc == "required":
+        if not declared:
+            raise GuidedError('tool_choice "required" needs tools')
+        return declared
+    if isinstance(tc, dict):
+        if tc.get("type") != "function":
+            raise GuidedError(f"unsupported tool_choice type: {tc.get('type')!r}")
+        name = (tc.get("function") or {}).get("name")
+        if not name:
+            raise GuidedError("tool_choice.function.name missing")
+        if name not in declared:
+            raise GuidedError(f"tool_choice names undeclared tool: {name!r}")
+        return [name]
+    raise GuidedError(f"unsupported tool_choice: {tc!r}")
+
+
 def _sampling_from(
     req, tokenizer: Tokenizer, max_model_len: int, chat: bool = False,
-    guided=None,
+    guided=None, guided_gate: Optional[str] = None,
 ) -> SamplingParams:
     max_tokens = getattr(req, "max_tokens", None) or getattr(req, "max_completion_tokens", None) or 16
     lp = getattr(req, "logprobs", None)
@@ -183,7 +209,10 @@ def _sampling_from(
     # guided is precompiled by the handler (off the event loop — a cold
     # grammar x 200k-vocab table build takes seconds); channeled chat
     # constrains only the final channel's message
-    gate = "harmony" if (guided is not None and chat and tokenizer.harmony) else "none"
+    if guided_gate is not None:
+        gate = guided_gate
+    else:
+        gate = "harmony" if (guided is not None and chat and tokenizer.harmony) else "none"
     return SamplingParams(
         max_tokens=min(max_tokens, max_model_len),
         temperature=req.temperature,
@@ -428,9 +457,26 @@ class Server:
         )
         try:
             guided = await self._compile_guided(req)
+            gate = None
+            forced = _tool_choice_names(req)
+            if forced is not None:
+                if guided is not None:
+                    raise GuidedError(
+                        "forced tool_choice cannot combine with "
+                        "response_format/guided_* constraints"
+                    )
+                # compile off the event loop (cold grammar x vocab table
+                # builds take seconds; cached per (tools, names))
+                from gpt_oss_vllm_tpu.serving.guided import compile_tool_choice
+
+                guided = await asyncio.get_event_loop().run_in_executor(
+                    None, compile_tool_choice, tools, forced,
+                    self.ae.tokenizer,
+                )
+                gate = "tool"  # host phase transitions -> exact sync path
             sampling = _sampling_from(
                 req, self.ae.tokenizer, self.max_model_len, chat=True,
-                guided=guided,
+                guided=guided, guided_gate=gate,
             )
             if req.stream:
                 return await self._stream_completion(request, req, [prompt_ids], sampling, chat=True)

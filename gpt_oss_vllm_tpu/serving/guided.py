@@ -41,7 +41,10 @@ import numpy as np
 __all__ = [
     "GuidedGrammar",
     "GuidedSession",
+    "ToolChoiceGrammar",
+    "ToolChoiceSession",
     "compile_guided",
+    "compile_tool_choice",
     "json_schema_to_regex",
     "GuidedError",
 ]
@@ -1078,6 +1081,202 @@ class GuidedSession:
         return bytes(t for t in self._chan_buf if 0 <= t < 256).decode(
             "utf-8", "replace"
         )
+
+
+# ---------------------------------------------------------------------------
+# Forced tool_choice: token-level phases around byte-DFA grammars
+# ---------------------------------------------------------------------------
+
+_TC_MARK, _TC_NAME, _TC_ARGS = 0, 1, 2
+
+
+class ToolChoiceGrammar:
+    """Forcing grammar for ``tool_choice: {"type":"function",...}`` (one
+    named function) or ``tool_choice: "required"`` (any declared function).
+
+    The substrate server the reference delegates to backs forced tool
+    choice with guided decoding (``/root/reference/patches/gpt_oss_server.py:64-67``
+    → vLLM's OpenAI server); here the harmony token stream itself is
+    constrained, in three phases:
+
+    1. force the ``<|channel|>`` marker (a one-hot token mask);
+    2. constrain the channel-name text to
+       ``commentary to=functions.(NAME|...)`` with a byte-DFA, allowing
+       ``<|message|>`` exactly at DFA acceptance;
+    3. constrain the message body to the chosen tool's JSON-schema grammar,
+       allowing ``<|call|>`` exactly at acceptance.
+
+    Phase 2 → 3 is a host transition (the emitted channel text selects
+    which tool's argument grammar applies), so tool-choice rows always ride
+    the exact sync decode path (``guided_gate="tool"`` — same class as
+    harmony-gated rows)."""
+
+    def __init__(self, name_grammar: GuidedGrammar,
+                 args_by_name: Dict[str, GuidedGrammar],
+                 channel_id: int, message_id: int, call_id: int,
+                 decode_fn, spec_key: str):
+        self.name_grammar = name_grammar
+        self.args_by_name = args_by_name
+        self.channel_id = channel_id
+        self.message_id = message_id
+        self.call_id = call_id
+        self.decode_fn = decode_fn
+        self.spec_key = spec_key
+        self.V = name_grammar.table.V
+
+    def new_session(self, gate: str = "tool") -> "ToolChoiceSession":
+        return ToolChoiceSession(self)
+
+
+class ToolChoiceSession:
+    """Per-request state for a :class:`ToolChoiceGrammar` — same interface
+    the engine's sync decode path drives (``active`` / ``allowed_row`` /
+    ``forces_stop`` / ``advance``)."""
+
+    def __init__(self, grammar: ToolChoiceGrammar):
+        self.grammar = grammar
+        self._phase = _TC_MARK
+        self._name_state = 0
+        self._name_buf: List[int] = []
+        self._args: Optional[GuidedGrammar] = None
+        self._args_state = 0
+
+    @property
+    def active(self) -> bool:
+        return True
+
+    def allowed_row(self) -> Optional[np.ndarray]:
+        g = self.grammar
+        if self._phase == _TC_MARK:
+            row = np.zeros(g.V, bool)
+            if 0 <= g.channel_id < g.V:
+                row[g.channel_id] = True
+            return row
+        if self._phase == _TC_NAME:
+            row = g.name_grammar.allowed_row(self._name_state).copy()
+            # the name grammar's table allows stop ids at acceptance; the
+            # channel header ends with <|message|>, not a stop
+            for t in g.name_grammar.table.stop_ids:
+                row[t] = False
+            if g.name_grammar.accepting(self._name_state):
+                if 0 <= g.message_id < g.V:
+                    row[g.message_id] = True
+            elif not row.any():
+                # tokenizer-granularity dead-end mid-name (no single token
+                # realizes any viable byte path): allow the stop ids so the
+                # request terminates instead of sampling an all -inf row
+                row = g.name_grammar.allowed_row(self._name_state).copy()
+                for t in g.name_grammar.table.stop_ids:
+                    row[t] = True
+            return row
+        # _TC_ARGS: the chosen tool's schema grammar; the call marker is the
+        # only stop the harmony tool-call framing accepts
+        args = self._args
+        row = args.allowed_row(self._args_state).copy()
+        if 0 <= g.call_id < g.V:
+            for t in args.table.stop_ids:
+                if t != g.call_id:
+                    row[t] = False
+        return row
+
+    def forces_stop(self) -> bool:
+        if self._phase == _TC_ARGS:
+            return self._args.forces_stop(self._args_state)
+        return False
+
+    def advance(self, token_id: int):
+        g = self.grammar
+        if self._phase == _TC_MARK:
+            if token_id == g.channel_id:
+                self._phase = _TC_NAME
+            return
+        if self._phase == _TC_NAME:
+            if token_id == g.message_id:
+                name = self._decode_name()
+                self._args = g.args_by_name.get(name)
+                if self._args is None and len(g.args_by_name) == 1:
+                    # masking guarantees a declared name; defensive fallback
+                    self._args = next(iter(g.args_by_name.values()))
+                if self._args is None:
+                    raise GuidedError(
+                        f"internal: channel named undeclared tool {name!r}"
+                    )
+                self._args_state = 0
+                self._phase = _TC_ARGS
+                return
+            self._name_buf.append(token_id)
+            self._name_state = g.name_grammar.table.advance(
+                self._name_state, token_id
+            )
+            return
+        if token_id in self._args.table.stop_ids:
+            return
+        self._args_state = self._args.advance(self._args_state, token_id)
+
+    def _decode_name(self) -> str:
+        text = ""
+        if self.grammar.decode_fn is not None:
+            try:
+                text = self.grammar.decode_fn(self._name_buf)
+            except Exception:
+                text = ""
+        if not text:
+            text = bytes(
+                t for t in self._name_buf if 0 <= t < 256
+            ).decode("utf-8", "replace")
+        if "functions." in text:
+            return text.split("functions.", 1)[1].split()[0].strip()
+        return text.strip()
+
+
+def compile_tool_choice(tools: Sequence[Dict], names: Sequence[str],
+                        tokenizer) -> ToolChoiceGrammar:
+    """Compile a forcing grammar for ``tool_choice``. ``tools`` are OpenAI
+    tool definitions (dicts); ``names`` the function names generation may
+    call (one for a named forcing, all declared names for ``"required"``).
+    Raises :class:`GuidedError` (→ HTTP 400) on unknown names or a
+    non-harmony tokenizer (the commentary-channel framing needs the
+    channel/message/call specials)."""
+    by_name: Dict[str, Dict] = {}
+    for t in tools or ():
+        fn = t.get("function", t) if isinstance(t, dict) else {}
+        n = fn.get("name")
+        if n:
+            by_name[n] = fn
+    names = list(dict.fromkeys(names))
+    if not names:
+        raise GuidedError("tool_choice requires at least one tool")
+    unknown = [n for n in names if n not in by_name]
+    if unknown:
+        raise GuidedError(f"tool_choice names undeclared tool(s): {unknown}")
+    try:
+        if not getattr(tokenizer, "harmony", False):
+            raise KeyError("harmony")
+        channel_id = tokenizer.special("channel")
+        message_id = tokenizer.special("message")
+        call_id = tokenizer.special("call")
+    except Exception:
+        raise GuidedError(
+            "forced tool_choice requires a harmony tokenizer "
+            "(channel/message/call specials)"
+        )
+    alts = "|".join(_regex_escape(n) for n in names)
+    name_g = compile_guided(
+        "regex", f"commentary to=functions\\.({alts})", tokenizer
+    )
+    args_by_name: Dict[str, GuidedGrammar] = {}
+    for n in names:
+        params = by_name[n].get("parameters")
+        if params:
+            args_by_name[n] = compile_guided("json_schema", params, tokenizer)
+        else:
+            # no declared parameters: any JSON object (bounded nesting)
+            args_by_name[n] = compile_guided("json_object", None, tokenizer)
+    key = f"tool_choice:{tokenizer.name}:{json.dumps(sorted(names))}"
+    return ToolChoiceGrammar(
+        name_g, args_by_name, channel_id, message_id, call_id,
+        tokenizer.decode, key,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -91,7 +91,14 @@ class ChatCompletionRequest(BaseModel):
     model: str
     messages: List[ChatMessage]
     tools: Optional[List[ToolDef]] = None
-    tool_choice: Optional[Union[str, Dict]] = None  # "auto" (default) | "none"
+    # "auto" (default) | "none" | "required" | {"type": "function",
+    # "function": {"name": ...}} — the latter two force a tool call via
+    # grammar-constrained decoding
+    tool_choice: Optional[Union[str, Dict]] = None
+    # accepted for OpenAI compatibility; the harmony framing yields one
+    # tool call per assistant turn (generation stops at <|call|>), so this
+    # never changes behavior here
+    parallel_tool_calls: Optional[bool] = None
     max_tokens: Optional[int] = None
     max_completion_tokens: Optional[int] = None
     temperature: float = 1.0
