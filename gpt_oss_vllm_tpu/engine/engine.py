@@ -15,7 +15,7 @@ import time
 from collections import deque
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict, List, Optional
+from typing import Dict, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +37,17 @@ class StepOutput:
     finish_reason: Optional[str] = None
     logprob: Optional[float] = None
     top_logprobs: Optional[list] = None  # [(token_id, logprob), ...]
+    # per-prompt-token logprobs, attached ONCE to the admission (first)
+    # output of a request with sampling.prompt_logprobs set: [None, (lp,
+    # [(tid, lp), ...]), ...] — one entry per prompt token
+    prompt_logprobs: Optional[list] = None
+
+
+class _PLPOut(NamedTuple):
+    """Shape-compatible stand-in for StepOut on the prompt-logprobs prefill
+    path (logits already reduced to the final position in-program)."""
+    logits: jax.Array  # [B, V]
+    cache: object
 
 
 def _next_bucket(n: int, lo: int = 16) -> int:
@@ -228,6 +239,26 @@ class InferenceEngine:
             self._prefill_xla = jax.jit(xla_fn, donate_argnames=("cache",))
         else:
             self._prefill_xla = self._prefill
+        # prompt-logprobs prefill programs (vLLM prompt_logprobs / OpenAI
+        # echo+logprobs): all-position logits + in-program log_softmax,
+        # chosen gather and top-k, built lazily per top-N. Chunks are capped
+        # at PLP_CHUNK tokens so the transient [T, V] logits stay bounded
+        # (the "never T x 201k at once" memory rule — step.py:12-13)
+        self.PLP_CHUNK = 128
+        self._plp_cache: dict = {}
+        self._plp_step_kwargs = dict(
+            cfg=cfg,
+            moe_strategy=moe_strategy,
+            # PL chunks are <= 128 tokens, below FLASH_MIN_PREFILL: mirror
+            # the per-length backend policy (XLA attention for short chunks;
+            # pallas_interpret test mode keeps the kernels)
+            attn_backend="xla" if attn_backend == "pallas" else attn_backend,
+            quant_backend=qb,
+            all_logits=True,
+            lm_head_backend=lm_backend,
+            mesh=mesh,
+            ep_capacity_factor=config.parallel.ep_capacity_factor,
+        )
         self.spec_tokens = sc.spec_tokens
         if self.spec_tokens > 0:
             spec_fn = partial(
@@ -830,6 +861,34 @@ class InferenceEngine:
         attention backend auto-select)."""
         return self._prefill if bucket >= self.FLASH_MIN_PREFILL else self._prefill_xla
 
+    def _plp_program(self, n: int):
+        """Prompt-logprobs prefill program (lazily jitted per top-N): one
+        chunk pass returning (final-position logits for the sampler, cache,
+        chosen-target logprob per position, top-N ids, top-N logprobs)."""
+        fn = self._plp_cache.get(n)
+        if fn is None:
+            step = partial(model_step, **self._plp_step_kwargs)
+
+            def prog(params, cache, tokens, positions, block_tables,
+                     last_idx, targets):
+                out = step(
+                    params, cache=cache, tokens=tokens, positions=positions,
+                    block_tables=block_tables, last_idx=last_idx,
+                )
+                lse = jax.nn.log_softmax(out.logits, axis=-1)  # [B, T, V]
+                chosen = jnp.take_along_axis(
+                    lse, targets[..., None], axis=-1
+                )[..., 0]
+                top_v, top_i = jax.lax.top_k(lse, max(n, 1))
+                final = jnp.take_along_axis(
+                    out.logits, last_idx[:, None, None], axis=1
+                )[:, 0]
+                return final, out.cache, chosen, top_i, top_v
+
+            fn = jax.jit(prog, donate_argnames=("cache",))
+            self._plp_cache[n] = fn
+        return fn
+
     def _seed_count_rows(self, running, W: int):
         """Occurrence-count rows [W, V] for a device count chain, seeded from
         the (exact) request contexts in ONE padded 2-D scatter-add — the
@@ -930,6 +989,13 @@ class InferenceEngine:
         bucket = 16
         while self.waiting:
             req = self.waiting[0]
+            if (req.sampling.prompt_logprobs is not None
+                    and req.prompt_logprobs_out is None):
+                # prompt-logprob requests need the all-position-logits solo
+                # path (and must not skip tokens via the prefix cache)
+                if not selected:
+                    return self._admit_one()
+                break
             ctx = req.prompt_token_ids + req.output_token_ids
             shared = self._prefix_match(req) if self.prefix_caching else []
             remaining = len(ctx) - len(shared) * bs
@@ -1036,7 +1102,18 @@ class InferenceEngine:
         slot = self._free_slot()
         ctx_tokens = req.prompt_token_ids + req.output_token_ids
         n_prompt = len(ctx_tokens)
-        shared = self._prefix_match(req) if self.prefix_caching else []
+        # prompt logprobs: computed on THIS prefill (all-position logits);
+        # prefix-cache reuse would skip the very positions whose logits are
+        # needed, so PL requests prefill everything. Preemption recompute
+        # keeps the already-collected entries and prefills normally.
+        want_plp = (
+            req.sampling.prompt_logprobs is not None
+            and req.prompt_logprobs_out is None
+        )
+        shared = (
+            self._prefix_match(req)
+            if self.prefix_caching and not want_plp else []
+        )
         # room for the prompt plus at least one generated token
         need = self._blocks_for(n_prompt + 1) - len(shared)
         if slot is None or not self.allocator.can_allocate(need):
@@ -1060,6 +1137,12 @@ class InferenceEngine:
         # final chunk's logits reach the sampler. Prefix-cached tokens are
         # skipped entirely — their K/V already sit in the shared blocks.
         chunk_budget = self._effective_chunk()
+        n_plp = 0
+        plp_entries: List = [None]  # position 0 has no conditional
+        if want_plp:
+            chunk_budget = min(chunk_budget, self.PLP_CHUNK)
+            n_plp = min(int(req.sampling.prompt_logprobs), 16)
+        n_pr = req.num_prompt_tokens
         start = n_shared_tok
         out = None
         while start < n_prompt:
@@ -1069,16 +1152,50 @@ class InferenceEngine:
             tokens[0, :size] = ctx_tokens[start : start + size]
             positions = np.full((1, bucket), -1, dtype=np.int32)
             positions[0, :size] = np.arange(start, start + size)
-            out = self._prefill_for(bucket)(
-                self.params,
-                cache=self.cache,
-                tokens=jnp.asarray(tokens),
-                positions=jnp.asarray(positions),
-                block_tables=jnp.asarray(bt),
-                last_idx=jnp.asarray([size - 1], dtype=jnp.int32),
-            )
-            self.cache = out.cache
+            if want_plp:
+                # position j's logits predict token j+1: gather the NEXT
+                # prompt token's logprob at every position of the chunk
+                targets = np.zeros((1, bucket), dtype=np.int32)
+                for j in range(size):
+                    t = start + j + 1
+                    if t < n_pr:
+                        targets[0, j] = ctx_tokens[t]
+                final, new_cache, chosen, top_i, top_v = self._plp_program(
+                    n_plp
+                )(
+                    self.params,
+                    cache=self.cache,
+                    tokens=jnp.asarray(tokens),
+                    positions=jnp.asarray(positions),
+                    block_tables=jnp.asarray(bt),
+                    last_idx=jnp.asarray([size - 1], dtype=jnp.int32),
+                    targets=jnp.asarray(targets),
+                )
+                self.cache = new_cache
+                ch = np.asarray(chosen[0])
+                ti = np.asarray(top_i[0])
+                tv = np.asarray(top_v[0])
+                for j in range(size):
+                    if start + j + 1 < n_pr:
+                        plp_entries.append((
+                            float(ch[j]),
+                            [(int(a), float(b))
+                             for a, b in zip(ti[j][:n_plp], tv[j][:n_plp])],
+                        ))
+                out = _PLPOut(final, new_cache)
+            else:
+                out = self._prefill_for(bucket)(
+                    self.params,
+                    cache=self.cache,
+                    tokens=jnp.asarray(tokens),
+                    positions=jnp.asarray(positions),
+                    block_tables=jnp.asarray(bt),
+                    last_idx=jnp.asarray([size - 1], dtype=jnp.int32),
+                )
+                self.cache = out.cache
             start += size
+        if want_plp:
+            req.prompt_logprobs_out = plp_entries
         self.metrics["prefill_tokens"] += n_prompt - n_shared_tok
         if self.prefix_caching:
             self._register_prefix_blocks(req, len(shared))
@@ -1105,7 +1222,10 @@ class InferenceEngine:
             self._dev_last_tok = self._dev_set_tok(
                 self._dev_last_tok, np.int32(slot), np.int32(token)
             )
-        return [self._append_token(req, int(token), lp, 0)]
+        so = self._append_token(req, int(token), lp, 0)
+        if want_plp:
+            so.prompt_logprobs = req.prompt_logprobs_out
+        return [so]
 
     def _sample_row(self, logits: jax.Array, reqs: List[Request], slots=None):
         """Sample one token per row; returns (tokens, per-req logprob info or

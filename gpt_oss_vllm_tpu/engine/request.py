@@ -22,6 +22,10 @@ class SamplingParams:
     ignore_eos: bool = False
     seed: Optional[int] = None
     logprobs: Optional[int] = None  # return top-N logprobs per token
+    # vLLM prompt_logprobs / OpenAI echo+logprobs: top-N logprobs for every
+    # PROMPT token (computed from the prefill pass; None = off). 0 = chosen
+    # token only.
+    prompt_logprobs: Optional[int] = None
     presence_penalty: float = 0.0  # flat penalty on seen tokens (OpenAI)
     frequency_penalty: float = 0.0  # count-proportional penalty (OpenAI)
     repetition_penalty: float = 1.0  # HF-style multiplicative (1 = off)
@@ -75,6 +79,11 @@ class Request:
     # derives from sampling.guided at admission. Survives preemption: it
     # tracks output_token_ids, which recompute preserves.
     guided: Optional[object] = None
+    # prompt logprobs collected during prefill when
+    # sampling.prompt_logprobs is set: one entry per prompt token — None
+    # for position 0, then (chosen_logprob, [(token_id, logprob), ...]).
+    # Filled once; preemption recompute does not recompute them.
+    prompt_logprobs_out: Optional[list] = None
 
     @property
     def num_prompt_tokens(self) -> int:

@@ -202,6 +202,13 @@ def _sampling_from(
             lp = None
     if lp is not None:
         lp = min(int(lp), 16)  # engine top-k cap (OpenAI allows up to 20)
+    # vLLM prompt_logprobs; OpenAI echo+logprobs implies it (completions
+    # logprobs then cover the echoed prompt too)
+    plp = getattr(req, "prompt_logprobs", None)
+    if plp is None and not chat and getattr(req, "echo", False) and lp is not None:
+        plp = lp
+    if plp is not None:
+        plp = min(int(plp), 16)
     # chat on a harmony model must NOT stop at <|end|> (it closes one channel
     # message; generation continues into the final channel) — only at
     # <|return|>/<|call|>/eos
@@ -224,6 +231,7 @@ def _sampling_from(
         ignore_eos=bool(getattr(req, "ignore_eos", False)),
         seed=req.seed,
         logprobs=lp,
+        prompt_logprobs=plp,
         presence_penalty=getattr(req, "presence_penalty", 0.0) or 0.0,
         frequency_penalty=getattr(req, "frequency_penalty", 0.0) or 0.0,
         repetition_penalty=getattr(req, "repetition_penalty", 1.0) or 1.0,
@@ -437,6 +445,8 @@ class Server:
             if req.stream:
                 if (req.best_of or 0) > max(1, req.n or 1):
                     raise ValueError("best_of > n cannot be streamed")
+                if sampling.prompt_logprobs is not None:
+                    raise ValueError("prompt_logprobs cannot be streamed")
                 return await self._stream_completion(request, req, prompts, sampling, chat=False)
             return await self._full_completion(req, prompts, sampling, chat=False)
         except ValueError as e:
@@ -479,6 +489,8 @@ class Server:
                 guided=guided, guided_gate=gate,
             )
             if req.stream:
+                if sampling.prompt_logprobs is not None:
+                    raise ValueError("prompt_logprobs cannot be streamed")
                 return await self._stream_completion(request, req, [prompt_ids], sampling, chat=True)
             return await self._full_completion(req, [prompt_ids], sampling, chat=True)
         except ValueError as e:
@@ -561,9 +573,12 @@ class Server:
             lp = proto.LogProbs() if user_lp and not chat else None
             chat_lp = proto.ChatLogprobs() if chat and user_lp else None
             score = 0.0  # cumulative logprob (best_of ranking)
+            plp_raw = None  # prompt logprobs (attached to the first output)
             async for out in self.ae.stream_tokens(
                 prompt_ids, self._nth_sampling(run_sampling, i)
             ):
+                if out.prompt_logprobs is not None:
+                    plp_raw = out.prompt_logprobs
                 if out.token_id >= 0:
                     n_tokens += 1  # -1 = finish-only sentinel, not a token
                     if out.logprob is not None:
@@ -617,7 +632,7 @@ class Server:
             if tool_calls and finish_reason in (None, "stop"):
                 finish_reason = "tool_calls"
             return (text, reasoning, tool_calls, finish_reason, n_tokens,
-                    chat_lp if chat else lp, score)
+                    chat_lp if chat else lp, score, (prompt_ids, plp_raw))
 
         # prompt-major choice order across the prompt list (OpenAI multi-
         # prompt completions); n>1/best_of candidates run concurrently
@@ -656,28 +671,87 @@ class Server:
                         ),
                         finish_reason=finish_reason or "stop",
                         logprobs=clp,
+                        prompt_logprobs=self._render_prompt_logprobs(*pl),
                     )
-                    for i, (text, reasoning, tool_calls, finish_reason, _, clp, _s) in enumerate(results)
+                    for i, (text, reasoning, tool_calls, finish_reason, _, clp, _s, pl) in enumerate(results)
                 ],
                 usage=usage,
             )
         else:
-            # OpenAI `echo`: prepend each choice's OWN prompt text
+            # OpenAI `echo`: prepend each choice's OWN prompt text; with
+            # logprobs, the echoed prompt's per-token logprobs lead the list
+            # (position 0 has no conditional -> null, the OpenAI shape)
             echo = getattr(req, "echo", False)
+            choices = []
+            for i, (text, _, _, finish_reason, _, lp, _s, pl) in enumerate(results):
+                prompt_ids, plp_raw = pl
+                if echo and lp is not None and plp_raw is not None:
+                    lp = self._merge_echo_logprobs(prompt_ids, plp_raw, lp)
+                choices.append(proto.CompletionChoice(
+                    index=i,
+                    text=(self.ae.tokenizer.decode(prompts[i // n]) if echo else "")
+                    + text,
+                    finish_reason=finish_reason or "stop", logprobs=lp,
+                    prompt_logprobs=(
+                        self._render_prompt_logprobs(prompt_ids, plp_raw)
+                        if getattr(req, "prompt_logprobs", None) is not None
+                        else None
+                    ),
+                ))
             resp = proto.CompletionResponse(
-                model=req.model,
-                choices=[
-                    proto.CompletionChoice(
-                        index=i,
-                        text=(self.ae.tokenizer.decode(prompts[i // n]) if echo else "")
-                        + text,
-                        finish_reason=finish_reason or "stop", logprobs=lp
-                    )
-                    for i, (text, _, _, finish_reason, _, lp, _s) in enumerate(results)
-                ],
-                usage=usage,
+                model=req.model, choices=choices, usage=usage,
             )
         return web.json_response(resp.model_dump())
+
+    def _render_prompt_logprobs(self, prompt_ids, entries):
+        """vLLM-style prompt_logprobs list: one entry per prompt token —
+        null at position 0, then token/logprob/top_logprobs dicts."""
+        if entries is None:
+            return None
+        dec = self.ae.tokenizer.decode
+        out = []
+        for i, e in enumerate(entries):
+            if e is None or i >= len(prompt_ids):
+                out.append(None)
+                continue
+            chosen, top = e
+            out.append({
+                "token": dec([prompt_ids[i]]),
+                "logprob": chosen,
+                # list-of-entries, not a dict keyed by decoded text: two
+                # distinct ids can decode identically (partial UTF-8)
+                "top_logprobs": [
+                    {"token": dec([t]), "logprob": v} for t, v in top
+                ],
+            })
+        return out
+
+    def _merge_echo_logprobs(self, prompt_ids, entries,
+                             lp: "proto.LogProbs") -> "proto.LogProbs":
+        """OpenAI echo+logprobs: completion logprobs are PREFIXED with the
+        echoed prompt's per-token logprobs (first token null)."""
+        dec = self.ae.tokenizer.decode
+        merged = proto.LogProbs()
+        offset = 0
+        for i, e in enumerate(entries):
+            if i >= len(prompt_ids):
+                break
+            tok = dec([prompt_ids[i]])
+            merged.tokens.append(tok)
+            if e is None:
+                merged.token_logprobs.append(None)
+                merged.top_logprobs.append(None)
+            else:
+                chosen, top = e
+                merged.token_logprobs.append(chosen)
+                merged.top_logprobs.append({dec([t]): v for t, v in top})
+            merged.text_offset.append(offset)
+            offset += len(tok)
+        merged.tokens.extend(lp.tokens)
+        merged.token_logprobs.extend(lp.token_logprobs)
+        merged.top_logprobs.extend(lp.top_logprobs)
+        merged.text_offset.extend(o + offset for o in lp.text_offset)
+        return merged
 
     async def _stream_completion(
         self, http_request, req, prompts, sampling, chat: bool

@@ -43,6 +43,9 @@ class CompletionRequest(BaseModel):
     echo: bool = False
     ignore_eos: bool = False  # vLLM extension: run to max_tokens
     logprobs: Optional[int] = None
+    # vLLM extension: top-N logprobs for every PROMPT token (0 = chosen
+    # only); echo+logprobs implies it with N = logprobs
+    prompt_logprobs: Optional[int] = None
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     repetition_penalty: float = 1.0
@@ -114,6 +117,8 @@ class ChatCompletionRequest(BaseModel):
     ignore_eos: bool = False  # vLLM extension: run to max_tokens
     logprobs: bool = False
     top_logprobs: Optional[int] = None
+    # vLLM extension: top-N logprobs for every prompt token
+    prompt_logprobs: Optional[int] = None
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     repetition_penalty: float = 1.0
@@ -160,6 +165,9 @@ class CompletionChoice(BaseModel):
     text: str = ""
     finish_reason: Optional[str] = None
     logprobs: Optional[LogProbs] = None
+    # vLLM-style prompt logprobs: one entry per prompt token — null for
+    # position 0, then {"token", "logprob", "top_logprobs": {tok: lp}}
+    prompt_logprobs: Optional[List] = None
 
 
 class CompletionResponse(BaseModel):
@@ -186,6 +194,8 @@ class ChatChoice(BaseModel):
     message: ChatChoiceMessage = Field(default_factory=ChatChoiceMessage)
     finish_reason: Optional[str] = None
     logprobs: Optional[ChatLogprobs] = None
+    # vLLM-style prompt logprobs (see CompletionChoice.prompt_logprobs)
+    prompt_logprobs: Optional[List] = None
 
 
 class ChatCompletionResponse(BaseModel):
