@@ -65,10 +65,27 @@ class UnslothCheckpointReader:
     """
 
     def __init__(self, paths_or_dir, nibble_order: str = "low_first"):
+        index: Optional[Dict[str, str]] = None
         if isinstance(paths_or_dir, str):
             if not os.path.isdir(paths_or_dir):
                 raise FileNotFoundError(f"checkpoint dir not found: {paths_or_dir}")
-            paths = sorted(glob.glob(os.path.join(paths_or_dir, "*.safetensors")))
+            # HF multi-file artifacts ship model.safetensors.index.json; use
+            # its weight_map when present (skips opening every shard header,
+            # and a stale/incomplete index fails loudly below)
+            idx_path = os.path.join(paths_or_dir, "model.safetensors.index.json")
+            if os.path.exists(idx_path):
+                with open(idx_path) as f:
+                    index = json.load(f).get("weight_map", {})
+                paths = sorted(
+                    os.path.join(paths_or_dir, fn) for fn in set(index.values())
+                )
+                missing = [p for p in paths if not os.path.exists(p)]
+                if missing:
+                    raise FileNotFoundError(
+                        f"index references absent shards: {missing}"
+                    )
+            else:
+                paths = sorted(glob.glob(os.path.join(paths_or_dir, "*.safetensors")))
         else:
             paths = list(paths_or_dir)
         if not paths:
@@ -77,10 +94,16 @@ class UnslothCheckpointReader:
         self.nibble_order = nibble_order
         self._key_to_path: Dict[str, str] = {}
         self._handles: Dict[str, object] = {}
-        for p in paths:
-            with safe_open(p, framework="np") as f:
-                for k in f.keys():
-                    self._key_to_path[k] = p
+        if index is not None:
+            base = os.path.dirname(paths[0])
+            self._key_to_path = {
+                k: os.path.join(base, fn) for k, fn in index.items()
+            }
+        else:
+            for p in paths:
+                with safe_open(p, framework="np") as f:
+                    for k in f.keys():
+                        self._key_to_path[k] = p
 
     def keys(self) -> List[str]:
         return list(self._key_to_path.keys())
@@ -266,6 +289,11 @@ def write_synthetic_unsloth_checkpoint(
     weight_scale: float = 0.02,
     drop_experts: Tuple[Tuple[int, int, str], ...] = (),
     key_scheme: str = "canonical",
+    blocksize: int = 64,
+    meta_dtype: str = "float32",
+    tensor_dtype: str = "float16",
+    ragged: bool = False,
+    write_index: bool = False,
 ) -> List[str]:
     """Emit a random-weight checkpoint in the exact Unsloth NF4 schema.
 
@@ -276,27 +304,51 @@ def write_synthetic_unsloth_checkpoint(
     (``gate_up_projs.{E}.weight``), "w13" (``{E}.w13_weight``), or "qweight"
     (``{E}.gate_up_proj.qweight``) — the alternates the reference probes at
     ``streaming_unsloth_loader.py:92-109``.
+
+    Real-artifact quirk knobs (VERDICT r4 next #6 — the matrix of variants a
+    first real download might ship, cf. the tolerance rules at
+    ``streaming_unsloth_bnb.py:148-218``): ``blocksize`` (64 or the 128
+    fallback the reference infers), ``meta_dtype`` (fp16 quant metadata
+    instead of f32), ``tensor_dtype`` ("float16" | "bfloat16" non-MoE
+    tensors), ``ragged`` (uneven key->file distribution, an expert's
+    metadata in a different file than its weight), ``write_index``
+    (HF ``model.safetensors.index.json`` weight map).
     """
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     H, FF, E = cfg.hidden_size, cfg.intermediate_size, cfg.num_experts
     files: List[Dict[str, np.ndarray]] = [dict() for _ in range(num_files)]
+    mdt = {"float32": np.float32, "float16": np.float16}[meta_dtype]
+    if tensor_dtype == "bfloat16":
+        import ml_dtypes
+
+        tdt = ml_dtypes.bfloat16
+    else:
+        tdt = np.float16
+    _rag = [0]  # running tensor counter for the ragged distribution
 
     def put(key: str, arr: np.ndarray, fidx: int):
+        if ragged and num_files > 1:
+            # uneven spread that also separates an expert's metadata from
+            # its weight: file 0 gets every 7th tensor, the rest cycle over
+            # the remaining files
+            i = _rag[0]
+            _rag[0] += 1
+            fidx = 0 if i % 7 == 0 else 1 + (i % (num_files - 1))
         files[fidx % num_files][key] = arr
 
     def emit_quantized(key: str, shape, fidx: int):
         w = rng.normal(0, weight_scale, size=shape).astype(np.float32)
-        packed, absmax = nf4_quantize(w, blocksize=64, order=nibble_order)
+        packed, absmax = nf4_quantize(w, blocksize=blocksize, order=nibble_order)
         dq = quantize_absmax_double(absmax, use_offset=use_offset)
         mk = UnslothCheckpointReader._meta_key
         put(key, packed.reshape(-1, 1), fidx)
         put(mk(key, "absmax"), dq.qabsmax, fidx)
-        put(mk(key, "nested_absmax"), dq.nested_absmax, fidx)
-        put(mk(key, "nested_quant_map"), dq.code, fidx)
-        put(mk(key, "quant_map"), NF4_CODE.copy(), fidx)
+        put(mk(key, "nested_absmax"), dq.nested_absmax.astype(mdt), fidx)
+        put(mk(key, "nested_quant_map"), dq.code.astype(mdt), fidx)
+        put(mk(key, "quant_map"), NF4_CODE.astype(mdt), fidx)
         if use_offset:
-            put(mk(key, "offset"), np.array([dq.offset], dtype=np.float32), fidx)
+            put(mk(key, "offset"), np.array([dq.offset], dtype=mdt), fidx)
 
     def expert_key(L: int, e: int, proj: str) -> str:
         p = f"model.layers.{L}.mlp.experts"
@@ -316,7 +368,7 @@ def write_synthetic_unsloth_checkpoint(
         return UnslothCheckpointReader._meta_key(expert_key(L, e, proj), "bias")
 
     def emit_fp16(key: str, shape, fidx: int, scale=0.02):
-        put(key, rng.normal(0, scale, size=shape).astype(np.float16), fidx)
+        put(key, rng.normal(0, scale, size=shape).astype(np.float32).astype(tdt), fidx)
 
     emit_fp16("model.embed_tokens.weight", (cfg.vocab_size, H), 0)
     for L in range(cfg.num_layers):
@@ -352,10 +404,24 @@ def write_synthetic_unsloth_checkpoint(
         emit_fp16("lm_head.weight", (cfg.vocab_size, H), num_files - 1)
 
     paths = []
+    weight_map: Dict[str, str] = {}
+    total_size = 0
     for i, tensors in enumerate(files):
-        path = os.path.join(out_dir, f"model-{i + 1:05d}-of-{num_files:05d}.safetensors")
+        fname = f"model-{i + 1:05d}-of-{num_files:05d}.safetensors"
+        path = os.path.join(out_dir, fname)
         save_file(tensors, path)
         paths.append(path)
+        for k, v in tensors.items():
+            weight_map[k] = fname
+            total_size += v.nbytes
+    if write_index:
+        # the HF multi-file shard index the real artifact ships
+        with open(os.path.join(out_dir, "model.safetensors.index.json"), "w") as f:
+            json.dump(
+                {"metadata": {"total_size": total_size},
+                 "weight_map": weight_map},
+                f,
+            )
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(
             {
