@@ -592,7 +592,9 @@ class InferenceEngine:
                            stop_ids=None, min_toks=None, counts=None,
                            pres=None, freq=None, rep=None, g_state=None,
                            g_bits=None, g_trans=None, g_bytes=None,
-                           mode="full", post="none", n_lp=0, guided=False):
+                           h_state=None, ch_trans=None, ch_accept=None,
+                           mode="full", post="none", n_lp=0, guided=False,
+                           h_spec=None):
                 # COMPACT batch: the program width W = rows.shape[0] is the
                 # bucketed count of RUNNING requests, not max_num_seqs — a
                 # c=1 stream on a 32-slot engine decodes through a width-1
@@ -644,6 +646,12 @@ class InferenceEngine:
                     from gpt_oss_vllm_tpu.ops.sampling import NEG_INF
 
                     live_g = g_state >= 0
+                    if h_spec is not None:
+                        # device-side harmony gate: the grammar masks only
+                        # while the row is inside the final channel's
+                        # message (h_state 0) or carries no gate (-1);
+                        # FREE/collecting rows (1, 2+s) decode unmasked
+                        live_g = live_g & (h_state <= 0)
                     row_bits = g_bits[jnp.clip(g_state, 0)].astype(jnp.int32)
                     shifts = 7 - jnp.arange(8, dtype=jnp.int32)
                     bits = (row_bits[:, :, None] >> shifts[None, None, :]) & 1
@@ -719,8 +727,15 @@ class InferenceEngine:
                 if guided:
                     # advance the DFA by walking the sampled token's bytes
                     # (g_bytes rows are -1-padded; stop ids are all-pad so
-                    # their state stays put, matching the host session)
+                    # their state stays put, matching the host session).
+                    # Ids past the tokenizer vocab (lm_head padding — only
+                    # reachable on UNMASKED rows, i.e. a FREE harmony gate)
+                    # carry no bytes: the clip must not alias them onto the
+                    # last real token's bytes
                     tb = g_bytes[jnp.clip(nxt, 0, g_bytes.shape[0] - 1)]
+                    tb = jnp.where(
+                        (nxt < g_bytes.shape[0])[:, None], tb, -1
+                    )
 
                     def _gwalk(s, b):
                         s2 = jnp.where(
@@ -730,7 +745,50 @@ class InferenceEngine:
                         )
                         return s2, None
 
-                    g_state, _ = jax.lax.scan(_gwalk, g_state, tb.T)
+                    g_new, _ = jax.lax.scan(_gwalk, g_state, tb.T)
+                    if h_spec is None:
+                        g_state = g_new
+                    else:
+                        # harmony gate transitions ON DEVICE (mirrors
+                        # GuidedSession.advance): h_state -1 = no gate,
+                        # 0 = ACTIVE, 1 = FREE, 2+s = collecting a channel
+                        # name with final_channel_tables DFA state s
+                        ch_id, msg_id, end_id, start_id = h_spec
+                        is_ch = nxt == ch_id
+                        is_msg = nxt == msg_id
+                        is_es = (nxt == end_id) | (nxt == start_id)
+                        gated = h_state >= 0
+                        # grammar advances only while the gate is ACTIVE
+                        # and the token is not a header special (the host
+                        # session returns before reaching the DFA there)
+                        walk_ok = (h_state <= 0) & ~(
+                            gated & (is_ch | is_msg | is_es)
+                        )
+                        g_state = jnp.where(walk_ok, g_new, g_state)
+                        chan_s = jnp.maximum(h_state - 2, 0)
+
+                        def _cwalk(s, b):
+                            return jnp.where(
+                                b >= 0, ch_trans[s, jnp.clip(b, 0)], s
+                            ), None
+
+                        chan_w, _ = jax.lax.scan(_cwalk, chan_s, tb.T)
+                        in_chan = h_state >= 2
+                        h_state = jnp.where(
+                            ~gated,
+                            h_state,
+                            jnp.where(
+                                in_chan,
+                                jnp.where(
+                                    is_msg,
+                                    jnp.where(ch_accept[chan_s], 0, 1),
+                                    2 + chan_w,
+                                ),
+                                jnp.where(
+                                    is_ch, 2, jnp.where(is_es, 1, h_state)
+                                ),
+                            ),
+                        )
                 # chain positions/counters ON DEVICE: between batch-
                 # composition changes every running row advances by exactly
                 # one token per step, so the host never re-uploads them —
@@ -746,17 +804,23 @@ class InferenceEngine:
                 if payload is None:
                     payload = nxt
                 return (out.cache, nxt, payload, full_upd, new_pos, ctrs + 1,
-                        counts, g_state)
+                        counts, g_state, h_state)
 
             self._decode_fused = jax.jit(
                 fused_step, donate_argnames=("cache", "full_tok", "counts"),
-                static_argnames=("mode", "post", "n_lp", "guided"),
+                static_argnames=("mode", "post", "n_lp", "guided", "h_spec"),
             )
             # device-chained grammar state for guided rows on the plain
             # chain: stacked (bits, trans, byte-matrix) tables + per-row
             # absolute DFA state (None = no guided rows / rebuild)
             self._g_tabs = None
             self._gstate_dev = None
+            # device-side harmony gate for channel-gated guided rows:
+            # specials tuple (static), final-channel DFA tables, per-row
+            # gate state (rebuilt with the grammar state)
+            self._h_specials = None
+            self._h_tabs = (None, None)
+            self._hstate_dev = None
             # plain-chain post-processing state (mirrors the spec chain)
             self._plain_post = "none"
             self._plain_postargs = (None,) * 4
@@ -814,11 +878,12 @@ class InferenceEngine:
             seed_resolved=seed,
         )
         if sampling.guided is not None:
-            # per-request DFA state (+ harmony channel gate). Gate-free
-            # guided rows ride the zero-sync fused chain (device-side DFA
-            # byte walks advance the state; composes with speculation);
-            # only harmony-gated or min_tokens>0 guided rows fall back to
-            # the sync path
+            # per-request DFA state (+ harmony channel gate). Gate-free and
+            # harmony-gated guided rows ride the zero-sync fused chain
+            # (device-side DFA byte walks advance the grammar AND the
+            # final-channel gate; gate-free rows compose with speculation);
+            # only tool-choice or min_tokens>0 guided rows fall back to the
+            # sync path
             req.guided = sampling.guided.new_session(sampling.guided_gate)
         self.requests[request_id] = req
         self.waiting.append(req)
@@ -1759,6 +1824,27 @@ class InferenceEngine:
                     self._plain_pen = (None,) * 3
             self._g_tabs, self._g_offs = self._stack_guided_tables(running)
             self._gstate_dev = None
+            # harmony-gated rows: bind the gate's special ids (one tokenizer
+            # per process — all harmony grammars share them) and the
+            # final-channel byte-DFA the fused program walks
+            harmony = [
+                r for _, r in running
+                if r.guided is not None and getattr(r.guided, "_harmony", False)
+            ]
+            if harmony:
+                from gpt_oss_vllm_tpu.serving.guided import final_channel_tables
+
+                sp = harmony[0].guided._specials
+                self._h_specials = (
+                    sp.get("channel", -1), sp.get("message", -1),
+                    sp.get("end", -1), sp.get("start", -1),
+                )
+                trans, accept = final_channel_tables()
+                self._h_tabs = (jnp.asarray(trans), jnp.asarray(accept))
+            else:
+                self._h_specials = None
+                self._h_tabs = (None, None)
+            self._hstate_dev = None
             self._samp_key = key
             self._pos_dev = None  # composition changed: rebuild the chain
             self._bt_dev_version = -1  # block tables re-slice to new rows
@@ -1768,6 +1854,7 @@ class InferenceEngine:
             # preemption) also invalidates the device grammar state — both
             # rebuild from the (now exact) host mirrors together
             self._gstate_dev = None
+            self._hstate_dev = None
             positions = np.full((W,), -1, dtype=np.int32)
             ctrs = np.zeros(W, np.int32)
             # in-flight sampled-but-unemitted tokens per (slot, request) —
@@ -1805,6 +1892,17 @@ class InferenceEngine:
             self._gstate_dev = jnp.asarray(
                 self._guided_states(running, W, self._g_offs)
             )
+            if self._h_specials is not None:
+                from gpt_oss_vllm_tpu.serving.guided import (
+                    final_channel_tables,
+                )
+
+                chan_trans, _ = final_channel_tables()
+                hstate = np.full(W, -1, np.int32)
+                for ci, (i, r) in enumerate(running):
+                    if r.guided is not None:
+                        hstate[ci] = r.guided.device_gate_state(chan_trans)
+                self._hstate_dev = jnp.asarray(hstate)
         if self._bt_dev_version != self._bt_version:
             bt = np.full((W, self.max_blocks), -1, dtype=np.int32)
             act = self._rows_host < S
@@ -1829,9 +1927,10 @@ class InferenceEngine:
         bias_ids_d, bias_vals_d, stop_ids_d, min_toks_d = self._plain_postargs
         pres_d, freq_d, rep_d = self._plain_pen
         g_bits, g_trans, g_bytes = self._g_tabs or (None, None, None)
+        ch_trans_d, ch_accept_d = self._h_tabs
         (cache, nxt, payload, self._dev_last_tok, self._pos_dev,
          self._ctr_dev, self._plain_counts,
-         self._gstate_dev) = self._decode_fused(
+         self._gstate_dev, self._hstate_dev) = self._decode_fused(
             self.params,
             self.cache,
             self._dev_last_tok,
@@ -1848,10 +1947,13 @@ class InferenceEngine:
             self._plain_counts, pres_d, freq_d, rep_d,
             g_state=self._gstate_dev, g_bits=g_bits, g_trans=g_trans,
             g_bytes=g_bytes,
+            h_state=self._hstate_dev, ch_trans=ch_trans_d,
+            ch_accept=ch_accept_d,
             mode=mode,
             post=self._plain_post,
             n_lp=n_lp,
             guided=self._g_tabs is not None,
+            h_spec=self._h_specials,
         )
         self.cache = cache
         if self._plain_post == "full":
@@ -1904,20 +2006,30 @@ class InferenceEngine:
         lp_free = all(r.sampling.logprobs is None for _, r in running)
         # grammar-constrained rows ride the plain zero-sync chain too: the
         # fused program gathers the row's bit-packed mask and advances the
-        # DFA by a device byte walk. Only harmony-gated sessions (the gate
-        # transitions on channel headers, host logic) and min_tokens>0 rows
+        # DFA by a device byte walk — including harmony-gated sessions,
+        # whose final-channel gate transitions on device over the header
+        # special ids (serving/guided.py final_channel_tables). Only
+        # tool-choice rows (the channel name selects which argument
+        # grammar applies — a host transition) and min_tokens>0 rows
         # (stop-suppression can conflict with a grammar-forced stop) take
-        # the exact sync path; speculation keeps guided rows off entirely.
-        guided_free = all(r.guided is None for _, r in running)
+        # the exact sync path.
         guided_async = all(
             r.guided is None
-            or (r.sampling.guided_gate == "none" and r.sampling.min_tokens == 0)
+            or (
+                r.sampling.guided_gate in ("none", "harmony")
+                and r.sampling.min_tokens == 0
+                and getattr(r.guided, "device_gate_ok", False)
+            )
             for _, r in running
         )
-        # speculation composes with guided rows too: the window program
-        # masks each position with the DFA state after the drafts before it
-        # (constrained JSON is highly draftable — structure repeats)
-        spec_capable = self.spec_tokens > 0 and guided_async
+        # speculation composes with gate-FREE guided rows (the window
+        # program masks each position with the DFA state after the drafts
+        # before it — constrained JSON is highly draftable); harmony-gated
+        # rows stay on the plain chain (the spec window has no gate walk)
+        spec_capable = self.spec_tokens > 0 and all(
+            r.guided is None or r.sampling.guided_gate == "none"
+            for _, r in running
+        )
         use_spec = spec_capable and self._step_counter >= self._spec_off_until
         if self.async_decode and guided_async:
             # plain rows (greedy OR sampled) stay on device: the fused
@@ -1949,11 +2061,12 @@ class InferenceEngine:
             if use_spec:
                 return truncated + self._decode_async_spec_step(running)
             return truncated + self._decode_async_step(running)
-        # sync fallback (logprobs rows, or async off): host state must be
-        # exact before sampling decisions. Positions advance host-side here,
-        # so the device position/counter chain is stale even if the batch
-        # composition survives — force a rebuild; a penalized plain chain
-        # must also re-seed its count state.
+        # sync fallback (tool-choice/min_tokens guided rows, or async off):
+        # host state must be exact before sampling decisions. Positions
+        # advance host-side here, so the device position/counter chain is
+        # stale even if the batch composition survives — force a rebuild; a
+        # penalized plain chain must also re-seed its count state.
+        self.metrics["sync_steps"] = self.metrics.get("sync_steps", 0) + 1
         self._pos_dev = None
         if getattr(self, "_plain_post", "none") == "full":
             self._samp_key = None

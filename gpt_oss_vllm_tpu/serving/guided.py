@@ -23,11 +23,15 @@ Masks are applied to logits before sampling. On the zero-sync device
 decode chain the per-request DFA state lives ON DEVICE: the engine gathers
 a packed mask row per step and advances the state with a DFA byte-walk over
 the emitted token's bytes (``TokenTable.byte_matrix``), so guided rows ride
-the fused chain with no host round-trip. The host-side
-``GuidedSession.advance`` mirrors the same walk for the sync path and
-carries the harmony gate: on channeled (GPT-OSS) chat the constraint
-activates only inside the ``final`` channel's message, so
-analysis/commentary channels stay free-form.
+the fused chain with no host round-trip. The harmony gate — on channeled
+(GPT-OSS) chat the constraint activates only inside the ``final`` channel's
+message, so analysis/commentary channels stay free-form — ALSO runs on
+device: the fused program tracks a per-row gate state over the harmony
+special ids and walks channel names through the ``final_channel_tables``
+byte-DFA, so harmony-gated guided chat keeps the zero-sync chain too. The
+host-side ``GuidedSession.advance`` mirrors both walks for the sync path
+(tool-choice rows, min_tokens rows) and re-seeds the device state on chain
+rebuilds.
 """
 
 from __future__ import annotations
@@ -45,6 +49,7 @@ __all__ = [
     "ToolChoiceSession",
     "compile_guided",
     "compile_tool_choice",
+    "final_channel_tables",
     "json_schema_to_regex",
     "GuidedError",
 ]
@@ -1000,6 +1005,41 @@ _GATE_FREE = 1  # free-form (analysis/commentary channels, headers)
 _GATE_CHANNEL = 2  # after <|channel|>, collecting the channel name
 
 
+_ASCII_WS = b" \t\n\r\x0b\x0c"
+_final_channel_cache: Optional[Tuple[np.ndarray, np.ndarray]] = None
+
+
+def final_channel_tables() -> Tuple[np.ndarray, np.ndarray]:
+    """Byte-DFA recognizing a harmony channel name that selects the
+    ``final`` channel — the device form of the host gate rule
+    ``name.strip().split()[:1] == ["final"]`` (optional ASCII whitespace,
+    the literal ``final``, then either end-of-name or whitespace followed
+    by anything; harmony channel names are ASCII).
+
+    States: 0 ws-prefix, 1-4 partial literal, 5 ``final`` seen (accepting),
+    6 whitespace tail (accepting), 7 dead. Returns
+    ``(trans [8, 256] int32, accept [8] bool)`` — the tables the fused
+    decode program walks so harmony-gated guided rows ride the zero-sync
+    chain (the gate used to transition on host-parsed headers)."""
+    global _final_channel_cache
+    if _final_channel_cache is None:
+        trans = np.full((8, 256), 7, np.int32)
+        for b in _ASCII_WS:
+            trans[0, b] = 0
+        lit = b"final"
+        for i, ch in enumerate(lit):
+            trans[i, ch] = i + 1
+        # "f" also leaves the ws-prefix state via the literal row above;
+        # state 5 closes on whitespace into the accept-anything tail
+        for b in _ASCII_WS:
+            trans[5, b] = 6
+        trans[6, :] = 6
+        accept = np.zeros(8, bool)
+        accept[5] = accept[6] = True
+        _final_channel_cache = (trans, accept)
+    return _final_channel_cache
+
+
 class GuidedSession:
     """Per-request constraint state: DFA state plus the harmony gate.
 
@@ -1039,6 +1079,38 @@ class GuidedSession:
 
     def forces_stop(self) -> bool:
         return self._gate == _GATE_ACTIVE and self.grammar.forces_stop(self.state)
+
+    @property
+    def device_gate_ok(self) -> bool:
+        """True when this session can ride the zero-sync device chain:
+        either no harmony gate at all, or the gate's special ids are bound
+        so the fused program can transition it on device (the channel-name
+        check is the ``final_channel_tables`` byte-DFA)."""
+        if not self._harmony:
+            return True
+        return "channel" in self._specials and "message" in self._specials
+
+    def device_gate_state(self, chan_trans: np.ndarray) -> int:
+        """Encode the gate for the device chain: -1 = no gate (mask always
+        applies when the DFA state does), 0 = ACTIVE, 1 = FREE,
+        2 + s = collecting a channel name with channel-DFA state ``s``
+        (buffered name tokens replayed byte-wise; specials/stop ids hold,
+        matching the all-pad rows of ``TokenTable.byte_matrix``)."""
+        if not self._harmony:
+            return -1
+        if self._gate == _GATE_ACTIVE:
+            return 0
+        if self._gate == _GATE_FREE:
+            return 1
+        tab = self.grammar.table
+        s = 0
+        for t in self._chan_buf:
+            b = tab._vbytes[t] if 0 <= t < tab.V else None
+            if not b or t in tab.stop_ids:
+                continue
+            for byte in b:
+                s = int(chan_trans[s, byte])
+        return 2 + s
 
     def advance(self, token_id: int):
         if self._harmony and self._specials:
@@ -1182,6 +1254,13 @@ class ToolChoiceSession:
     def forces_stop(self) -> bool:
         if self._phase == _TC_ARGS:
             return self._args.forces_stop(self._args_state)
+        return False
+
+    @property
+    def device_gate_ok(self) -> bool:
+        # the name -> argument-grammar selection is a host transition
+        # (which schema applies depends on the decoded channel text), so
+        # tool-choice rows always take the exact sync path
         return False
 
     def advance(self, token_id: int):

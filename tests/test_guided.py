@@ -788,3 +788,188 @@ def test_negated_class_with_perl_classes_excludes_multibyte():
     assert compile_regex(r"[^a]").matches("é".encode())
     with pytest.raises(GuidedError):
         compile_regex(r"[^\d\D]")  # negation of everything matches nothing
+
+
+# ---------------------------------------------------------------------------
+# device-side harmony channel gate (zero-sync guided chat)
+# ---------------------------------------------------------------------------
+
+
+def test_final_channel_tables_name_semantics():
+    """The device channel-name DFA matches the host gate rule
+    name.strip().split()[:1] == ["final"] on ASCII names."""
+    from gpt_oss_vllm_tpu.serving.guided import final_channel_tables
+
+    trans, accept = final_channel_tables()
+
+    def sel(name: bytes) -> bool:
+        s = 0
+        for b in name:
+            s = int(trans[s, b])
+        return bool(accept[s])
+
+    for name in (b"final", b" final", b"final ", b"final json",
+                 b"\tfinal\tx", b"  final  "):
+        assert sel(name), name
+        assert name.decode().strip().split()[:1] == ["final"]
+    for name in (b"fin", b"finally", b"xfinal", b"",
+                 b"commentary to=functions.f", b"analysis", b"f inal"):
+        assert not sel(name), name
+        assert name.decode().strip().split()[:1] != ["final"]
+
+
+def test_session_device_gate_state_encoding():
+    """GuidedSession.device_gate_state encodes the harmony gate exactly as
+    the fused program chains it: -1 none, 0 ACTIVE, 1 FREE, 2+s collecting."""
+    from gpt_oss_vllm_tpu.serving.guided import final_channel_tables
+
+    tok = ByteTokenizer(harmony=True)
+    g = compile_guided("choice", ["yes"], tok)
+    trans, _ = final_channel_tables()
+    s = g.new_session("harmony")
+    assert s.device_gate_ok
+    assert s.device_gate_state(trans) == 1  # FREE until a final channel
+    s.advance(tok.special("channel"))
+    assert s.device_gate_state(trans) == 2  # collecting, DFA start
+    for t in tok.encode("fin"):
+        s.advance(t)
+    assert s.device_gate_state(trans) == 2 + 3  # mid-literal
+    for t in tok.encode("al"):
+        s.advance(t)
+    s.advance(tok.special("message"))
+    assert s.active and s.device_gate_state(trans) == 0
+    s.advance(tok.special("end"))  # channel closed: back to free-form
+    assert s.device_gate_state(trans) == 1
+    assert g.new_session("none").device_gate_state(trans) == -1
+
+
+def _scripted_params(cfg, transitions, seed=0, gain=12.0):
+    """Params whose GREEDY next token follows ``transitions[last_token]``:
+    attention and expert outputs are zeroed so the residual stream carries
+    the last token's embedding; lm_head row v' accumulates the embeddings
+    of every source token that scripts to v'. Lets engine tests choreograph
+    harmony channel headers deterministically through the REAL model path."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from gpt_oss_vllm_tpu.config import QuantConfig
+    from gpt_oss_vllm_tpu.models.params import random_params
+
+    p = random_params(cfg, QuantConfig(method="none"), seed=seed)
+    V, H = cfg.vocab_size, cfg.hidden_size
+    rng = np.random.default_rng(seed)
+    emb = rng.normal(0.0, 1.0 / np.sqrt(H), (V, H)).astype(np.float32)
+    lm = np.zeros((V, H), np.float32)
+    for cur, nxt in transitions.items():
+        lm[nxt] += gain * emb[cur]
+    dt = jnp.dtype(cfg.dtype)
+    layers = [
+        dc.replace(
+            l,
+            wo=jnp.zeros_like(l.wo),
+            bo=None if l.bo is None else jnp.zeros_like(l.bo),
+            w_down=jnp.zeros_like(l.w_down),
+            b_down=None if l.b_down is None else jnp.zeros_like(l.b_down),
+        )
+        for l in p.layers
+    ]
+    return dc.replace(
+        p,
+        embedding=jnp.asarray(emb, dt),
+        lm_head=jnp.asarray(lm, dt),
+        layers=layers,
+    )
+
+
+def _harmony_engine_run(cfg, params, tok, g, script_prompt, async_decode,
+                        max_tokens=24):
+    import dataclasses
+
+    from gpt_oss_vllm_tpu.engine.request import SamplingParams
+
+    c = dataclasses.replace(
+        cfg,
+        scheduler=dataclasses.replace(
+            cfg.scheduler, async_decode=async_decode, async_depth=3,
+            async_flush_burst=2,
+        ),
+    )
+    eng = _make_engine(c, params)
+    stops = tuple(dict.fromkeys(tuple(tok.stop_ids) + tuple(tok.chat_stop_ids)))
+    eng.add_request(
+        "h", script_prompt,
+        SamplingParams(
+            max_tokens=max_tokens, temperature=0.0, stop_token_ids=stops,
+            guided=g, guided_gate="harmony",
+        ),
+    )
+    toks = []
+    max_pending = 0
+    for _ in range(500):
+        for o in eng.step():
+            if o.token_id >= 0:
+                toks.append(o.token_id)
+        max_pending = max(max_pending, len(getattr(eng, "_pending", ())))
+        if not eng.has_work():
+            break
+    return toks, max_pending, eng
+
+
+def test_engine_harmony_gate_rides_async_chain(guided_setup):
+    """A harmony-gated guided request rides the ZERO-SYNC chain end to end:
+    the scripted model opens <|channel|>final<|message|>, the device gate
+    activates the grammar exactly there, the constrained content is
+    grammatical, byte parity vs the all-sync engine holds, and the async
+    engine never takes a sync step (VERDICT r4 next #5)."""
+    cfg, _params, _tok = guided_setup
+    tok = ByteTokenizer(name="byte-harmony", harmony=True)
+    ch, msg = tok.special("channel"), tok.special("message")
+    ret = tok.special("return")
+    f, i_, n, a, l = (ord(c) for c in "final")
+    x, y, z = (ord(c) for c in "xyz")
+    script = {80: ch, ch: f, f: i_, i_: n, n: a, a: l, l: msg,
+              msg: x, x: y, y: z, z: ret}
+    params = _scripted_params(cfg.model, script, seed=7)
+    g = compile_guided("regex", r"[ab]{2,4}", tok)
+
+    want, _, _ = _harmony_engine_run(cfg, params, tok, g, [80], False)
+    got, max_pending, eng = _harmony_engine_run(cfg, params, tok, g, [80], True)
+    assert got == want
+    assert max_pending >= 2  # really pipelined
+    assert eng.metrics.get("sync_steps", 0) == 0  # zero-sync the whole way
+    # header emitted verbatim (gate FREE: the grammar must NOT mask it)
+    assert got[:7] == [ch, f, i_, n, a, l, msg]
+    # content after <|message|> is grammar-constrained until a stop
+    stops = set(tok.stop_ids) | set(tok.chat_stop_ids)
+    body = [t for t in got[7:] if t not in stops]
+    assert re.fullmatch(r"[ab]{2,4}", tok.decode(body))
+    # replay through the host session: the gate really activated
+    s = g.new_session("harmony")
+    seen_active = False
+    for t in got:
+        s.advance(t)
+        seen_active = seen_active or s.active
+    assert seen_active
+
+
+def test_engine_harmony_gate_non_final_channel_stays_free(guided_setup):
+    """A non-``final`` channel must stay unconstrained on the device chain:
+    the scripted content violates the grammar and is emitted verbatim, with
+    byte parity vs the sync engine."""
+    cfg, _params, _tok = guided_setup
+    tok = ByteTokenizer(name="byte-harmony", harmony=True)
+    ch, msg = tok.special("channel"), tok.special("message")
+    ret = tok.special("return")
+    z = ord("z")
+    c_, d, e = (ord(c) for c in "cde")
+    script = {80: ch, ch: z, z: msg, msg: c_, c_: d, d: e, e: ret}
+    params = _scripted_params(cfg.model, script, seed=9)
+    g = compile_guided("regex", r"[ab]{2,4}", tok)
+
+    want, _, _ = _harmony_engine_run(cfg, params, tok, g, [80], False)
+    got, _, eng = _harmony_engine_run(cfg, params, tok, g, [80], True)
+    assert got == want
+    assert eng.metrics.get("sync_steps", 0) == 0
+    # channel name "z" is not "final": content cde flows unmasked
+    assert got == [ch, z, msg, c_, d, e, ret]
