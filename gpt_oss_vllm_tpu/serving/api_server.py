@@ -1146,10 +1146,7 @@ def make_engine(args) -> Tuple[InferenceEngine, Tokenizer, EngineConfig]:
     return engine, tokenizer, config
 
 
-def main(argv=None):
-    from gpt_oss_vllm_tpu.utils.platform import ensure_platform
-
-    ensure_platform()
+def build_arg_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description="gpt_oss_vllm_tpu OpenAI-compatible server")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
@@ -1188,9 +1185,14 @@ def main(argv=None):
     ap.add_argument("--tokenizer", default="o200k_harmony")
     ap.add_argument("--max-model-len", type=int, default=None)
     ap.add_argument(
-        "--spec-tokens", type=int, default=0,
+        "--spec-tokens", type=int, default=4,
         help="prompt-lookup speculative decoding: max draft tokens verified "
-             "per step for greedy requests (0 = off)",
+             "per step (0 = off). DEFAULT ON: the adaptive draft-length "
+             "policy halves the window on unprofitable text and backs off "
+             "to plain decode entirely (exponential re-probe), so low-"
+             "acceptance workloads pay only a bounded probe tax while "
+             "repetitive/structured output gains up to ~3x (engine "
+             "_spec_rate_update; measured in docs/STATUS.md)",
     )
     ap.add_argument(
         "--prefill-chunk", dest="prefill_chunk", type=int, default=512,
@@ -1213,7 +1215,14 @@ def main(argv=None):
         "--attn-backend", default="auto", choices=["auto", "xla", "pallas"],
         help="auto = Pallas paged decode on TPU, XLA gather elsewhere",
     )
-    args = ap.parse_args(argv)
+    return ap
+
+
+def main(argv=None):
+    from gpt_oss_vllm_tpu.utils.platform import ensure_platform
+
+    ensure_platform()
+    args = build_arg_parser().parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
     engine, tokenizer, config = make_engine(args)

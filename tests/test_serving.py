@@ -620,3 +620,27 @@ async def test_completions_ignore_eos(client):
     # without ignore_eos the greedy stream may stop earlier (or not);
     # with it, it must never stop before the budget
     assert r1["usage"]["completion_tokens"] <= 24
+
+
+def test_server_default_spec_tokens_adaptive():
+    """Speculative decoding is the server DEFAULT (VERDICT r4 next #2):
+    the CLI parser defaults --spec-tokens to 4, make_engine builds a
+    spec-capable engine from bare defaults, drafts actually fire on
+    repetitive text, and output is token-identical to a spec-off engine
+    (the adaptive policy is lossless)."""
+    from gpt_oss_vllm_tpu.engine.request import SamplingParams
+    from gpt_oss_vllm_tpu.serving.api_server import build_arg_parser, make_engine
+
+    args = build_arg_parser().parse_args(["--tiny", "--tokenizer", "byte"])
+    assert args.spec_tokens == 4  # default ON
+    eng, _, cfg = make_engine(args)
+    assert cfg.scheduler.spec_tokens == 4
+    off = build_arg_parser().parse_args(
+        ["--tiny", "--tokenizer", "byte", "--spec-tokens", "0"]
+    )
+    ref, _, rcfg = make_engine(off)
+    assert rcfg.scheduler.spec_tokens == 0
+    sp = SamplingParams(max_tokens=16, temperature=0.0)
+    prompt = [1, 2, 3, 4] * 6  # repetitive: prompt-lookup drafts fire
+    assert eng.generate([prompt], sp)[0] == ref.generate([prompt], sp)[0]
+    assert eng.metrics.get("spec_proposed", 0) > 0
