@@ -396,8 +396,11 @@ def main():
                     ),
                     flush=True,
                 )
-                for bb in (8, 64, 128):
-                    if remaining() < 90:
+                for bb in (8, 64, 128, 256):
+                    # b256 KV is ~2.4 GB (the most OOM-exposed arm) and the
+                    # scaling-knee evidence lives in chip_session's b256
+                    # phase too — only run it with comfortable budget left
+                    if remaining() < (180 if bb == 256 else 90):
                         log(f"[t+{elapsed():.0f}s] budget: skipping batch={bb}")
                         continue
                     try:

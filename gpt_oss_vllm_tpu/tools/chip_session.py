@@ -7,9 +7,16 @@ process so the stall is paid once:
 
   phase serving   engine-loop tok/s at c=1/8/32 (the reference's-8.3-tok/s
                   contract, STATUS serving table)
-  phase spec      n-gram speculative decoding through the engine on a
-                  repetitive workload (acceptance rate + tok/s)
+  phase serving_hi  engine-loop tok/s at c=32/64/128 on a cmax=128 engine
+                  with per-phase timer decomposition (VERDICT r4 next #1:
+                  the b128 kernel chain does 1141 tok/s; r4 serving topped
+                  out at 278 steady with nothing measured past c=32)
+  phase spec      FLAGSHIP (24L) n-gram speculative decoding through the
+                  engine: repetitive + random workloads vs a spec-off
+                  baseline (acceptance rate + tok/s; VERDICT r4 next #2)
   phase batched   kernel-chain decode at b=8/64 (bench.py secondary)
+  phase b256      kernel-chain decode at b=128/256 — the batch-scaling
+                  knee past the VPU 4-bit-decode floor (VERDICT r4 next #8)
   phase ttft      prefill TTFT: pallas flash vs xla gather at 128..2048
                   (the long-context tile-skipping evidence; 512+ exercises
                   the row-blocked gmm unsliced on chip)
@@ -78,8 +85,8 @@ def main():
 
     t0 = time.monotonic()
     needs_params = bool(
-        {"serving", "spec", "batched", "ttft", "gmm_ab", "tune", "chunk_ab",
-         "http"} & set(phases)
+        {"serving", "serving_hi", "spec", "batched", "b256", "ttft",
+         "gmm_ab", "tune", "chunk_ab", "http"} & set(phases)
     )
     params = prepare_serving_params(mc, quant, seed=0) if needs_params else None
     log(f"[t+{time.monotonic() - t0:.0f}s] serving params "
@@ -142,41 +149,57 @@ def main():
             log(f"serving phase failed: {type(e).__name__}: {str(e)[:300]}")
 
     if "spec" in phases:
+        # FLAGSHIP (24L mxfp4) speculative decoding A/B (VERDICT r4 next
+        # #2): adaptive async-spec vs plain async on the favorable
+        # (repetitive) and worst-case (random) workloads — the random arm
+        # shows what the adaptive backoff costs when nothing drafts
         try:
             del engine
             gc.collect()
             settle()
             eng = make_engine(4, spec_tokens=4)
+            arms = (("repetitive", (1, 4)), ("random", (1,)))
             rows = []
-            for c in (1, 4):
-                # warm long enough that n-gram drafts actually fire and the
-                # widened verify program compiles BEFORE the measured run
-                r = run_load(eng, mc.vocab_size, c, 128, 24, seed=99,
-                             workload="repetitive")
-                log(f"  (spec warm c={c}: {r['wall_s']}s "
-                    f"proposed={eng.metrics['spec_proposed']})")
-                eng.metrics["spec_proposed"] = 0
-                eng.metrics["spec_accepted"] = 0
-                r = run_load(eng, mc.vocab_size, c, 128, 96,
-                             workload="repetitive")
-                rows.append(r)
-                log(f"[t+{time.monotonic() - t0:.0f}s] spec c={c}: "
-                    f"{r['tok_s']} tok/s accept={r.get('spec_accept_rate')}")
-            # sync-path baseline on the same workload, spec off
+            for wl, cs in arms:
+                for c in cs:
+                    # warm long enough that n-gram drafts actually fire and
+                    # the widened verify program compiles BEFORE the
+                    # measured run
+                    r = run_load(eng, mc.vocab_size, c, 128, 24, seed=99,
+                                 workload=wl)
+                    log(f"  (spec warm {wl} c={c}: {r['wall_s']}s "
+                        f"proposed={eng.metrics['spec_proposed']})")
+                    eng.metrics["spec_proposed"] = 0
+                    eng.metrics["spec_accepted"] = 0
+                    r = run_load(eng, mc.vocab_size, c, 128, 96,
+                                 workload=wl)
+                    r["workload"] = wl
+                    r["final_k"] = eng._spec_k
+                    r["spec_backed_off"] = bool(
+                        eng._spec_off_until > eng._step_counter
+                    )
+                    rows.append(r)
+                    log(f"[t+{time.monotonic() - t0:.0f}s] spec {wl} c={c}: "
+                        f"{r['tok_s']} tok/s accept={r.get('spec_accept_rate')} "
+                        f"k={r['final_k']} off={r['spec_backed_off']}")
+            # plain-async baseline on the same workloads, spec off
             del eng
             gc.collect()
             settle()
             eng = make_engine(4, spec_tokens=0)
             base = []
-            for c in (1, 4):
-                r = run_load(eng, mc.vocab_size, c, 128, 8, seed=98,
-                             workload="repetitive")
-                r = run_load(eng, mc.vocab_size, c, 128, 96,
-                             workload="repetitive")
-                base.append(r)
-                log(f"[t+{time.monotonic() - t0:.0f}s] nospec c={c}: {r['tok_s']} tok/s")
+            for wl, cs in arms:
+                for c in cs:
+                    r = run_load(eng, mc.vocab_size, c, 128, 8, seed=98,
+                                 workload=wl)
+                    r = run_load(eng, mc.vocab_size, c, 128, 96,
+                                 workload=wl)
+                    r["workload"] = wl
+                    base.append(r)
+                    log(f"[t+{time.monotonic() - t0:.0f}s] nospec {wl} c={c}: "
+                        f"{r['tok_s']} tok/s")
             emit({"metric": "spec_decode_serving", "spec_tokens": 4,
-                  "workload": "repetitive", "spec": rows, "baseline": base})
+                  "layers": mc.num_layers, "spec": rows, "baseline": base})
             del eng
             gc.collect()
             settle()
@@ -187,6 +210,62 @@ def main():
         del engine
         gc.collect()
         settle()
+        engine = None
+
+    if "serving_hi" in phases:
+        # VERDICT r4 next #1: the biggest unclaimed perf surface — the b128
+        # kernel chain decodes 1141 tok/s while r4's serving path topped
+        # out at 278 steady at c=32 with nothing measured higher. One
+        # cmax=128 engine, arms at c=32/64/128, with the engine's host
+        # timer decomposition emitted per arm so the residual gap is
+        # attributable (prefill share / dispatch / flush / readback).
+        try:
+            hi = None
+            hi_cmax = 0
+            for cmax_try in (128, 96, 64):
+                try:
+                    hi = make_engine(cmax_try, flush_burst=8)
+                    hi_cmax = cmax_try
+                    break
+                except Exception as e:
+                    log(f"  cmax={cmax_try} engine failed: "
+                        f"{type(e).__name__}: {str(e)[:150]}")
+                    hi = None
+                    gc.collect()
+                    settle()
+            if hi is None:
+                raise RuntimeError("no high-concurrency engine fits")
+            log(f"[t+{time.monotonic() - t0:.0f}s] serving_hi engine ready "
+                f"(cmax={hi_cmax})")
+            results = []
+            for c in (32, 64, 128):
+                if c > hi_cmax:
+                    continue
+                r = run_load(hi, mc.vocab_size, c, 128, 8, seed=99)
+                log(f"  (warm c={c}: {r['wall_s']}s)")
+                hi.timer.samples.clear()
+                r = run_load(hi, mc.vocab_size, c, 128, 96)
+                r["readback_rtt_ms"] = round(rtt * 1e3, 1)
+                # host-timer decomposition (rolling <=512 samples/kind)
+                r["phase_totals_ms"] = {
+                    k: round(sum(v) * 1e3, 1)
+                    for k, v in hi.timer.samples.items()
+                }
+                r["phase_counts"] = {
+                    k: len(v) for k, v in hi.timer.samples.items()
+                }
+                results.append(r)
+                log(f"[t+{time.monotonic() - t0:.0f}s] hi c={c}: "
+                    f"{r['tok_s']} tok/s (steady {r['steady_tok_s']}), "
+                    f"TTFT p50 {r['ttft_p50_ms']} / p99 {r['ttft_p99_ms']} ms")
+                log("    totals_ms: " + json.dumps(r["phase_totals_ms"]))
+            emit({"metric": "serving_hi_concurrency", "quant": args.quant,
+                  "cmax": hi_cmax, "flush_burst": 8, "results": results})
+            del hi
+            gc.collect()
+            settle()
+        except Exception as e:
+            log(f"serving_hi phase failed: {type(e).__name__}: {str(e)[:300]}")
 
     import bench
 
@@ -204,6 +283,33 @@ def main():
                   "results": rows})
         except Exception as e:
             log(f"batched phase failed: {type(e).__name__}: {str(e)[:300]}")
+
+    if "b256" in phases:
+        # batch-scaling knee (VERDICT r4 next #8): past the VPU
+        # 4-bit-decode floor (~64 ms/step at 24L full routing) throughput
+        # scales with rows per decode sweep — b128 cleared 1000 tok/s;
+        # where does the curve bend next? KV at b256 is ~2.4 GB, so this
+        # arm is the most OOM-exposed measurement in the session — run it
+        # LAST and guard each batch independently.
+        try:
+            rows = {}
+            for bb in (128, 256):
+                try:
+                    cc_b = CacheConfig(block_size=16, num_blocks=12 * bb + 16,
+                                       max_blocks_per_seq=16)
+                    tok_s, lat = bench.time_decode(c24, params, cc_b,
+                                                   "pallas", bb, 32)
+                    rows[bb] = {"tok_s": round(tok_s, 2),
+                                "ms_step": round(lat * 1e3, 2)}
+                    log(f"[t+{time.monotonic() - t0:.0f}s] batch={bb}: "
+                        f"{tok_s:.1f} tok/s ({lat * 1e3:.1f} ms/step)")
+                except Exception as e:
+                    log(f"  b{bb} failed: {type(e).__name__}: {str(e)[:200]}")
+                settle()
+            emit({"metric": "batch_scaling_knee", "quant": args.quant,
+                  "results": rows})
+        except Exception as e:
+            log(f"b256 phase failed: {type(e).__name__}: {str(e)[:300]}")
 
     if "ttft" in phases:
         try:
