@@ -64,6 +64,11 @@ def run_load(engine, tokenizer_vocab: int, concurrency: int, prompt_len: int,
             # boilerplate-like text where prompt-lookup spec decode pays)
             pat = rng.integers(0, tokenizer_vocab, 24)
             prompt = np.tile(pat, -(-prompt_len // 24))[:prompt_len].tolist()
+        elif workload == "constant":
+            # one token repeated: with a scripted repeat-the-last-token
+            # model (chip_session spec_script) the OUTPUT is draftable too
+            # — the drafter's acceptance ceiling at full flagship cost
+            prompt = [int(rng.integers(1, tokenizer_vocab))] * prompt_len
         else:
             prompt = rng.integers(0, tokenizer_vocab, prompt_len).tolist()
         engine.add_request(rid, prompt, sp)
