@@ -77,6 +77,10 @@ def main():
                     help="serving_hi async_flush_burst")
     ap.add_argument("--knee-arms", default="128,256",
                     help="b256 phase batch widths (comma list)")
+    ap.add_argument("--script-k", type=int, default=4,
+                    help="spec_script draft window (at accept=1.0 the spec "
+                         "step costs ~a b(1+k) sweep, so bigger k amortizes "
+                         "the VPU decode floor further)")
     args = ap.parse_args()
     phases = args.phases.split(",")
     log(f"backend={backend} phases={phases}")
@@ -665,7 +669,7 @@ def main():
             log(f"[t+{time.monotonic() - t0:.0f}s] scripted params ready "
                 f"(repeat-last-token, production layout)")
             rows = []
-            for spec_t in (4, 0):
+            for spec_t in (args.script_k, 0):
                 eng = make_engine(4, spec_tokens=spec_t)
                 for c in (1, 4):
                     r = run_load(eng, mc.vocab_size, c, 128, 24, seed=99,
