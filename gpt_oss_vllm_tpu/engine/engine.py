@@ -57,6 +57,50 @@ def _next_bucket(n: int, lo: int = 16) -> int:
     return b
 
 
+def _tok_byte_rows(g_bytes, tok):
+    """[W, Lmax] byte rows for token column ``tok`` (-1 pads). Ids past the
+    tokenizer vocab (lm_head padding — reachable only on unmasked rows) and
+    -1 window pads carry no bytes: the clip must not alias them onto the
+    last real token's byte row."""
+    tb = g_bytes[jnp.clip(tok, 0, g_bytes.shape[0] - 1)]
+    return jnp.where(
+        ((tok >= 0) & (tok < g_bytes.shape[0]))[:, None], tb, -1
+    )
+
+
+def _harmony_gate_step(h_state, tok, tb, ch_trans, ch_accept, h_spec):
+    """One token's device-side harmony-gate transition (mirrors
+    ``GuidedSession.advance``'s gate branch; ``serving/guided.py``
+    ``final_channel_tables``). ``h_state``: -1 = no gate, 0 = ACTIVE,
+    1 = FREE, 2+s = collecting a channel name at channel-DFA state s.
+    Returns ``(new_h, walk_ok)`` — ``walk_ok`` (computed from the PRE-token
+    gate) gates the grammar DFA advance for this token, matching the host
+    session which returns before the grammar on header specials."""
+    ch_id, msg_id, end_id, start_id = h_spec
+    is_ch = tok == ch_id
+    is_msg = tok == msg_id
+    is_es = (tok == end_id) | (tok == start_id)
+    gated = h_state >= 0
+    walk_ok = (h_state <= 0) & ~(gated & (is_ch | is_msg | is_es))
+    chan_s = jnp.maximum(h_state - 2, 0)
+
+    def _cwalk(s, b):
+        return jnp.where(b >= 0, ch_trans[s, jnp.clip(b, 0)], s), None
+
+    chan_w, _ = jax.lax.scan(_cwalk, chan_s, tb.T)
+    in_chan = h_state >= 2
+    new_h = jnp.where(
+        ~gated,
+        h_state,
+        jnp.where(
+            in_chan,
+            jnp.where(is_msg, jnp.where(ch_accept[chan_s], 0, 1), 2 + chan_w),
+            jnp.where(is_ch, 2, jnp.where(is_es, 1, h_state)),
+        ),
+    )
+    return new_h, walk_ok
+
+
 class InferenceEngine:
     def __init__(
         self,
@@ -309,8 +353,10 @@ class InferenceEngine:
                                 min_p, bias_ids, bias_vals, stop_ids,
                                 min_toks, counts, pres, freq, rep,
                                 g_state=None, g_bits=None, g_trans=None,
-                                g_bytes=None, post="none",
-                                K=sc.spec_tokens, n_lp=0, guided=False):
+                                g_bytes=None, h_state=None, ch_trans=None,
+                                ch_accept=None, post="none",
+                                K=sc.spec_tokens, n_lp=0, guided=False,
+                                h_spec=None):
                 # FULLY device-chained speculative step: draft from the
                 # per-row token-history ring, feed [last, draft...], verify
                 # on device (rejection sampling against each row's exact
@@ -377,12 +423,10 @@ class InferenceEngine:
                         presence=pres, frequency=freq, repetition=rep,
                     )
 
-                def _gbyte_walk(s, tok_col):
-                    # advance states by one TOKEN column: walk its bytes
-                    # (stop ids are all-pad rows -> state holds; rows with
+                def _gbyte_walk(s, tb):
+                    # advance states by one token column's byte rows (stop
+                    # ids / pads are all-pad -> state holds; rows with
                     # state -1 are unconstrained and hold too)
-                    tb = g_bytes[jnp.clip(tok_col, 0, g_bytes.shape[0] - 1)]
-
                     def bw(ss, b):
                         return jnp.where(
                             (b >= 0) & (ss >= 0),
@@ -393,9 +437,11 @@ class InferenceEngine:
                     s2, _ = jax.lax.scan(bw, s, tb.T)
                     return s2
 
-                def _gmask_row(s, lg):
+                def _gmask_row(s, lg, on=None):
                     # gather + unpack the packed mask for states s; -inf
-                    # everything the DFA disallows (rows with s -1 pass)
+                    # everything the DFA disallows (rows with s -1 pass;
+                    # `on` additionally gates masking — the harmony gate's
+                    # per-position ACTIVE condition)
                     from gpt_oss_vllm_tpu.ops.sampling import NEG_INF
 
                     row_bits = g_bits[jnp.clip(s, 0)].astype(jnp.int32)
@@ -410,8 +456,9 @@ class InferenceEngine:
                              jnp.zeros((allow.shape[0], Vm - Vtok), bool)],
                             axis=1,
                         )
+                    live_m = s >= 0 if on is None else (s >= 0) & on
                     return jnp.where(
-                        (s >= 0)[:, None] & ~allow, NEG_INF, lg
+                        live_m[:, None] & ~allow, NEG_INF, lg
                     )
 
                 if guided:
@@ -421,13 +468,27 @@ class InferenceEngine:
                     # rejected; the residual/bonus draw samples from the
                     # masked distribution at a grammatical state) —
                     # structured outputs keep multi-token spec steps, which
-                    # matters: constrained JSON is highly draftable
+                    # matters: constrained JSON is highly draftable. The
+                    # harmony gate chains along the window the same way, so
+                    # channel-gated guided chat speculates too.
                     cols = []
                     s_j = g_state
+                    h_j = h_state
                     for j in range(1 + K):
-                        cols.append(_gmask_row(s_j, logits[:, j, :]))
+                        on_j = None if h_spec is None else h_j <= 0
+                        cols.append(_gmask_row(s_j, logits[:, j, :], on_j))
                         if j < K:
-                            s_j = _gbyte_walk(s_j, draft[:, j])
+                            tok_j = draft[:, j]
+                            tb_j = _tok_byte_rows(g_bytes, tok_j)
+                            s_new = _gbyte_walk(s_j, tb_j)
+                            if h_spec is None:
+                                s_j = s_new
+                            else:
+                                h_j, wok = _harmony_gate_step(
+                                    h_j, tok_j, tb_j, ch_trans, ch_accept,
+                                    h_spec,
+                                )
+                                s_j = jnp.where(wok, s_new, s_j)
                     logits = jnp.stack(cols, axis=1)
                 n_acc, final = spec_verify(
                     logits, draft_w, nd, seeds, ctrs, temp, top_p, top_k,
@@ -494,25 +555,39 @@ class InferenceEngine:
                         jnp.where(emitted >= 0, emitted, Vv),
                     ].add(1, mode="drop")
                 if guided:
-                    # chain the DFA forward over the emitted tokens (-1
-                    # pads hold; stop ids hold via their all-pad byte rows)
+                    # chain the grammar (and harmony gate) forward over the
+                    # emitted tokens (-1 pads carry no bytes and hold both
+                    # states; stop ids hold via their all-pad byte rows)
                     for j in range(1 + K):
                         tok_j = emitted[:, j]
-                        s_new = _gbyte_walk(g_state, jnp.clip(tok_j, 0))
-                        g_state = jnp.where(tok_j >= 0, s_new, g_state)
+                        tb_j = _tok_byte_rows(g_bytes, tok_j)
+                        s_new = _gbyte_walk(g_state, tb_j)
+                        live_j = tok_j >= 0
+                        if h_spec is None:
+                            g_state = jnp.where(live_j, s_new, g_state)
+                        else:
+                            h_new, wok = _harmony_gate_step(
+                                h_state, tok_j, tb_j, ch_trans, ch_accept,
+                                h_spec,
+                            )
+                            g_state = jnp.where(live_j & wok, s_new, g_state)
+                            h_state = jnp.where(live_j, h_new, h_state)
                 return (out.cache, payload, hist, hist_len + n_emit,
-                        ctrs + n_emit, counts, g_state)
+                        ctrs + n_emit, counts, g_state, h_state)
 
             self._decode_spec_async = jax.jit(
                 spec_async_step,
                 donate_argnames=("cache", "hist", "hist_len", "counts"),
-                static_argnames=("post", "K", "n_lp", "guided"),
+                static_argnames=("post", "K", "n_lp", "guided", "h_spec"),
             )
             # spec-chain guided state (separate from the plain chain's —
             # the two chains never run concurrently; path switches flush)
             self._spec_gtabs = None
             self._spec_goffs = None
             self._spec_gstate = None
+            self._spec_hspec = None
+            self._spec_htabs = (None, None)
+            self._spec_hstate = None
             # adaptive draft length (VERDICT r3 weak #4): the verify window
             # costs ~(1 + BETA*k) plain steps (measured k=4 draftless ~1.9x),
             # so the profitable emitted-rate threshold scales with k. On an
@@ -727,15 +802,8 @@ class InferenceEngine:
                 if guided:
                     # advance the DFA by walking the sampled token's bytes
                     # (g_bytes rows are -1-padded; stop ids are all-pad so
-                    # their state stays put, matching the host session).
-                    # Ids past the tokenizer vocab (lm_head padding — only
-                    # reachable on UNMASKED rows, i.e. a FREE harmony gate)
-                    # carry no bytes: the clip must not alias them onto the
-                    # last real token's bytes
-                    tb = g_bytes[jnp.clip(nxt, 0, g_bytes.shape[0] - 1)]
-                    tb = jnp.where(
-                        (nxt < g_bytes.shape[0])[:, None], tb, -1
-                    )
+                    # their state stays put, matching the host session)
+                    tb = _tok_byte_rows(g_bytes, nxt)
 
                     def _gwalk(s, b):
                         s2 = jnp.where(
@@ -749,46 +817,13 @@ class InferenceEngine:
                     if h_spec is None:
                         g_state = g_new
                     else:
-                        # harmony gate transitions ON DEVICE (mirrors
-                        # GuidedSession.advance): h_state -1 = no gate,
-                        # 0 = ACTIVE, 1 = FREE, 2+s = collecting a channel
-                        # name with final_channel_tables DFA state s
-                        ch_id, msg_id, end_id, start_id = h_spec
-                        is_ch = nxt == ch_id
-                        is_msg = nxt == msg_id
-                        is_es = (nxt == end_id) | (nxt == start_id)
-                        gated = h_state >= 0
-                        # grammar advances only while the gate is ACTIVE
-                        # and the token is not a header special (the host
-                        # session returns before reaching the DFA there)
-                        walk_ok = (h_state <= 0) & ~(
-                            gated & (is_ch | is_msg | is_es)
+                        # harmony gate transitions ON DEVICE — grammar
+                        # advances only while the gate is ACTIVE and the
+                        # token is not a header special
+                        h_state, walk_ok = _harmony_gate_step(
+                            h_state, nxt, tb, ch_trans, ch_accept, h_spec
                         )
                         g_state = jnp.where(walk_ok, g_new, g_state)
-                        chan_s = jnp.maximum(h_state - 2, 0)
-
-                        def _cwalk(s, b):
-                            return jnp.where(
-                                b >= 0, ch_trans[s, jnp.clip(b, 0)], s
-                            ), None
-
-                        chan_w, _ = jax.lax.scan(_cwalk, chan_s, tb.T)
-                        in_chan = h_state >= 2
-                        h_state = jnp.where(
-                            ~gated,
-                            h_state,
-                            jnp.where(
-                                in_chan,
-                                jnp.where(
-                                    is_msg,
-                                    jnp.where(ch_accept[chan_s], 0, 1),
-                                    2 + chan_w,
-                                ),
-                                jnp.where(
-                                    is_ch, 2, jnp.where(is_es, 1, h_state)
-                                ),
-                            ),
-                        )
                 # chain positions/counters ON DEVICE: between batch-
                 # composition changes every running row advances by exactly
                 # one token per step, so the host never re-uploads them —
@@ -879,10 +914,10 @@ class InferenceEngine:
         )
         if sampling.guided is not None:
             # per-request DFA state (+ harmony channel gate). Gate-free and
-            # harmony-gated guided rows ride the zero-sync fused chain
+            # harmony-gated guided rows ride the zero-sync fused chains
             # (device-side DFA byte walks advance the grammar AND the
-            # final-channel gate; gate-free rows compose with speculation);
-            # only tool-choice or min_tokens>0 guided rows fall back to the
+            # final-channel gate, on the plain AND spec programs); only
+            # tool-choice or min_tokens>0 guided rows fall back to the
             # sync path
             req.guided = sampling.guided.new_session(sampling.guided_gate)
         self.requests[request_id] = req
@@ -2022,14 +2057,11 @@ class InferenceEngine:
             )
             for _, r in running
         )
-        # speculation composes with gate-FREE guided rows (the window
-        # program masks each position with the DFA state after the drafts
-        # before it — constrained JSON is highly draftable); harmony-gated
-        # rows stay on the plain chain (the spec window has no gate walk)
-        spec_capable = self.spec_tokens > 0 and all(
-            r.guided is None or r.sampling.guided_gate == "none"
-            for _, r in running
-        )
+        # speculation composes with guided rows — including harmony-gated
+        # ones: the spec window program chains the channel gate along the
+        # draft positions exactly like the grammar DFA, so a guided harmony
+        # chat in the batch no longer costs everyone else their drafts
+        spec_capable = self.spec_tokens > 0 and guided_async
         use_spec = spec_capable and self._step_counter >= self._spec_off_until
         if self.async_decode and guided_async:
             # plain rows (greedy OR sampled) stay on device: the fused
@@ -2302,6 +2334,33 @@ class InferenceEngine:
                 jnp.asarray(self._guided_states(running, W, self._spec_goffs))
                 if self._spec_gtabs is not None else None
             )
+            harmony = [
+                r for _, r in running
+                if r.guided is not None and getattr(r.guided, "_harmony", False)
+            ]
+            if harmony:
+                from gpt_oss_vllm_tpu.serving.guided import (
+                    final_channel_tables,
+                )
+
+                sp_ids = harmony[0].guided._specials
+                self._spec_hspec = (
+                    sp_ids.get("channel", -1), sp_ids.get("message", -1),
+                    sp_ids.get("end", -1), sp_ids.get("start", -1),
+                )
+                chan_trans, chan_accept = final_channel_tables()
+                self._spec_htabs = (
+                    jnp.asarray(chan_trans), jnp.asarray(chan_accept),
+                )
+                hstate = np.full(W, -1, np.int32)
+                for ci, (i, r) in enumerate(running):
+                    if r.guided is not None:
+                        hstate[ci] = r.guided.device_gate_state(chan_trans)
+                self._spec_hstate = jnp.asarray(hstate)
+            else:
+                self._spec_hspec = None
+                self._spec_htabs = (None, None)
+                self._spec_hstate = None
             self._rows_host = rows
             self._spec_key = key
             self._samp_key = None  # plain-async chain must rebuild too
@@ -2319,8 +2378,10 @@ class InferenceEngine:
         bias_ids_d, bias_vals_d, stop_ids_d, min_toks_d = self._spec_postargs
         pres_d, freq_d, rep_d = self._spec_pen
         sg_bits, sg_trans, sg_bytes = self._spec_gtabs or (None, None, None)
+        sh_trans, sh_accept = self._spec_htabs
         (cache, emitted, self._hist_chain, self._hlen_chain, self._spec_ctr,
-         self._spec_counts, self._spec_gstate) = self._decode_spec_async(
+         self._spec_counts, self._spec_gstate,
+         self._spec_hstate) = self._decode_spec_async(
             self.params, self.cache, self._hist_chain, self._hlen_chain,
             self._bt_dev, self._spec_cap, seeds_d, self._spec_ctr,
             temp_d, top_p_d, top_k_d, min_p_d,
@@ -2328,8 +2389,11 @@ class InferenceEngine:
             self._spec_counts, pres_d, freq_d, rep_d,
             g_state=self._spec_gstate, g_bits=sg_bits, g_trans=sg_trans,
             g_bytes=sg_bytes,
+            h_state=self._spec_hstate, ch_trans=sh_trans,
+            ch_accept=sh_accept,
             post=self._spec_post, K=K, n_lp=n_lp,
             guided=self._spec_gtabs is not None,
+            h_spec=self._spec_hspec,
         )
         self.cache = cache
         if self._spec_post == "full":

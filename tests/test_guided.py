@@ -973,3 +973,64 @@ def test_engine_harmony_gate_non_final_channel_stays_free(guided_setup):
     assert eng.metrics.get("sync_steps", 0) == 0
     # channel name "z" is not "final": content cde flows unmasked
     assert got == [ch, z, msg, c_, d, e, ret]
+
+
+def test_engine_harmony_gate_composes_with_speculation(guided_setup):
+    """A harmony-gated guided request SPECULATES on the zero-sync chain:
+    the spec window program chains the channel gate along draft positions
+    (a guided harmony chat no longer costs the batch its drafts). Scripted
+    model opens <|channel|>final<|message|> then cycles 'xyxy...' — which
+    the grammar permits and the n-gram drafter drafts — so acceptance is
+    real; token parity vs the all-sync no-spec engine, drafts actually
+    proposed and accepted, zero sync steps."""
+    import dataclasses
+
+    from gpt_oss_vllm_tpu.engine.request import SamplingParams
+
+    cfg, _params, _tok = guided_setup
+    tok = ByteTokenizer(name="byte-harmony", harmony=True)
+    ch, msg = tok.special("channel"), tok.special("message")
+    f, i_, n, a, l = (ord(c) for c in "final")
+    x, y = ord("x"), ord("y")
+    script = {80: ch, ch: f, f: i_, i_: n, n: a, a: l, l: msg,
+              msg: x, x: y, y: x}
+    params = _scripted_params(cfg.model, script, seed=11)
+    g = compile_guided("regex", r"(xy){1,40}", tok)
+    stops = tuple(dict.fromkeys(tuple(tok.stop_ids) + tuple(tok.chat_stop_ids)))
+    prompt = [80] * 16
+
+    def run(spec_tokens, async_decode):
+        c = dataclasses.replace(
+            cfg,
+            scheduler=dataclasses.replace(
+                cfg.scheduler, async_decode=async_decode,
+                spec_tokens=spec_tokens, async_depth=2, async_flush_burst=2,
+            ),
+        )
+        eng = _make_engine(c, params)
+        eng.add_request(
+            "h", prompt,
+            SamplingParams(
+                max_tokens=31, temperature=0.0, stop_token_ids=stops,
+                guided=g, guided_gate="harmony",
+            ),
+        )
+        toks = []
+        for _ in range(500):
+            for o in eng.step():
+                if o.token_id >= 0:
+                    toks.append(o.token_id)
+            if not eng.has_work():
+                break
+        return toks, eng
+
+    want, _ = run(0, False)
+    got, eng = run(3, True)
+    assert got == want
+    assert eng.metrics.get("sync_steps", 0) == 0
+    assert eng.metrics.get("spec_proposed", 0) > 0
+    assert eng.metrics.get("spec_accepted", 0) > 0
+    # header verbatim, content grammatical
+    assert got[:7] == [ch, f, i_, n, a, l, msg]
+    body = tok.decode([t for t in got[7:] if t not in stops])
+    assert re.fullmatch(r"(xy){1,40}|((xy)*x)", body)  # length-cut prefix ok
