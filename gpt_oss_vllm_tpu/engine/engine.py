@@ -1621,6 +1621,36 @@ class InferenceEngine:
             jnp.asarray(tabs[0].byte_matrix()),
         ), offs
 
+    def _bind_harmony_gate(self, running, W):
+        """Device bindings for the harmony-gated guided rows of ``running``:
+        ``(h_spec tuple | None, (ch_trans, ch_accept) | (None, None),
+        hstate [W] | None)``. One tokenizer per process, so the first
+        harmony session's specials serve all rows. Host sessions must be
+        exact (in-flight steps flushed) when the hstate is consumed."""
+        harmony = [
+            r for _, r in running
+            if r.guided is not None and getattr(r.guided, "_harmony", False)
+        ]
+        if not harmony:
+            return None, (None, None), None
+        from gpt_oss_vllm_tpu.serving.guided import final_channel_tables
+
+        sp = harmony[0].guided._specials
+        h_spec = (
+            sp.get("channel", -1), sp.get("message", -1),
+            sp.get("end", -1), sp.get("start", -1),
+        )
+        chan_trans, chan_accept = final_channel_tables()
+        hstate = np.full(W, -1, np.int32)
+        for ci, (i, r) in enumerate(running):
+            if r.guided is not None:
+                hstate[ci] = r.guided.device_gate_state(chan_trans)
+        return (
+            h_spec,
+            (jnp.asarray(chan_trans), jnp.asarray(chan_accept)),
+            jnp.asarray(hstate),
+        )
+
     def _guided_states(self, running, W, offs) -> np.ndarray:
         """Per-compact-row absolute DFA states (-1 = unconstrained); host
         sessions must be exact (in-flight steps flushed) when called."""
@@ -1859,26 +1889,12 @@ class InferenceEngine:
                     self._plain_pen = (None,) * 3
             self._g_tabs, self._g_offs = self._stack_guided_tables(running)
             self._gstate_dev = None
-            # harmony-gated rows: bind the gate's special ids (one tokenizer
-            # per process — all harmony grammars share them) and the
-            # final-channel byte-DFA the fused program walks
-            harmony = [
-                r for _, r in running
-                if r.guided is not None and getattr(r.guided, "_harmony", False)
-            ]
-            if harmony:
-                from gpt_oss_vllm_tpu.serving.guided import final_channel_tables
-
-                sp = harmony[0].guided._specials
-                self._h_specials = (
-                    sp.get("channel", -1), sp.get("message", -1),
-                    sp.get("end", -1), sp.get("start", -1),
-                )
-                trans, accept = final_channel_tables()
-                self._h_tabs = (jnp.asarray(trans), jnp.asarray(accept))
-            else:
-                self._h_specials = None
-                self._h_tabs = (None, None)
+            # harmony-gated rows: bind the gate's special ids and the
+            # final-channel byte-DFA the fused program walks (the per-row
+            # state is re-seeded in the chain-rebuild block below)
+            self._h_specials, self._h_tabs, _ = self._bind_harmony_gate(
+                running, W
+            )
             self._hstate_dev = None
             self._samp_key = key
             self._pos_dev = None  # composition changed: rebuild the chain
@@ -1928,16 +1944,7 @@ class InferenceEngine:
                 self._guided_states(running, W, self._g_offs)
             )
             if self._h_specials is not None:
-                from gpt_oss_vllm_tpu.serving.guided import (
-                    final_channel_tables,
-                )
-
-                chan_trans, _ = final_channel_tables()
-                hstate = np.full(W, -1, np.int32)
-                for ci, (i, r) in enumerate(running):
-                    if r.guided is not None:
-                        hstate[ci] = r.guided.device_gate_state(chan_trans)
-                self._hstate_dev = jnp.asarray(hstate)
+                _, _, self._hstate_dev = self._bind_harmony_gate(running, W)
         if self._bt_dev_version != self._bt_version:
             bt = np.full((W, self.max_blocks), -1, dtype=np.int32)
             act = self._rows_host < S
@@ -2334,33 +2341,8 @@ class InferenceEngine:
                 jnp.asarray(self._guided_states(running, W, self._spec_goffs))
                 if self._spec_gtabs is not None else None
             )
-            harmony = [
-                r for _, r in running
-                if r.guided is not None and getattr(r.guided, "_harmony", False)
-            ]
-            if harmony:
-                from gpt_oss_vllm_tpu.serving.guided import (
-                    final_channel_tables,
-                )
-
-                sp_ids = harmony[0].guided._specials
-                self._spec_hspec = (
-                    sp_ids.get("channel", -1), sp_ids.get("message", -1),
-                    sp_ids.get("end", -1), sp_ids.get("start", -1),
-                )
-                chan_trans, chan_accept = final_channel_tables()
-                self._spec_htabs = (
-                    jnp.asarray(chan_trans), jnp.asarray(chan_accept),
-                )
-                hstate = np.full(W, -1, np.int32)
-                for ci, (i, r) in enumerate(running):
-                    if r.guided is not None:
-                        hstate[ci] = r.guided.device_gate_state(chan_trans)
-                self._spec_hstate = jnp.asarray(hstate)
-            else:
-                self._spec_hspec = None
-                self._spec_htabs = (None, None)
-                self._spec_hstate = None
+            (self._spec_hspec, self._spec_htabs,
+             self._spec_hstate) = self._bind_harmony_gate(running, W)
             self._rows_host = rows
             self._spec_key = key
             self._samp_key = None  # plain-async chain must rebuild too

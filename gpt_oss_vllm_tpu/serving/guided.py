@@ -1006,15 +1006,32 @@ _GATE_CHANNEL = 2  # after <|channel|>, collecting the channel name
 
 
 _ASCII_WS = b" \t\n\r\x0b\x0c"
+_ASCII_WS_STR = " \t\n\r\x0b\x0c"
 _final_channel_cache: Optional[Tuple[np.ndarray, np.ndarray]] = None
+
+
+def is_final_channel_name(name: str) -> bool:
+    """The harmony-gate channel-name contract, host form: optional ASCII
+    whitespace, the literal ``final``, then end-of-name or ASCII whitespace
+    followed by anything. Deliberately ASCII-only (harmony channel names
+    are ASCII) so the host session and the device byte-DFA
+    (``final_channel_tables``) decide identically — Python's wider
+    ``str.strip()``/``str.split()`` whitespace class (``\\x1c``-``\\x1f``,
+    ``\\x85``, ``\\xa0``, Unicode spaces) would diverge from the byte walk."""
+    i, n = 0, len(name)
+    while i < n and name[i] in _ASCII_WS_STR:
+        i += 1
+    j = i
+    while j < n and name[j] not in _ASCII_WS_STR:
+        j += 1
+    return name[i:j] == "final"
 
 
 def final_channel_tables() -> Tuple[np.ndarray, np.ndarray]:
     """Byte-DFA recognizing a harmony channel name that selects the
-    ``final`` channel — the device form of the host gate rule
-    ``name.strip().split()[:1] == ["final"]`` (optional ASCII whitespace,
-    the literal ``final``, then either end-of-name or whitespace followed
-    by anything; harmony channel names are ASCII).
+    ``final`` channel — the device form of :func:`is_final_channel_name`
+    (optional ASCII whitespace, the literal ``final``, then either
+    end-of-name or whitespace followed by anything).
 
     States: 0 ws-prefix, 1-4 partial literal, 5 ``final`` seen (accepting),
     6 whitespace tail (accepting), 7 dead. Returns
@@ -1118,9 +1135,9 @@ class GuidedSession:
             msg = self._specials.get("message")
             if self._gate == _GATE_CHANNEL:
                 if token_id == msg:
-                    name = self._decode_chan()
                     self._gate = (
-                        _GATE_ACTIVE if name.strip().split()[0:1] == ["final"]
+                        _GATE_ACTIVE
+                        if is_final_channel_name(self._decode_chan())
                         else _GATE_FREE
                     )
                     self._chan_buf = []
@@ -1144,13 +1161,22 @@ class GuidedSession:
             self.state = self.grammar.advance(self.state, token_id)
 
     def _decode_chan(self) -> str:
+        # only tokens that CARRY BYTES contribute to the name — specials
+        # and stop ids buffered into a malformed header are skipped, the
+        # exact semantics of the device walk (their byte-matrix rows are
+        # all-pad, so the channel DFA holds)
+        tab = self.grammar.table
+        toks = [
+            t for t in self._chan_buf
+            if 0 <= t < tab.V and tab._vbytes[t] and t not in tab.stop_ids
+        ]
         if self._decode_fn is not None:
             try:
-                return self._decode_fn(self._chan_buf)
+                return self._decode_fn(toks)
             except Exception:
                 return ""
         # byte-level fallback (ByteTokenizer ids are raw bytes)
-        return bytes(t for t in self._chan_buf if 0 <= t < 256).decode(
+        return bytes(t for t in toks if 0 <= t < 256).decode(
             "utf-8", "replace"
         )
 

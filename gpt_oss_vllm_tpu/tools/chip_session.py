@@ -98,8 +98,8 @@ def main():
 
     t0 = time.monotonic()
     needs_params = bool(
-        {"serving", "serving_hi", "spec", "batched", "b256", "ttft",
-         "gmm_ab", "tune", "chunk_ab", "http"} & set(phases)
+        {"serving", "serving_hi", "spec", "spec_script", "batched", "b256",
+         "ttft", "gmm_ab", "tune", "chunk_ab", "http"} & set(phases)
     )
     params = prepare_serving_params(mc, quant, seed=0) if needs_params else None
     log(f"[t+{time.monotonic() - t0:.0f}s] serving params "
@@ -241,7 +241,9 @@ def main():
         try:
             hi = None
             hi_cmax = 0
-            for cmax_try in dict.fromkeys((args.hi_cmax, 128, 96, 64)):
+            for cmax_try in dict.fromkeys(
+                c for c in (args.hi_cmax, 128, 96, 64) if c <= args.hi_cmax
+            ):
                 try:
                     hi = make_engine(cmax_try, flush_burst=args.hi_burst)
                     hi_cmax = cmax_try

@@ -1034,3 +1034,50 @@ def test_engine_harmony_gate_composes_with_speculation(guided_setup):
     assert got[:7] == [ch, f, i_, n, a, l, msg]
     body = tok.decode([t for t in got[7:] if t not in stops])
     assert re.fullmatch(r"(xy){1,40}|((xy)*x)", body)  # length-cut prefix ok
+
+
+def test_final_channel_contract_host_device_parity():
+    """is_final_channel_name (host) and final_channel_tables (device)
+    decide identically — including Python-whitespace lookalikes
+    (\\x1c, \\x85, \\xa0) that str.strip()/split() would treat as
+    separators but the shared ASCII contract deliberately rejects."""
+    from gpt_oss_vllm_tpu.serving.guided import (
+        final_channel_tables,
+        is_final_channel_name,
+    )
+
+    trans, accept = final_channel_tables()
+
+    def dev(name: bytes) -> bool:
+        s = 0
+        for b in name:
+            s = int(trans[s, b])
+        return bool(accept[s])
+
+    cases = [b"final", b" final", b"final ", b"final json", b"\tfinal",
+             b"\tfinal\tx", b"fin", b"finally", b"xfinal", b"",
+             b"\x1cfinal", b"final\x1c", b"\x85final",
+             "\xa0final".encode(), b"f inal", b"  final  x"]
+    for name in cases:
+        host = is_final_channel_name(name.decode("utf-8", "replace"))
+        assert host == dev(name), name
+
+
+def test_session_gate_skips_byteless_specials_in_channel_name():
+    """A byteless special buffered into a channel name contributes nothing
+    on either side: the device walk holds (all-pad byte row) and the host
+    decode now skips it — '<|channel|>final<|pad|><|message|>' activates
+    consistently instead of diverging (review finding r5)."""
+    from gpt_oss_vllm_tpu.serving.guided import final_channel_tables
+
+    tok = ByteTokenizer(harmony=True)
+    g = compile_guided("choice", ["ok"], tok)
+    trans, _ = final_channel_tables()
+    s = g.new_session("harmony")
+    s.advance(tok.special("channel"))
+    for t in tok.encode("final"):
+        s.advance(t)
+    s.advance(tok.special("pad"))  # byteless special mid-name
+    assert s.device_gate_state(trans) == 2 + 5  # device holds at 'final'
+    s.advance(tok.special("message"))
+    assert s.active  # host skipped the special too: both sides ACTIVE
