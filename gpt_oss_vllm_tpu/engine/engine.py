@@ -284,11 +284,15 @@ class InferenceEngine:
         else:
             self._prefill_xla = self._prefill
         # prompt-logprobs prefill programs (vLLM prompt_logprobs / OpenAI
-        # echo+logprobs): all-position logits + in-program log_softmax,
-        # chosen gather and top-k, built lazily per top-N. Chunks are capped
-        # at PLP_CHUNK tokens so the transient [T, V] logits stay bounded
-        # (the "never T x 201k at once" memory rule — step.py:12-13)
-        self.PLP_CHUNK = 128
+        # echo+logprobs): all-position logits with log_softmax + top-k
+        # computed over 32-position SUB-BLOCKS inside the program, built
+        # lazily per top-N. Chunks are capped at PLP_CHUNK tokens so the
+        # [T, V] logits stay bounded, and the sub-blocking avoids a second
+        # full-chunk f32 copy (the "never T x 201k at once" memory rule —
+        # step.py:12-13; at 64 tokens x 201k vocab the live transient is
+        # ~51 MB logits + ~26 MB per sub-block, inside even a serving
+        # config's HBM headroom)
+        self.PLP_CHUNK = 64
         self._plp_cache: dict = {}
         self._plp_step_kwargs = dict(
             cfg=cfg,
@@ -975,11 +979,31 @@ class InferenceEngine:
                     params, cache=cache, tokens=tokens, positions=positions,
                     block_tables=block_tables, last_idx=last_idx,
                 )
-                lse = jax.nn.log_softmax(out.logits, axis=-1)  # [B, T, V]
-                chosen = jnp.take_along_axis(
-                    lse, targets[..., None], axis=-1
-                )[..., 0]
-                top_v, top_i = jax.lax.top_k(lse, max(n, 1))
+                logits = out.logits  # [B, T, V]
+                B, T, V = logits.shape
+                # log_softmax + top-k over 32-position sub-blocks: a full-
+                # chunk f32 log_softmax would double the largest live
+                # buffer (T x 201k f32 is ~50 MB per 64 tokens) on a chip
+                # whose serving configs leave little headroom. T is a
+                # power-of-two bucket, so SB divides it.
+                SB = min(32, T)
+
+                def blk(_, i):
+                    sl = jax.lax.dynamic_slice_in_dim(logits, i * SB, SB, 1)
+                    lse = jax.nn.log_softmax(
+                        sl.astype(jnp.float32), axis=-1
+                    )
+                    tg = jax.lax.dynamic_slice_in_dim(targets, i * SB, SB, 1)
+                    ch = jnp.take_along_axis(lse, tg[..., None], -1)[..., 0]
+                    tv, ti = jax.lax.top_k(lse, max(n, 1))
+                    return None, (ch, ti, tv)
+
+                _, (chosen, top_i, top_v) = jax.lax.scan(
+                    blk, None, jnp.arange(T // SB, dtype=jnp.int32)
+                )
+                chosen = jnp.moveaxis(chosen, 0, 1).reshape(B, T)
+                top_i = jnp.moveaxis(top_i, 0, 1).reshape(B, T, -1)
+                top_v = jnp.moveaxis(top_v, 0, 1).reshape(B, T, -1)
                 final = jnp.take_along_axis(
                     out.logits, last_idx[:, None, None], axis=1
                 )[:, 0]

@@ -86,7 +86,26 @@ class AsyncEngine:
         loop = asyncio.get_running_loop()
         while True:
             if self.engine.has_work():
-                outputs: List[StepOutput] = await loop.run_in_executor(None, self.engine.step)
+                try:
+                    outputs: List[StepOutput] = await loop.run_in_executor(
+                        None, self.engine.step
+                    )
+                except Exception:
+                    # an engine.step() exception would otherwise kill this
+                    # task silently and hang every in-flight AND future
+                    # request on an un-drained queue: fail the in-flight
+                    # requests loudly and keep pumping (a persistent fault
+                    # keeps failing fast instead of wedging the server)
+                    logger.exception(
+                        "engine.step failed; failing in-flight requests"
+                    )
+                    for rid, q in list(self._queues.items()):
+                        try:
+                            self.engine.abort_request(rid)
+                        except Exception:
+                            pass
+                        q.put_nowait(StepOutput(rid, -1, True, "error"))
+                    continue
                 for out in outputs:
                     q = self._queues.get(out.request_id)
                     if q is not None:
@@ -201,14 +220,26 @@ def _sampling_from(
         else:
             lp = None
     if lp is not None:
-        lp = min(int(lp), 16)  # engine top-k cap (OpenAI allows up to 20)
+        lp = int(lp)
+        if lp < 0:
+            raise ValueError(f"logprobs must be non-negative, got {lp}")
+        lp = min(lp, 16)  # engine top-k cap (OpenAI allows up to 20)
     # vLLM prompt_logprobs; OpenAI echo+logprobs implies it (completions
-    # logprobs then cover the echoed prompt too)
+    # logprobs then cover the echoed prompt too). NOT implied for streaming
+    # requests: streamed echo+logprobs keeps its long-standing behavior
+    # (echoed text + completion logprobs) instead of tripping the
+    # explicit-prompt_logprobs stream rejection below (review finding r5)
     plp = getattr(req, "prompt_logprobs", None)
-    if plp is None and not chat and getattr(req, "echo", False) and lp is not None:
+    if (plp is None and not chat and getattr(req, "echo", False)
+            and lp is not None and not getattr(req, "stream", False)):
         plp = lp
     if plp is not None:
-        plp = min(int(plp), 16)
+        plp = int(plp)
+        if plp < 0:
+            raise ValueError(
+                f"prompt_logprobs must be non-negative, got {plp}"
+            )
+        plp = min(plp, 16)
     # chat on a harmony model must NOT stop at <|end|> (it closes one channel
     # message; generation continues into the final channel) — only at
     # <|return|>/<|call|>/eos
@@ -549,8 +580,11 @@ class Server:
         if best_of > n and not user_lp:
             run_sampling = dataclasses.replace(sampling, logprobs=0)
 
-        async def one_choice(prompt_ids, i: int):
+        async def one_choice(prompt_ids, i: int, samp=None):
             from gpt_oss_vllm_tpu.serving.harmony import HarmonyStreamParser
+
+            if samp is None:
+                samp = run_sampling
 
             detok = IncrementalDetokenizer(self.ae.tokenizer)
             parser = HarmonyStreamParser(self.ae.tokenizer) if chat else None
@@ -575,7 +609,7 @@ class Server:
             score = 0.0  # cumulative logprob (best_of ranking)
             plp_raw = None  # prompt logprobs (attached to the first output)
             async for out in self.ae.stream_tokens(
-                prompt_ids, self._nth_sampling(run_sampling, i)
+                prompt_ids, self._nth_sampling(samp, i)
             ):
                 if out.prompt_logprobs is not None:
                     plp_raw = out.prompt_logprobs
@@ -637,10 +671,27 @@ class Server:
         # prompt-major choice order across the prompt list (OpenAI multi-
         # prompt completions); n>1/best_of candidates run concurrently
         # through the engine's continuous batch and the prefix cache shares
-        # prompt KV
+        # prompt KV. Prompt logprobs are computed ONCE per distinct prompt
+        # (candidate 0): they are sampling-independent, and the PLP prefill
+        # is ~2x a normal one with prefix reuse force-disabled — per-
+        # candidate recomputation was pure waste (review finding r5).
+        samp_rest = run_sampling
+        if run_sampling.prompt_logprobs is not None and best_of > 1:
+            samp_rest = dataclasses.replace(
+                run_sampling, prompt_logprobs=None
+            )
         results = await asyncio.gather(
-            *(one_choice(p, j) for p in prompts for j in range(best_of))
+            *(one_choice(p, j, run_sampling if j == 0 else samp_rest)
+              for p in prompts for j in range(best_of))
         )
+        if samp_rest is not run_sampling:
+            # share candidate 0's prompt logprobs across its prompt group
+            fixed = []
+            for pi in range(len(prompts)):
+                grp = list(results[pi * best_of : (pi + 1) * best_of])
+                pl0 = grp[0][7]
+                fixed.extend([grp[0]] + [r[:7] + (pl0,) for r in grp[1:]])
+            results = fixed
         # usage counts ALL generated tokens, including discarded best_of
         # candidates (the OpenAI accounting)
         total_completion = sum(r[4] for r in results)
@@ -785,6 +836,20 @@ class Server:
                         ],
                     )
                 )
+
+        if not chat and getattr(req, "echo", False):
+            # OpenAI streamed echo: the prompt text leads each choice's
+            # stream as its first chunk. Prompt logprobs are NOT implied on
+            # streams (_sampling_from) — explicit prompt_logprobs + stream
+            # stays a 400; echoed-text + completion logprobs streams fine.
+            for pi, pids in enumerate(prompts):
+                ptxt = self.ae.tokenizer.decode(pids)
+                for j in range(n):
+                    await send(proto.CompletionChunk(
+                        id=rid, model=req.model,
+                        choices=[proto.CompletionChoice(
+                            index=pi * n + j, text=ptxt)],
+                    ))
 
         # one pump per choice; deltas interleave on the wire tagged by index
         # (the OpenAI stream contract for n>1)

@@ -1330,7 +1330,8 @@ class ToolChoiceSession:
                 t for t in self._name_buf if 0 <= t < 256
             ).decode("utf-8", "replace")
         if "functions." in text:
-            return text.split("functions.", 1)[1].split()[0].strip()
+            tail = text.split("functions.", 1)[1].split()
+            return tail[0].strip() if tail else ""
         return text.strip()
 
 
@@ -1354,6 +1355,21 @@ def compile_tool_choice(tools: Sequence[Dict], names: Sequence[str],
     unknown = [n for n in names if n not in by_name]
     if unknown:
         raise GuidedError(f"tool_choice names undeclared tool(s): {unknown}")
+    # OpenAI's function-name contract (^[a-zA-Z0-9_-]{1,64}$). Enforcing it
+    # here also keeps ToolChoiceSession._decode_name's whitespace-delimited
+    # parse sound: a name containing whitespace or 'functions.' would parse
+    # to the wrong args grammar and raise out of engine.step()
+    allowed = set(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_-"
+    )
+    bad = [
+        n for n in names
+        if not n or len(n) > 64 or not all(c in allowed for c in n)
+    ]
+    if bad:
+        raise GuidedError(
+            f"tool function names must match [a-zA-Z0-9_-]{{1,64}}: {bad}"
+        )
     try:
         if not getattr(tokenizer, "harmony", False):
             raise KeyError("harmony")

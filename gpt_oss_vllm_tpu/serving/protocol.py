@@ -166,7 +166,9 @@ class CompletionChoice(BaseModel):
     finish_reason: Optional[str] = None
     logprobs: Optional[LogProbs] = None
     # vLLM-style prompt logprobs: one entry per prompt token — null for
-    # position 0, then {"token", "logprob", "top_logprobs": {tok: lp}}
+    # position 0, then {"token", "logprob", "top_logprobs": [{"token",
+    # "logprob"}, ...]} (a LIST of entries, not a dict keyed by decoded
+    # text: two distinct ids can decode identically)
     prompt_logprobs: Optional[List] = None
 
 

@@ -182,10 +182,62 @@ async def test_http_prompt_logprobs_chat(client):
     assert all(e is None or e["logprob"] <= 0.0 for e in plp)
 
 
-async def test_http_prompt_logprobs_stream_rejected(client):
+async def test_http_explicit_prompt_logprobs_stream_rejected(client):
     r = await client.post(
         "/v1/completions",
-        json={"model": "m", "prompt": "x", "max_tokens": 2, "echo": True,
-              "logprobs": 1, "stream": True},
+        json={"model": "m", "prompt": "x", "max_tokens": 2,
+              "prompt_logprobs": 2, "stream": True},
     )
     assert r.status == 400
+
+
+async def test_http_echo_logprobs_streams(client):
+    """echo+logprobs+stream is valid OpenAI (prompt_logprobs is implied
+    only on NON-streaming requests — review finding r5): the echoed prompt
+    text leads the stream, completion logprobs attach to content chunks."""
+    import json as _json
+
+    r = await client.post(
+        "/v1/completions",
+        json={"model": "m", "prompt": "hi", "max_tokens": 3, "echo": True,
+              "logprobs": 1, "stream": True, "temperature": 0.0},
+    )
+    assert r.status == 200
+    raw = (await r.read()).decode()
+    assert raw.rstrip().endswith("data: [DONE]")
+    chunks = [
+        _json.loads(l[6:]) for l in raw.splitlines()
+        if l.startswith("data: ") and l != "data: [DONE]"
+    ]
+    assert chunks[0]["choices"][0]["text"] == "hi"  # echoed prompt first
+    assert any(c["choices"][0].get("logprobs") for c in chunks[1:])
+
+
+async def test_http_negative_logprobs_rejected(client):
+    for extra in ({"logprobs": -1}, {"prompt_logprobs": -3}):
+        r = await client.post(
+            "/v1/completions",
+            json={"model": "m", "prompt": "x", "max_tokens": 2, **extra},
+        )
+        assert r.status == 400, extra
+
+
+async def test_http_plp_shared_across_n_candidates(client):
+    """n>1 echo+logprobs computes prompt logprobs ONCE per prompt
+    (candidate 0) and shares them: every choice carries an identical
+    echoed-logprobs prefix."""
+    r = await client.post(
+        "/v1/completions",
+        json={"model": "m", "prompt": "abcd", "max_tokens": 2, "echo": True,
+              "logprobs": 1, "n": 2, "temperature": 0.8, "seed": 3},
+    )
+    assert r.status == 200
+    body = await r.json()
+    assert len(body["choices"]) == 2
+    lps = [c["logprobs"] for c in body["choices"]]
+    assert all(lp is not None for lp in lps)
+    npr = 4  # prompt tokens
+    a, b = lps[0], lps[1]
+    assert a["tokens"][:npr] == b["tokens"][:npr]
+    assert a["token_logprobs"][:npr] == b["token_logprobs"][:npr]
+    assert a["token_logprobs"][0] is None  # position 0: no conditional

@@ -644,3 +644,37 @@ def test_server_default_spec_tokens_adaptive():
     prompt = [1, 2, 3, 4] * 6  # repetitive: prompt-lookup drafts fire
     assert eng.generate([prompt], sp)[0] == ref.generate([prompt], sp)[0]
     assert eng.metrics.get("spec_proposed", 0) > 0
+
+
+async def test_pump_survives_engine_step_exception(aiohttp_client):
+    """An engine.step() exception must FAIL the in-flight requests (finish
+    reason "error") and keep the pump alive for later requests — the bare
+    task death silently hung every queue forever (review finding r5)."""
+    from gpt_oss_vllm_tpu.config import ServingConfig
+    from gpt_oss_vllm_tpu.serving.api_server import AsyncEngine, build_app
+    from tests.test_harmony import _ScriptedEngine
+
+    tok = ByteTokenizer()
+    eng = _ScriptedEngine([ord("h"), ord("i"), tok.special("return")])
+    armed = {"on": True}
+    orig_step = eng.step
+
+    def step():
+        if armed["on"]:
+            armed["on"] = False
+            raise RuntimeError("injected device fault")
+        return orig_step()
+
+    eng.step = step
+    ae = AsyncEngine(eng, tok)
+    app = build_app(ae, ServingConfig(served_model_name="m"), 1000)
+    client = await aiohttp_client(app)
+    body = {"model": "m", "prompt": "x", "max_tokens": 8, "temperature": 0.0}
+    r1 = await client.post("/v1/completions", json=body)
+    assert r1.status == 200  # failed fast, not hung
+    c1 = (await r1.json())["choices"][0]
+    assert c1["finish_reason"] == "error" and c1["text"] == ""
+    # the pump survived: the next request completes normally
+    r2 = await client.post("/v1/completions", json=body)
+    c2 = (await r2.json())["choices"][0]
+    assert c2["text"] == "hi" and c2["finish_reason"] == "stop"

@@ -291,3 +291,30 @@ async def test_http_tool_choice_auto_unchanged(hclient):
         json=_base_chat("none", max_tokens=8, temperature=1.0, seed=1),
     )
     assert r.status == 200
+
+
+async def test_tool_name_shape_validated(hclient):
+    """A declared tool name outside OpenAI's [a-zA-Z0-9_-]{1,64} contract is
+    a 400, not a server-killing parse failure: 'get weather' would defeat
+    ToolChoiceSession._decode_name's whitespace-delimited parse and raise
+    from inside engine.step() (review finding r5)."""
+    r = await hclient.post(
+        "/v1/chat/completions",
+        json={
+            "model": "m",
+            "messages": [{"role": "user", "content": "go"}],
+            "max_tokens": 8,
+            "tools": [
+                {"type": "function",
+                 "function": {"name": "get weather", "parameters": {
+                     "type": "object"}}},
+                {"type": "function",
+                 "function": {"name": "calc", "parameters": {
+                     "type": "object"}}},
+            ],
+            "tool_choice": "required",
+        },
+    )
+    assert r.status == 400
+    body = await r.json()
+    assert "name" in body["error"]["message"]
