@@ -99,7 +99,7 @@ def main():
     t0 = time.monotonic()
     needs_params = bool(
         {"serving", "serving_hi", "spec", "spec_script", "batched", "b256",
-         "ttft", "gmm_ab", "tune", "chunk_ab", "http"} & set(phases)
+         "ttft", "gmm_ab", "tune", "chunk_ab", "http", "plp"} & set(phases)
     )
     params = prepare_serving_params(mc, quant, seed=0) if needs_params else None
     log(f"[t+{time.monotonic() - t0:.0f}s] serving params "
@@ -633,6 +633,47 @@ def main():
                   "speedup": round(sl / rb, 3)})
         except Exception as e:
             log(f"gmm_ab phase failed: {type(e).__name__}: {str(e)[:300]}")
+
+    if "plp" in phases:
+        # prompt-logprobs on the FLAGSHIP model + 201k vocab: validates the
+        # sub-blocked PLP program's memory bound (the r5 review flagged the
+        # full-chunk f32 log_softmax as ~200-300 MB transient — over a
+        # serving config's HBM headroom; the fix bounds it to ~77 MB)
+        try:
+            from gpt_oss_vllm_tpu.engine.request import SamplingParams
+
+            eng = make_engine(4)
+            rng = np.random.default_rng(5)
+            prompt = rng.integers(0, mc.vocab_size, 128).tolist()
+            eng.add_request(
+                "plp", prompt,
+                SamplingParams(max_tokens=8, temperature=0.0,
+                               prompt_logprobs=2),
+            )
+            tt = time.monotonic()
+            plp = None
+            toks = 0
+            while eng.has_work():
+                for o in eng.step():
+                    if o.prompt_logprobs is not None:
+                        plp = o.prompt_logprobs
+                    if o.token_id >= 0:
+                        toks += 1
+            dt = time.monotonic() - tt
+            ok = plp is not None and len(plp) == 128 and plp[0] is None
+            vals = [e[0] for e in plp[1:]] if plp else []
+            emit({"metric": "prompt_logprobs_flagship",
+                  "prompt_len": 128, "vocab": mc.vocab_size,
+                  "entries": len(plp or []), "ok": bool(ok),
+                  "wall_s": round(dt, 2), "output_tokens": toks,
+                  "mean_nll": round(-float(np.mean(vals)), 3) if vals else None})
+            log(f"[t+{time.monotonic() - t0:.0f}s] plp ok={ok} "
+                f"wall={dt:.1f}s mean_nll={-float(np.mean(vals)):.2f}")
+            del eng
+            gc.collect()
+            settle()
+        except Exception as e:
+            log(f"plp phase failed: {type(e).__name__}: {str(e)[:300]}")
 
     if "spec_script" in phases:
         # FLAGSHIP speculative-decoding ceiling (VERDICT r4 next #2).
