@@ -639,6 +639,9 @@ class InferenceEngine:
         # per-slot sampling params change only when the batch composition
         # does, and the block tables only when a block is added/released
         self._samp_key = None
+        # channel-gate DFA device tables, uploaded once per engine
+        # (_bind_harmony_gate; shared by the plain and spec chains)
+        self._chan_tabs_dev = None
         self._samp_dev = None
         # compact-row -> slot map of the current async decode program width
         self._rows_host = None
@@ -1645,12 +1648,15 @@ class InferenceEngine:
             jnp.asarray(tabs[0].byte_matrix()),
         ), offs
 
-    def _bind_harmony_gate(self, running, W):
+    def _bind_harmony_gate(self, running, W, seed_states=True):
         """Device bindings for the harmony-gated guided rows of ``running``:
         ``(h_spec tuple | None, (ch_trans, ch_accept) | (None, None),
         hstate [W] | None)``. One tokenizer per process, so the first
-        harmony session's specials serve all rows. Host sessions must be
-        exact (in-flight steps flushed) when the hstate is consumed."""
+        harmony session's specials serve all rows and the channel-DFA
+        device tables upload once per engine. ``seed_states=False`` skips
+        the per-row host replay (callers that re-seed later in the chain-
+        rebuild block). Host sessions must be exact (in-flight steps
+        flushed) when the hstate is consumed."""
         harmony = [
             r for _, r in running
             if r.guided is not None and getattr(r.guided, "_harmony", False)
@@ -1665,15 +1671,18 @@ class InferenceEngine:
             sp.get("end", -1), sp.get("start", -1),
         )
         chan_trans, chan_accept = final_channel_tables()
-        hstate = np.full(W, -1, np.int32)
-        for ci, (i, r) in enumerate(running):
-            if r.guided is not None:
-                hstate[ci] = r.guided.device_gate_state(chan_trans)
-        return (
-            h_spec,
-            (jnp.asarray(chan_trans), jnp.asarray(chan_accept)),
-            jnp.asarray(hstate),
-        )
+        if self._chan_tabs_dev is None:
+            self._chan_tabs_dev = (
+                jnp.asarray(chan_trans), jnp.asarray(chan_accept),
+            )
+        hstate_dev = None
+        if seed_states:
+            hstate = np.full(W, -1, np.int32)
+            for ci, (i, r) in enumerate(running):
+                if r.guided is not None:
+                    hstate[ci] = r.guided.device_gate_state(chan_trans)
+            hstate_dev = jnp.asarray(hstate)
+        return h_spec, self._chan_tabs_dev, hstate_dev
 
     def _guided_states(self, running, W, offs) -> np.ndarray:
         """Per-compact-row absolute DFA states (-1 = unconstrained); host
@@ -1917,7 +1926,7 @@ class InferenceEngine:
             # final-channel byte-DFA the fused program walks (the per-row
             # state is re-seeded in the chain-rebuild block below)
             self._h_specials, self._h_tabs, _ = self._bind_harmony_gate(
-                running, W
+                running, W, seed_states=False
             )
             self._hstate_dev = None
             self._samp_key = key

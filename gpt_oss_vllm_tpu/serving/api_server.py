@@ -95,16 +95,27 @@ class AsyncEngine:
                     # task silently and hang every in-flight AND future
                     # request on an un-drained queue: fail the in-flight
                     # requests loudly and keep pumping (a persistent fault
-                    # keeps failing fast instead of wedging the server)
+                    # keeps failing fast instead of wedging the server).
+                    # WAITING requests were never part of the failing step
+                    # — they stay queued for the next iteration.
                     logger.exception(
                         "engine.step failed; failing in-flight requests"
                     )
+                    from gpt_oss_vllm_tpu.engine.request import RequestState
+
+                    reqs = getattr(self.engine, "requests", {})
                     for rid, q in list(self._queues.items()):
+                        r = reqs.get(rid)
+                        if r is not None and r.state == RequestState.WAITING:
+                            continue
                         try:
                             self.engine.abort_request(rid)
                         except Exception:
                             pass
                         q.put_nowait(StepOutput(rid, -1, True, "error"))
+                    # bounded retry pace: a persistent fault must not spin
+                    # a hot exception loop on this 2-CPU host
+                    await asyncio.sleep(0.2)
                     continue
                 for out in outputs:
                     q = self._queues.get(out.request_id)

@@ -662,13 +662,14 @@ def main():
             dt = time.monotonic() - tt
             ok = plp is not None and len(plp) == 128 and plp[0] is None
             vals = [e[0] for e in plp[1:]] if plp else []
+            mnll = round(-float(np.mean(vals)), 3) if vals else None
             emit({"metric": "prompt_logprobs_flagship",
                   "prompt_len": 128, "vocab": mc.vocab_size,
                   "entries": len(plp or []), "ok": bool(ok),
                   "wall_s": round(dt, 2), "output_tokens": toks,
-                  "mean_nll": round(-float(np.mean(vals)), 3) if vals else None})
+                  "mean_nll": mnll})
             log(f"[t+{time.monotonic() - t0:.0f}s] plp ok={ok} "
-                f"wall={dt:.1f}s mean_nll={-float(np.mean(vals)):.2f}")
+                f"wall={dt:.1f}s mean_nll={mnll}")
             del eng
             gc.collect()
             settle()
