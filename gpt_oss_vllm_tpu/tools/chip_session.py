@@ -21,6 +21,11 @@ process so the stall is paid once:
                   (the long-context tile-skipping evidence; 512+ exercises
                   the row-blocked gmm unsliced on chip)
   phase gmm_ab    row-blocked unsliced vs r2's sliced emulation, T=512
+  phase plp       flagship prompt-logprobs request (201k vocab): validates
+                  the sub-blocked PLP program's memory bound end to end
+  phase spec_script  flagship speculative-decoding CEILING: rewires params
+                  into a repeat-last-token model at unchanged per-step
+                  cost (accept=1.0). DESTRUCTIVE to params — run LAST
 
 Each phase is independent (try/except); one JSON line per phase on stdout.
 
