@@ -104,7 +104,8 @@ def main():
     t0 = time.monotonic()
     needs_params = bool(
         {"serving", "serving_hi", "spec", "spec_script", "batched", "b256",
-         "ttft", "gmm_ab", "tune", "chunk_ab", "http", "plp"} & set(phases)
+         "ttft", "gmm_ab", "tune", "chunk_ab", "http", "plp", "prefix",
+         "fp8"} & set(phases)
     )
     params = prepare_serving_params(mc, quant, seed=0) if needs_params else None
     log(f"[t+{time.monotonic() - t0:.0f}s] serving params "
@@ -638,6 +639,76 @@ def main():
                   "speedup": round(sl / rb, 3)})
         except Exception as e:
             log(f"gmm_ab phase failed: {type(e).__name__}: {str(e)[:300]}")
+
+    if "prefix" in phases:
+        # radix prefix-cache serving evidence (the C++ block allocator's
+        # prompt-prefix reuse has only ever been CPU-tested): c=32 requests
+        # sharing a block-aligned 112-token prefix vs fully random prompts
+        # — cached prefixes skip their prefill work, cutting TTFT
+        try:
+            bp = (128 + 96) // 16 + 2
+            cfg_pc = EngineConfig(
+                model=mc, quant=quant,
+                cache=CacheConfig(block_size=16, num_blocks=32 * bp + 8,
+                                  max_blocks_per_seq=bp + 2,
+                                  enable_prefix_caching=True),
+                scheduler=SchedulerConfig(
+                    max_num_seqs=32, max_model_len=4096, async_decode=True,
+                    async_depth=8, async_flush_burst=8,
+                ),
+            )
+            eng = InferenceEngine(cfg_pc, params)
+            rows = []
+            for wl in ("shared_prefix", "random"):
+                r = run_load(eng, mc.vocab_size, 32, 128, 8, seed=99,
+                             workload=wl)
+                base = eng.metrics.get("prefix_cached_tokens", 0)
+                r = run_load(eng, mc.vocab_size, 32, 128, 96, seed=7,
+                             workload=wl)
+                r["workload"] = wl
+                r["prefix_cached_tokens"] = (
+                    eng.metrics.get("prefix_cached_tokens", 0) - base
+                )
+                rows.append(r)
+                log(f"[t+{time.monotonic() - t0:.0f}s] prefix {wl}: "
+                    f"{r['tok_s']} tok/s TTFT p50 {r['ttft_p50_ms']} "
+                    f"p99 {r['ttft_p99_ms']} cached={r['prefix_cached_tokens']}")
+            emit({"metric": "prefix_cache_serving", "concurrency": 32,
+                  "results": rows})
+            del eng
+            gc.collect()
+            settle()
+        except Exception as e:
+            log(f"prefix phase failed: {type(e).__name__}: {str(e)[:300]}")
+
+    if "fp8" in phases:
+        # fp8 KV cache through the serving path on chip (CacheConfig
+        # dtype="fp8": half the KV bytes + paged-attention traffic; only
+        # CPU-tested until now) — c=32 arm vs the bf16 serving row
+        try:
+            bp = (128 + 96) // 16 + 2
+            cfg_f8 = EngineConfig(
+                model=mc, quant=quant,
+                cache=CacheConfig(block_size=16, num_blocks=32 * bp + 8,
+                                  max_blocks_per_seq=bp + 2, dtype="fp8",
+                                  enable_prefix_caching=False),
+                scheduler=SchedulerConfig(
+                    max_num_seqs=32, max_model_len=4096, async_decode=True,
+                    async_depth=8, async_flush_burst=8,
+                ),
+            )
+            eng = InferenceEngine(cfg_f8, params)
+            r = run_load(eng, mc.vocab_size, 32, 128, 8, seed=99)
+            r = run_load(eng, mc.vocab_size, 32, 128, 96)
+            log(f"[t+{time.monotonic() - t0:.0f}s] fp8 c=32: {r['tok_s']} "
+                f"tok/s (steady {r['steady_tok_s']})")
+            emit({"metric": "fp8_kv_serving", "concurrency": 32,
+                  "kv_dtype": "fp8", "results": [r]})
+            del eng
+            gc.collect()
+            settle()
+        except Exception as e:
+            log(f"fp8 phase failed: {type(e).__name__}: {str(e)[:300]}")
 
     if "plp" in phases:
         # prompt-logprobs on the FLAGSHIP model + 201k vocab: validates the

@@ -57,9 +57,20 @@ def run_load(engine, tokenizer_vocab: int, concurrency: int, prompt_len: int,
     first_tok = {}
     done = set()
     t0 = time.monotonic()
+    shared = (
+        rng.integers(0, tokenizer_vocab, max(1, prompt_len - 16))
+        if workload == "shared_prefix" else None
+    )
     for i in range(concurrency):
         rid = f"load-{concurrency}-{i}"
-        if workload == "repetitive":
+        if workload == "shared_prefix":
+            # one common block-aligned prefix + a distinct 16-token tail:
+            # the radix prefix cache should serve the prefix KV of every
+            # request after the first from the shared blocks
+            prompt = shared.tolist() + rng.integers(
+                0, tokenizer_vocab, prompt_len - len(shared)
+            ).tolist()
+        elif workload == "repetitive":
             # cyclic pattern: the n-gram drafter's favorable case (code/
             # boilerplate-like text where prompt-lookup spec decode pays)
             pat = rng.integers(0, tokenizer_vocab, 24)
